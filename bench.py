@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query is executed to completion (collect of the — always small —
+final result; aggregates/top-k keep driver-side data tiny by design).
+A warm-up query first absorbs JVM/session startup so timings reflect
+plan execution, not initialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dfx_indicators_etl_spark.plans import QUERIES  # noqa: E402
+from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heaviest/most representative operator per family.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_item",
+    "q_window_topk",
+    "q_pivot",
+    "q_distinct_agg",
+    "q_events_sessionize",
+    "q_asof_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "sim_bruteforce_topk",
+    "ind_standardize",
+    "ind_observation_view",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dfx-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM, parquet footer caches, codegen.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        start = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - start, 3)
+        del rows
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

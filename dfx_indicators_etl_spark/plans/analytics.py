@@ -1,0 +1,669 @@
+"""Core relational analytics queries (SURVEY §2.A).
+
+Each query is declared with the DataFrame API so Catalyst plans it:
+filters and projections reach the parquet scan, dimension joins become
+broadcast hash joins, and aggregates use map-side partial aggregation.
+The paired DuckDB oracle uses the same decimal conventions
+(``plans.numeric``) so values hash-match bit-for-bit.
+
+Scale notes (100 TB):
+- ``lineitem``/``orders`` are the unbounded fact tables — they are only
+  ever shuffled on their join/group keys, never broadcast or collected.
+- ``region/nation/supplier/part/customer`` are dimension-sided here and
+  broadcast (explicitly hinted where the filter makes them small).
+- Top-k queries sort only the aggregated (small) side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table, read_tables
+from .numeric import davg, dcount, dec, dsum
+from .registry import query
+
+# Revenue measure used throughout TPC-H-style queries; computed in
+# exact decimal (see plans.numeric for why).
+REVENUE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+)
+
+
+def _revenue() -> F.Column:
+    return (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: single-pass multi-aggregate scan.
+
+    Reference parity: the per-indicator summary aggregation pattern of
+    dfx pipelines; plan-wise a pushdown filter + partial agg over the
+    fact table (no shuffle until the 6-group combine).
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            dcount("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filtered dim broadcast into two fact joins + top-k.
+
+    The filtered ``customer`` side is broadcast so ``orders`` and
+    ``lineitem`` join without a dim-side shuffle; the final sort runs on
+    the aggregated (small) result only. Tie-break on l_orderkey makes
+    the LIMIT deterministic.
+    """
+    customer, orders, lineitem = read_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING"))
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style six-way star join.
+
+    All dimension tables broadcast (region→nation→supplier chain
+    collapses to one small broadcast side); the only shuffles are the
+    fact-fact orders⋈lineitem on orderkey and the final 5-group agg.
+    """
+    customer, orders, lineitem, supplier, nation, region = read_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_item",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item ranking (join + agg + top-k)."""
+    customer, orders, lineitem, nation = read_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_top_suppliers",
+    oracle=f"""
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN (
+        SELECT l_suppkey, SUM({REVENUE_SQL}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    ) r ON s_suppkey = l_suppkey
+    WHERE total_revenue > 100000
+    """,
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: aggregate subquery + HAVING-style filter + dim join."""
+    supplier, lineitem = read_tables(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_revenue_dec"))
+        .filter(F.col("total_revenue_dec") > 100000)
+    )
+    return (
+        revenue.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_window_topk",
+    oracle=f"""
+    SELECT p_brand, p_partkey, part_revenue, brand_rank
+    FROM (
+        SELECT p_brand, p_partkey,
+               CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS part_revenue,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY CAST(SUM({REVENUE_SQL}) AS DOUBLE) DESC, p_partkey
+               ) AS INTEGER) AS brand_rank
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    WHERE brand_rank <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand (window rank).
+
+    The window re-uses the groupBy output partitioning where possible;
+    row_number with an explicit tie-break keeps results deterministic.
+    """
+    lineitem, part = read_tables(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_revenue()).cast("double").alias("part_revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("part_revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        per_part.withColumn("brand_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("brand_rank") <= 3)
+        .select("p_brand", "p_partkey", "part_revenue", "brand_rank")
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation over the geo dimension chain."""
+    customer, nation, region = read_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(dcount("n_customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation across order status × priority."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        dcount("n_orders"), dsum("o_totalprice", "total_price")
+    )
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot of event values per user.
+
+    The pivot value list is fixed so the plan is static (no extra
+    distinct-scan job) — required at scale where a runtime distinct on
+    the fact table would be a full extra pass.
+    """
+    events = read_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(dec("value")))
+    )
+    return piv.select(
+        "user_id", *[F.col(t).cast("double").alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT measure,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (reference: sipri_milex.py:118-121 wide-year melt)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    melted = lineitem.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return melted.groupBy("measure").agg(dcount("n"), dsum("value", "total"))
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having a large order (EXISTS)."""
+    customer, orders = read_tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders (NOT EXISTS)."""
+    customer, orders = read_tables(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (expand + two-phase agg)."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        dcount("n_rows"),
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL estimate is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02)
+        .cast("bigint")
+        .alias("approx_parts"),
+        dcount("n_rows"),
+    )
+
+
+@query(
+    "q_union_dedup",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup (hash-distinct after union)."""
+    customer, orders = read_tables(spark, sf_dir, "customer", "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.union(big).distinct()
+
+
+@query(
+    "q_orders_enriched",
+    oracle="""
+    SELECT r_name, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderpriority
+    """,
+)
+def q_orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enrichment through a broadcast dim chain, then aggregate.
+
+    This is the observation-view pattern of the reference database
+    (entities.py:98-132) applied to the order fact table.
+    """
+    orders, customer, nation, region = read_tables(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(dcount("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "q_correlated_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    JOIN (
+        SELECT p_brand AS b_brand,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(p_retailprice) AS brand_avg
+        FROM part GROUP BY p_brand
+    ) ON p_brand = b_brand
+    WHERE CAST(p_retailprice AS DOUBLE) > brand_avg
+    """,
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: parts priced above their brand average.
+
+    Written as an explicit aggregate-join (what Catalyst decorrelates a
+    correlated subquery into); the per-brand aggregate side is tiny and
+    broadcast.
+    """
+    part = read_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        davg("p_retailprice", "brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), F.col("p_brand") == F.col("b_brand"))
+        .filter(F.col("p_retailprice").cast("double") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+    )
+
+
+@query(
+    "q_events_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed event aggregation (daily tumbling buckets, batch)."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            dcount("n_events"),
+            dsum("value", "total_value"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap).
+
+    One shuffle on user_id serves both window passes and the final
+    aggregate — the canonical scalable sessionization plan. (The
+    streaming twin is ``stream_events_windowed`` with session windows.)
+    """
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        dcount("n_events"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior click for each purchase, per user.
+
+    Implemented as the scalable union-sort pattern: one shuffle on the
+    entity key, a running MAX over the time-ordered stream, then filter
+    to the probe side — no per-row range join, no O(n²) blow-up.
+    """
+    events = read_table(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = both.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )

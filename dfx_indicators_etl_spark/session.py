@@ -1,0 +1,79 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for correctness-reproducibility (UTC session time
+zone, ANSI off for permissive coercion like the reference's pandas
+coercion) and for scale behavior that also holds on a real cluster:
+AQE with skew-join handling, Arrow for any pandas exchange, and a
+shuffle partition count that AQE coalesces at small SF but that spreads
+on large inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(
+    app_name: str = "dfx-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback ``*``)
+        when no master is configured. On a real cluster the deploy
+        environment provides the master and these settings still apply.
+    shuffle_partitions:
+        Post-shuffle parallelism. Defaults to the CPU budget; AQE
+        coalesces down when partitions are tiny.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Determinism / oracle parity
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Parquet TIMESTAMP(NANOS) columns surface as nano-epoch longs
+        # (readers convert to µs timestamps, matching DuckDB's ns→µs
+        # truncation) instead of failing the scan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Adaptive execution: runtime coalesce, skew-join splitting,
+        # runtime broadcast conversion — the main lever that lets the
+        # same plan run at sf0.001 and at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas exchange (mapInPandas / pandas_udf).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Dimension tables broadcast; 64 MB covers every dim at bench SF
+        # while staying executor-memory-safe on a cluster.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session if one exists (test teardown helper)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,90 @@
+"""Table readers for the engine's parquet/CSV/JSON sources.
+
+Reads are declarative ``spark.read`` scans so Catalyst applies column
+pruning and predicate pushdown into the parquet reader — at 100 TB the
+scan cost is dominated by what reaches the footer-level filters, so
+every query goes through these readers rather than materialized
+intermediates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["TABLES", "read_table", "read_tables", "read_csv", "read_jsonl"]
+
+# Canonical test/bench tables (TPC-H-ish star schema + events stream +
+# LLM-data tables). One parquet file per table under a sf dir.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they scan as nano-epoch longs
+# and are converted here to µs timestamps (floor division — the same
+# truncation DuckDB applies when reading ns parquet as TIMESTAMP).
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named table from a scale-factor directory."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for column in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(column) == "bigint":
+            df = df.withColumn(
+                column, F.timestamp_micros(F.expr(f"{column} div 1000"))
+            )
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Read several tables at once: ``li, o = read_tables(s, d, 'lineitem', 'orders')``."""
+    return tuple(read_table(spark, sf_dir, name) for name in names)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV reader with an explicit schema by default.
+
+    Schema inference triggers an extra full scan — never acceptable on a
+    large input — so callers pass a schema; ``inferSchema`` is opt-in.
+    """
+    reader = spark.read.options(header="true", **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines reader; explicit schema avoids the inference scan."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,37 @@
+"""Shared Spark/DuckDB fixtures for the test suite (SURVEY §5)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dfx_indicators_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("dfx-tests", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM '{SF_DIR}/{table}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

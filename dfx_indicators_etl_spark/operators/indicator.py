@@ -1,0 +1,232 @@
+"""Indicator-model operators: the reference's transform vocabulary
+re-expressed as distributed DataFrame operators.
+
+Reference behaviors covered (file:line cites are into /root/reference):
+
+- ``snake_case_columns``   — utils.py:158-188 ``to_snake_case``
+- ``melt``                 — pipelines/sipri_milex.py:118-121 wide→long
+- ``combine_dimensions``   — utils.py:191-248 ``_combine_dimensions`` /
+                             ``_resolve_dimensions``
+- ``map_country_metadata`` — utils.py:117-155 ``replace_country_metadata``
+- ``filter_countries``     — pipelines/_base.py:212-218 (keep M49 areas)
+- ``filter_years``         — pipelines/_pipeline.py:98-104 year cut-off
+- ``dedup_first``          — pipelines/who_gho_api.py:183-190
+                             deterministic sort + drop-duplicates
+- ``upsert``               — database/__init__.py:92-109 update_on_conflict
+- ``insert_ignore``        — database/__init__.py:112-127 ignore_on_conflict
+- ``format_indicator_name``— pipelines/world_bank_api.py:191-193
+
+Every operator is pure DataFrame algebra (no Python UDFs), so the
+whole transform chain stays inside Catalyst/whole-stage codegen and
+scales by partitioning: lookup tables broadcast, key-wise operators
+shuffle once on their key.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "snake_case_columns",
+    "to_snake_case",
+    "melt",
+    "combine_dimensions",
+    "map_country_metadata",
+    "filter_countries",
+    "filter_years",
+    "dedup_first",
+    "upsert",
+    "insert_ignore",
+    "format_indicator_name",
+]
+
+
+def to_snake_case(value: str, prefix: str = "", suffix: str = "") -> str:
+    """Normalize one column name to snake_case (driver-side, names only)."""
+    value = re.sub(r"\s+", "_", value.strip().lower())
+    if prefix:
+        value = f"{prefix}_{value}"
+    if suffix:
+        value = f"{value}_{suffix}"
+    return value
+
+
+def snake_case_columns(df: DataFrame, prefix: str = "", suffix: str = "") -> DataFrame:
+    """Rename every column to snake_case — metadata-only, no job."""
+    return df.toDF(*[to_snake_case(c, prefix, suffix) for c in df.columns])
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    drop_null: bool = True,
+) -> DataFrame:
+    """Wide→long reshape (pandas ``melt`` / reference SIPRI year columns).
+
+    Uses the native ``unpivot`` operator — a generate, not a shuffle —
+    so it streams at any scale.
+    """
+    out = df.unpivot(
+        ids=list(id_cols),
+        values=list(value_cols),
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+    if drop_null:
+        out = out.filter(F.col(value_name).isNotNull())
+    return out
+
+
+def _dimension_value(name: str, col: Column) -> Column:
+    """One dimension's display value: ``Total``→``All <name>`` else as-is."""
+    return F.when(F.lower(col) == "total", F.lit(f"All {name}")).otherwise(col)
+
+
+def combine_dimensions(
+    df: DataFrame,
+    prefix: str = "dimension_",
+    output: str = "dimension",
+) -> DataFrame:
+    """Collapse ``<prefix>*`` columns into one ``dimension`` string.
+
+    Semantics of the reference's ``_combine_dimensions``
+    (utils.py:191-248): null dimensions are skipped, ``Total`` values
+    render as ``All <dimension name>`` (name = column minus prefix,
+    underscores→spaces), values join with ``"; "``, and a row with no
+    dimension values gets ``"Total"``. Pure column expressions —
+    ``concat_ws`` skips nulls exactly like the reference's dict-drop.
+    """
+    if output in df.columns:
+        return df
+    dim_cols = [c for c in df.columns if c.startswith(prefix)]
+    if not dim_cols:
+        return df.withColumn(output, F.lit("Total"))
+    parts = [
+        _dimension_value(c.removeprefix(prefix).replace("_", " "), F.col(c))
+        for c in dim_cols
+    ]
+    combined = F.concat_ws("; ", *parts)
+    return df.withColumn(
+        output, F.when(combined == "", "Total").otherwise(combined)
+    ).drop(*dim_cols)
+
+
+def map_country_metadata(
+    df: DataFrame,
+    mapping: DataFrame,
+    column: str,
+    source: str,
+    target: str,
+    output: str | None = None,
+) -> DataFrame:
+    """Replace area codes/names using a lookup table (broadcast join).
+
+    The distributed form of the reference's dict-based
+    ``replace_country_metadata`` (utils.py:117-155): non-matching
+    values become NULL (left join), matching values take the target
+    field. ``mapping`` is a small dimension table → broadcast, so the
+    fact side never shuffles.
+    """
+    output = output or column
+    lookup = F.broadcast(
+        mapping.select(
+            F.col(source).alias("__map_key"), F.col(target).alias("__map_val")
+        ).dropDuplicates(["__map_key"])
+    )
+    return (
+        df.join(lookup, df[column] == lookup["__map_key"], "left")
+        .drop(column, "__map_key")
+        .withColumnRenamed("__map_val", output)
+    )
+
+
+def filter_countries(df: DataFrame, allowed: DataFrame, column: str, key: str) -> DataFrame:
+    """Keep only rows whose area code exists in the reference dim table.
+
+    Reference: transformers drop any row whose ``country_code`` is not
+    in UNSD M49 (_base.py:212-218). Broadcast LEFT SEMI join — no
+    fact shuffle, no duplication however many dim rows match.
+    """
+    allowed_keys = F.broadcast(allowed.select(F.col(key).alias(column)).distinct())
+    return df.join(allowed_keys, on=column, how="left_semi")
+
+
+def filter_years(df: DataFrame, column: str = "year", year_min: int = 2005, year_max: int = 2030) -> DataFrame:
+    """Year-range cut-off (reference settings year_min/year_max).
+
+    A plain predicate so it pushes into the scan / partition pruning
+    when the data is partitioned by year — the reference's post-hoc
+    pandas ``query`` becomes a zero-cost pushdown here.
+    """
+    return df.filter(F.col(column).between(year_min, year_max))
+
+
+def dedup_first(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
+) -> DataFrame:
+    """Deterministic drop-duplicates: keep the first row per key under a
+    total ordering (reference who_gho_api.py:183-190 sorts all columns
+    then keeps first).
+
+    One shuffle on the key, ``row_number`` per group — the scalable
+    twin of sort + drop_duplicates, which would need a global sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Merge with incoming-wins semantics (update_on_conflict,
+    database/__init__.py:92-109).
+
+    Incoming rows replace existing rows on key conflicts; duplicate
+    keys inside ``incoming`` resolve to the first row under
+    ``order_cols`` (latest-wins when passed a descending timestamp).
+    Implemented as window-dedup + anti-join + union: two key-wise
+    shuffles, no driver-side state — the MERGE INTO pattern without a
+    table format dependency.
+    """
+    if order_cols is not None:
+        incoming = dedup_first(incoming, key_cols, order_cols)
+    keep = existing.join(incoming.select(*key_cols), on=list(key_cols), how="left_anti")
+    return keep.unionByName(incoming)
+
+
+def insert_ignore(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Merge with existing-wins semantics (ignore_on_conflict,
+    database/__init__.py:112-127): incoming rows land only when their
+    key is absent."""
+    if order_cols is not None:
+        incoming = dedup_first(incoming, key_cols, order_cols)
+    new = incoming.join(existing.select(*key_cols), on=list(key_cols), how="left_anti")
+    return existing.unionByName(new)
+
+
+def format_indicator_name(name: Column | str, code: Column | str) -> Column:
+    """``"{name} [{code}]"`` display form (world_bank_api.py:191-193)."""
+    name = F.col(name) if isinstance(name, str) else name
+    code = F.col(code) if isinstance(code, str) else code
+    return F.concat(name, F.lit(" ["), code.cast("string"), F.lit("]"))

@@ -1,1 +1,520 @@
-"""Placeholder — populated in a later milestone."""
+"""Indicator-model queries (SURVEY §2.B) — reference-parity operators
+demonstrated on the test tables.
+
+The canonical observation model of the reference (provider,
+indicator_name, country_code, year, dimension, value — validation.py
+DataSchema) is mapped onto the test schema: ``events`` are raw
+observations (event_type⇄indicator, user→nation⇄country,
+day-of-month⇄year, props JSON⇄dimensions) and ``nation``/``region``
+stand in for the UNSD M49 area table. Each query exercises one
+operator from ``operators.indicator`` end-to-end with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import indicator as ops
+from ..sources import read_table, read_tables
+from .numeric import davg, dcount, dec, dsum
+from .registry import query
+
+# Observation base: events keyed to the nation dim. Kept as a shared
+# builder (Spark) + CTE (oracle) so every §2.B query sees one model.
+OBS_SQL = """
+    SELECT e.event_id,
+           e.event_type AS indicator_name,
+           n.n_name AS country_code,
+           CAST(2000 + EXTRACT(day FROM e.ts) AS INTEGER) AS year,
+           CAST(e.value AS DOUBLE) AS value,
+           json_extract_string(e.props, '$.k') AS dim_k
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+"""
+
+
+def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → canonical observations (broadcast join to the area dim)."""
+    events, nation = read_tables(spark, sf_dir, "events", "nation")
+    return (
+        events.join(
+            F.broadcast(nation),
+            events["user_id"] % 25 == nation["n_nationkey"],
+        )
+        .select(
+            "event_id",
+            F.col("event_type").alias("indicator_name"),
+            F.col("n_name").alias("country_code"),
+            (F.lit(2000) + F.dayofmonth("ts")).cast("int").alias("year"),
+            F.col("value").cast("double").alias("value"),
+            F.get_json_object("props", "$.k").alias("dim_k"),
+        )
+    )
+
+
+@query(
+    "ind_standardize",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL}),
+    shaped AS (
+        SELECT indicator_name, country_code, year, value,
+           CASE WHEN concat_ws('; ',
+                    CASE WHEN value < 10 THEN 'low' ELSE 'high' END) = ''
+                THEN 'Total'
+                ELSE concat_ws('; ',
+                    CASE WHEN value < 10 THEN 'low' ELSE 'high' END) END
+               AS dimension,
+           event_id
+        FROM obs
+        WHERE year BETWEEN 2005 AND 2030
+    ),
+    allowed AS (
+        SELECT DISTINCT n_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY indicator_name, country_code, year, dimension
+            ORDER BY event_id
+        ) AS rn
+        FROM shaped WHERE country_code IN (SELECT n_name FROM allowed)
+    )
+    SELECT 'events' AS provider, indicator_name, country_code, year,
+           dimension, value
+    FROM deduped WHERE rn = 1
+    """,
+)
+def ind_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Transformer chain (reference _base.py:191-218 +
+    _pipeline.py:98-104): shape → dimension combine → year cut →
+    M49-style area filter → deterministic dedup → provider stamp.
+
+    Plan shape at scale: one broadcast join (area dim), pushdown-able
+    filters, one shuffle for the key-wise dedup window. Nothing else.
+    """
+    nation, region = read_tables(spark, sf_dir, "nation", "region")
+    obs = observations(spark, sf_dir).withColumn(
+        "dimension_magnitude", F.when(F.col("value") < 10, "low").otherwise("high")
+    )
+    shaped = ops.combine_dimensions(obs, prefix="dimension_")
+    shaped = ops.filter_years(shaped, "year", 2005, 2030)
+    allowed = nation.join(
+        F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_name")
+    shaped = ops.filter_countries(shaped, allowed, "country_code", "n_name")
+    deduped = ops.dedup_first(
+        shaped,
+        ["indicator_name", "country_code", "year", "dimension"],
+        ["event_id"],
+    )
+    return deduped.select(
+        F.lit("events").alias("provider"),
+        "indicator_name",
+        "country_code",
+        "year",
+        "dimension",
+        "value",
+    )
+
+
+@query(
+    "ind_observation_view",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT o.event_id, o.indicator_name, o.year, o.value,
+           n.n_nationkey AS country_id, n.n_name AS country_name,
+           r.r_name AS region_name
+    FROM obs o
+    LEFT JOIN nation n ON o.country_code = n.n_name
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def ind_observation_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation star view (reference entities.py:98-132): the fact
+    stream LEFT-joined to its dimension tables, all broadcast."""
+    nation, region = read_tables(spark, sf_dir, "nation", "region")
+    obs = observations(spark, sf_dir)
+    return (
+        obs.join(F.broadcast(nation), obs["country_code"] == nation["n_name"], "left")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left",
+        )
+        .select(
+            "event_id",
+            "indicator_name",
+            "year",
+            "value",
+            F.col("n_nationkey").alias("country_id"),
+            F.col("n_name").alias("country_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "ind_combine_dimensions",
+    oracle="""
+    WITH dims AS (
+        SELECT event_id,
+               CASE user_id % 4 WHEN 0 THEN 'Male' WHEN 1 THEN 'Female'
+                                WHEN 2 THEN 'Total' END AS d_sex,
+               CASE WHEN value < 10 THEN NULL
+                    WHEN value < 20 THEN '15-24' ELSE 'Total' END AS d_age_group
+        FROM events
+    ),
+    combined AS (
+        SELECT event_id, concat_ws('; ',
+            CASE WHEN lower(d_sex) = 'total' THEN 'All sex' ELSE d_sex END,
+            CASE WHEN lower(d_age_group) = 'total' THEN 'All age group'
+                 ELSE d_age_group END) AS joined
+        FROM dims
+    )
+    SELECT event_id,
+           CASE WHEN joined = '' THEN 'Total' ELSE joined END AS dimension
+    FROM combined
+    """,
+)
+def ind_combine_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-column collapsing (reference utils.py:191-248):
+    Total→``All <name>``, nulls skipped, empty→``Total``."""
+    events = read_table(spark, sf_dir, "events")
+    dims = events.select(
+        "event_id",
+        F.when(F.col("user_id") % 4 == 0, "Male")
+        .when(F.col("user_id") % 4 == 1, "Female")
+        .when(F.col("user_id") % 4 == 2, "Total")
+        .alias("dimension_sex"),
+        F.when(F.col("value") < 10, F.lit(None).cast("string"))
+        .when(F.col("value") < 20, "15-24")
+        .otherwise("Total")
+        .alias("dimension_age_group"),
+    )
+    return ops.combine_dimensions(dims, prefix="dimension_").select(
+        "event_id", "dimension"
+    )
+
+
+@query(
+    "ind_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, indicator_name, value FROM (
+        SELECT user_id, 'click' AS indicator_name, click AS value FROM wide
+        UNION ALL
+        SELECT user_id, 'purchase', purchase FROM wide
+    ) WHERE value IS NOT NULL
+    """,
+)
+def ind_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of per-user indicator columns (reference
+    sipri_milex.py:118-121), via the native unpivot operator."""
+    events = read_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.sum(dec("value")))
+    )
+    wide = wide.select(
+        "user_id",
+        F.col("click").cast("double").alias("click"),
+        F.col("purchase").cast("double").alias("purchase"),
+    )
+    return ops.melt(
+        wide,
+        id_cols=["user_id"],
+        value_cols=["click", "purchase"],
+        var_name="indicator_name",
+        value_name="value",
+    )
+
+
+@query(
+    "ind_country_map",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE n_name = src.country LIMIT 1) AS country
+    FROM (
+        SELECT c_custkey, n_name AS country
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) src
+    """,
+)
+def ind_country_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-code mapping via broadcast lookup (reference
+    utils.py:117-155: name→region here, like iso3→name there);
+    non-matching values null out."""
+    customer, nation, region = read_tables(spark, sf_dir, "customer", "nation", "region")
+    src = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("country"))
+    mapping = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_name", "r_name")
+    return ops.map_country_metadata(
+        src, mapping, column="country", source="n_name", target="r_name"
+    ).select("c_custkey", "country")
+
+
+@query(
+    "ind_country_filter",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT country_code, COUNT(*) AS n_obs
+    FROM obs
+    WHERE country_code IN (
+        SELECT n_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+    )
+    GROUP BY country_code
+    """,
+)
+def ind_country_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M49-style area allow-list as a broadcast LEFT SEMI join
+    (reference _base.py:212-218)."""
+    nation, region = read_tables(spark, sf_dir, "nation", "region")
+    allowed = nation.join(
+        F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_name")
+    obs = observations(spark, sf_dir)
+    return (
+        ops.filter_countries(obs, allowed, "country_code", "n_name")
+        .groupBy("country_code")
+        .agg(dcount("n_obs"))
+    )
+
+
+@query(
+    "ind_year_filter",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT year, COUNT(*) AS n_obs
+    FROM obs WHERE year BETWEEN 2005 AND 2025
+    GROUP BY year
+    """,
+)
+def ind_year_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-range cut-off (reference _pipeline.py:98-104) as a
+    pushdown-able predicate."""
+    obs = observations(spark, sf_dir)
+    return (
+        ops.filter_years(obs, "year", 2005, 2025)
+        .groupBy("year")
+        .agg(dcount("n_obs"))
+    )
+
+
+@query(
+    "ind_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY event_id
+        ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ind_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (reference who_gho_api.py:183-190)
+    as a single key-shuffle window instead of a global sort."""
+    events = read_table(spark, sf_dir, "events")
+    deduped = ops.dedup_first(events, ["user_id", "event_type"], ["event_id"])
+    return deduped.select(
+        "user_id", "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+
+
+MERGE_BASE_SQL = """
+    base AS (
+        SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY event_id DESC
+            ) AS rn FROM events WHERE EXTRACT(day FROM ts) < 15
+        ) WHERE rn = 1
+    ),
+    incoming AS (
+        SELECT user_id, event_type, event_id, CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY event_id DESC
+            ) AS rn FROM events WHERE EXTRACT(day FROM ts) >= 15
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    events = read_table(spark, sf_dir, "events")
+    key = ["user_id", "event_type"]
+    order = [F.col("event_id").desc()]
+    base = ops.dedup_first(
+        events.filter(F.dayofmonth("ts") < 15), key, order
+    )
+    incoming = ops.dedup_first(
+        events.filter(F.dayofmonth("ts") >= 15), key, order
+    )
+    cols = ["user_id", "event_type", "event_id", F.col("value").cast("double").alias("value")]
+    return base.select(*cols), incoming.select(*cols)
+
+
+@query(
+    "ind_upsert",
+    oracle=f"""
+    WITH {MERGE_BASE_SQL}
+    SELECT * FROM incoming
+    UNION ALL
+    SELECT * FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM incoming i
+        WHERE i.user_id = b.user_id AND i.event_type = b.event_type
+    )
+    """,
+)
+def ind_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert / update-on-conflict (reference database/__init__.py:92-109):
+    incoming wins on key conflict."""
+    base, incoming = _merge_inputs(spark, sf_dir)
+    return ops.upsert(base, incoming, ["user_id", "event_type"])
+
+
+@query(
+    "ind_insert_ignore",
+    oracle=f"""
+    WITH {MERGE_BASE_SQL}
+    SELECT * FROM base
+    UNION ALL
+    SELECT * FROM incoming i WHERE NOT EXISTS (
+        SELECT 1 FROM base b
+        WHERE b.user_id = i.user_id AND b.event_type = i.event_type
+    )
+    """,
+)
+def ind_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-ignore (reference database/__init__.py:112-127): existing
+    rows win, incoming fills gaps only."""
+    base, incoming = _merge_inputs(spark, sf_dir)
+    return ops.insert_ignore(base, incoming, ["user_id", "event_type"])
+
+
+@query(
+    "ind_metadata_dedup",
+    oracle="""
+    SELECT DISTINCT trim(p_brand) AS code, trim(p_type) AS name
+    FROM part
+    """,
+)
+def ind_metadata_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata strip + unique (reference MetadataSchema,
+    validation.py:33-61)."""
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.trim("p_brand").alias("code"), F.trim("p_type").alias("name")
+        ).dropDuplicates()
+    )
+
+
+@query(
+    "ind_validate",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT 'bad_country_code' AS rule,
+           COUNT(*) FILTER (WHERE NOT regexp_matches(country_code, '^[A-Z ]+$')) AS n
+    FROM obs
+    UNION ALL SELECT 'bad_year',
+           COUNT(*) FILTER (WHERE year < 1900 OR year > 2100) FROM obs
+    UNION ALL SELECT 'null_value',
+           COUNT(*) FILTER (WHERE value IS NULL) FROM obs
+    UNION ALL SELECT 'bad_indicator_name',
+           COUNT(*) FILTER (WHERE length(indicator_name) < 2
+                            OR length(indicator_name) > 512) FROM obs
+    UNION ALL SELECT 'valid',
+           COUNT(*) FILTER (WHERE regexp_matches(country_code, '^[A-Z ]+$')
+                            AND year BETWEEN 1900 AND 2100
+                            AND value IS NOT NULL
+                            AND length(indicator_name) BETWEEN 2 AND 512)
+    FROM obs
+    """,
+)
+def ind_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSchema rule audit (reference validation.py:64-107): per-rule
+    violation counts + valid count, one aggregation pass (no
+    row-at-a-time checks — validation is just column predicates)."""
+    obs = observations(spark, sf_dir)
+    ok_country = F.col("country_code").rlike("^[A-Z ]+$")
+    ok_year = F.col("year").between(1900, 2100)
+    ok_value = F.col("value").isNotNull()
+    ok_name = F.length("indicator_name").between(2, 512)
+    agg = obs.agg(
+        F.sum((~ok_country).cast("long")).cast("bigint").alias("bad_country_code"),
+        F.sum((~ok_year).cast("long")).cast("bigint").alias("bad_year"),
+        F.sum((~ok_value).cast("long")).cast("bigint").alias("null_value"),
+        F.sum((~ok_name).cast("long")).cast("bigint").alias("bad_indicator_name"),
+        F.sum((ok_country & ok_year & ok_value & ok_name).cast("long"))
+        .cast("bigint")
+        .alias("valid"),
+    )
+    return agg.unpivot(
+        ids=[],
+        values=["bad_country_code", "bad_year", "null_value", "bad_indicator_name", "valid"],
+        variableColumnName="rule",
+        valueColumnName="n",
+    )
+
+
+@query(
+    "ind_indicator_format",
+    oracle="""
+    SELECT p_partkey,
+           p_name || ' [' || CAST(p_partkey AS VARCHAR) || ']' AS indicator_name
+    FROM part
+    """,
+)
+def ind_indicator_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``{name} [{code}]`` display names (reference
+    world_bank_api.py:191-193)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        ops.format_indicator_name("p_name", "p_partkey").alias("indicator_name"),
+    )
+
+
+@query(
+    "ind_value_stats",
+    oracle=f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT indicator_name,
+           COUNT(*) AS n_obs,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+           COUNT(DISTINCT country_code) AS n_countries
+    FROM obs GROUP BY indicator_name
+    """,
+)
+def ind_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-indicator summary statistics over the observation model."""
+    obs = observations(spark, sf_dir)
+    return obs.groupBy("indicator_name").agg(
+        dcount("n_obs"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value", "total_value"),
+        davg("value", "avg_value"),
+        F.count_distinct("country_code").cast("bigint").alias("n_countries"),
+    )

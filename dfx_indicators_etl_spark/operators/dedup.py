@@ -1,0 +1,370 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.C):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: nothing here is O(n²) on documents. Exact dedup is a
+hash-groupBy; near-dup methods build an inverted index (shingle → doc
+or band-bucket → doc) and only join within index buckets, with an
+optional frequency cap to bound bucket fan-out on skewed corpora.
+Everything is built-in column expressions (xxhash64, higher-order
+array functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work can use every core.
+
+    A small parquet input arrives as one partition; sketching ops are
+    compute-heavy per row, so a single partition serializes the whole
+    job. Repartition only when under-parallel — at real scale inputs
+    already have ≥cores partitions and this is a no-op (no shuffle).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Groups on sha2-256 of the text (fixed-width key → balanced
+    shuffle, no giant string keys moving through the exchange); keeps
+    the minimum id as the canonical survivor.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from an ALREADY-MATERIALIZED token
+    array column.
+
+    ``toks`` must be a plain column reference, not a nested expression:
+    expressions inlined into a higher-order lambda re-evaluate on every
+    ``element_at``, turning shingling O(tokens²). Callers project
+    ``tokens(text)`` into a named column first.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _with_shingles(
+    df: DataFrame, n: int, text_col: str, id_col: str, distinct: bool
+) -> DataFrame:
+    """(doc_id, shingle array) with tokens materialized in between."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    grams = shingles_from_tokens(F.col("__toks"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return tokenized.select("doc_id", grams.alias("shingles"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (single-expression form; prefer
+    ``_with_shingles`` / ``shingles_from_tokens`` in operator plans)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index plan: distinct (doc, shingle) → self-join on the
+    shingle (co-occurrence counts) → |A∩B| / (|A|+|B|-|A∩B|). The
+    self-join only meets documents that actually share a shingle, so
+    cost tracks true near-duplicate density, not n².
+
+    ``max_shingle_freq`` drops shingles occurring in more than K
+    documents — the standard skew guard at corpus scale (a boilerplate
+    shingle shared by 1M docs would otherwise create 10¹² join rows).
+    Leave None for exact semantics (the oracle-checked mode).
+    """
+    # Referenced three times below (sizes + both join sides) — persist
+    # so the shingle explode+distinct shuffle runs once.
+    doc_shingles = (
+        _with_shingles(df, n, text_col, id_col, distinct=False)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            doc_shingles.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        doc_shingles = doc_shingles.join(freq_ok, "shingle", "left_semi")
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    left = doc_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    right = doc_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    size_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    size_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+NUM_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature (64 permutations) per document.
+
+    Shingles hash once with xxhash64; each permutation is the affine
+    map h → h·(2i+1) + c_i over wrap-around 64-bit arithmetic (odd
+    multiplier ⇒ bijective on Z/2⁶⁴), minimized with higher-order
+    array functions — the permutation loop never leaves the JVM and
+    adds no extra passes over the data.
+    """
+    # Shingles as combined token hashes, never as strings: hash each
+    # token once (codegen), then a shingle id is a polynomial combine
+    # of n consecutive token hashes. Skips 3× string concatenation and
+    # shuffles longs instead of text.
+    tokenized = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+
+    def shingle_hash(i: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for k in range(n):
+            out = out * 1_000_003 + F.element_at(th, (i + k + 1).cast("int"))
+        return out
+
+    gram_ids = F.when(
+        F.size(th) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(th) - n), shingle_hash)
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = tokenized.select(
+        "doc_id", F.explode(gram_ids).alias("h")
+    )
+    # One codegen'd hash-aggregate computes all 64 permutation minima —
+    # higher-order array functions are interpreted row-at-a-time in
+    # Spark, so explode+agg beats transform/array_min by ~10×. Docs
+    # with no shingles (fewer than n tokens) have no signature rows.
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h") * (2 * i + 1) + i * 1_000_003).alias(f"__m{i}")
+            for i in range(NUM_PERMS)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"__m{i}") for i in range(NUM_PERMS)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signatures split into 16 bands of 4; a pair is a candidate iff it
+    collides in ≥1 band (bucket join on the band hash — the inverted
+    index again, never an all-pairs product). Candidates verify by the
+    estimated Jaccard (fraction of equal signature components).
+    """
+    # Signatures feed the band explode AND both sides of the verify
+    # join — persist so the sketch computes once (~0.5 KB/doc; spills
+    # to disk at corpus scale).
+    sigs = (
+        minhash_signatures(df, n, text_col, id_col)
+        .filter(F.col("signature").isNotNull())
+        .persist()
+    )
+    rows_per_band = NUM_PERMS // LSH_BANDS
+    # Bucket index carries only (doc_id, band) — signatures rejoin later
+    # so 64-long arrays never ride through the band shuffle.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    candidates = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / NUM_PERMS
+    )
+    return (
+        candidates.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 bands × 16 bits
+
+
+def _bit_mask(b: int) -> int:
+    """Signed-64 literal with only bit ``b`` set (bit 63 → sign bit)."""
+    mask = 1 << b
+    return mask - (1 << 64) if b == 63 else mask
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bit votes.
+
+    The 64 bit positions unroll at plan-build time (Python loop over a
+    constant — still one projection, one pass over the token array per
+    bit, all whole-stage codegen).
+    """
+    exploded = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # 64 bit votes in one codegen'd aggregate (see minhash_signatures
+    # for why explode+agg beats higher-order array functions here).
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(_bit_mask(b)).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        mask = F.lit(_bit_mask(b)).cast("long")
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__v{b}") >= 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash) ≤ k.
+
+    Band trick: 4 bands of 16 bits — any pair within Hamming ≤ 3·16
+    shares at least one exact band when k < bands, and in practice the
+    band join prunes the candidate space to colliding 16-bit chunks;
+    candidates verify exactly with bit_count(xor).
+    """
+    sims = simhash(df, text_col, id_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    band_exprs = [
+        F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(
+            F.lit(mask).cast("long")
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale document pipelines
+(SURVEY §2.C): tokenization stats, quality scores, language ID,
+fingerprinting.
+
+All operators are pure ``pyspark.sql.functions`` column expressions —
+no Python UDFs — so they run inside whole-stage codegen and cost one
+narrow pass over the documents table regardless of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Word-ish / punctuation pattern — a BPE-style pre-tokenizer split.
+BPE_PATTERN = r"\w+|[^\w\s]"
+
+# Small in-expression stopword list for quality scoring (ratio feature,
+# not linguistics — the list just needs to be fixed and cheap).
+STOPWORDS = ("the", "a", "of", "and", "to", "value", "table", "row")
+
+# Per-language marker words for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "y", "los"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "das", "und", "von"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens with empties removed (array<string> column)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with repeats) of any of ``words`` in the token array."""
+    vocab = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(vocab, x)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    toks = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features: alpha/punct/stopword ratios
+    and mean word length — the usual pretraining-filter signals."""
+    text = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(text).cast("double")
+    n_toks = F.size(toks).cast("double")
+    alpha = F.regexp_count(text, F.lit("[A-Za-z]")).cast("double")
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("double")
+    stop = _hits(toks, STOPWORDS).cast("double")
+    return df.select(
+        "doc_id",
+        (alpha / n_chars).alias("alpha_ratio"),
+        (punct / n_chars).alias("punct_ratio"),
+        (stop / n_toks).alias("stopword_ratio"),
+        ((n_chars - n_toks + 1) / n_toks).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic with a fixed tie-break order.
+
+    Argmax over per-language marker hit counts (en > es > fr > de on
+    ties, ``und`` when nothing matches) — deterministic, one codegen
+    pass, no model dependency.
+    """
+    toks = tokens(text_col)
+    hits = {lang: _hits(toks, words) for lang, words in LANG_MARKERS.items()}
+    en, es, fr, de = hits["en"], hits["es"], hits["fr"], hits["de"]
+    pred = (
+        F.when((en + es + fr + de) == 0, "und")
+        .when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        en.cast("bigint").alias("en_hits"),
+        es.cast("bigint").alias("es_hits"),
+        fr.cast("bigint").alias("fr_hits"),
+        de.cast("bigint").alias("de_hits"),
+    )
+
+
+FP_MOD = 1_000_000_007
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Position-weighted token fingerprint (rolling-hash style).
+
+    fp(doc) = Σ_i (len(tok_i)·131 + ascii(tok_i[0])) · i  mod 1e9+7 —
+    engine-agnostic integer arithmetic (the same formula is expressible
+    in ANSI SQL), robust to column/row order, computed with
+    posexplode + sum: one narrow generate + one key-wise aggregation.
+    """
+    toks = tokens(text_col)
+    exploded = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    contrib = (
+        (F.length("tok").cast("bigint") * 131 + F.ascii("tok").cast("bigint"))
+        * (F.col("pos") + 1).cast("bigint")
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(contrib) % FP_MOD).cast("bigint").alias("fingerprint"))
+    )

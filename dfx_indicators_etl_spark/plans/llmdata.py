@@ -1,1 +1,233 @@
-"""Placeholder — populated in a later milestone."""
+"""Training-data pipeline queries (SURVEY §2.C): dedup family, text
+analysis, similarity search, multimodal plumbing — over the
+``documents`` and ``embeddings`` tables.
+
+Oracle notes: token/shingle semantics are defined identically in both
+engines (split on single space, drop empties); hashes (xxhash64) are
+engine-specific, so MinHash/SimHash/LSH register rows-only while their
+exact counterparts (sha2 exact dedup, n-gram Jaccard) carry full
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources import read_table
+from .registry import query
+
+TOKS_SQL = (
+    "SELECT doc_id, text, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy, min-id survivor)."""
+    return dedup.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM doc_shingles a
+        JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY 1)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard via shingle inverted index."""
+    return dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 is engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (banded bucket join)."""
+    return dedup.minhash_lsh_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded Hamming ≤ 8)."""
+    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style-regex token counts per document."""
+    return text.token_stats(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','value','table','row'], x))) AS DOUBLE)
+               / len(t) AS stopword_ratio,
+           (CAST(length(text) AS DOUBLE) - len(t) + 1) / len(t) AS mean_word_len
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-filter quality features (alpha/punct/stopword/word-len)."""
+    return text.quality_scores(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    hits AS (
+        SELECT doc_id,
+            len(list_filter(t, x -> list_contains(['the','a','and','of','is'], x))) AS en,
+            len(list_filter(t, x -> list_contains(['el','la','de','y','los'], x))) AS es,
+            len(list_filter(t, x -> list_contains(['le','la','de','et','les'], x))) AS fr,
+            len(list_filter(t, x -> list_contains(['der','die','das','und','von'], x))) AS de
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN en + es + fr + de = 0 THEN 'und'
+                WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                WHEN es >= fr AND es >= de THEN 'es'
+                WHEN fr >= de THEN 'fr'
+                ELSE 'de' END AS pred_lang,
+           CAST(en AS BIGINT) AS en_hits, CAST(es AS BIGINT) AS es_hits,
+           CAST(fr AS BIGINT) AS fr_hits, CAST(de AS BIGINT) AS de_hits
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic with deterministic tie-break."""
+    return text.language_id(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    exploded AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(SUM((length(tok) * 131 + ascii(tok)) * i) % 1000000007 AS BIGINT)
+               AS fingerprint
+    FROM exploded GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint."""
+    return text.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query set vec_id < 10.
+
+    Cosines round to 6dp *before* ranking so the ranking (and the
+    oracle comparison) is stable under summation-order differences.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query("sim_lsh_ann")  # rows-only: approximate candidate set
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-5 (scale path; recall < 1)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 AS INTEGER) AS width,
+           CAST(length(text) * 7 % 480 AS INTEGER) AS height,
+           CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames,
+           CAST(list_sum(list_transform(
+               range(1, least(16, length(text)) + 1),
+               j -> ascii(text[j]))) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → mapInPandas feature
+    extraction (deterministic stub codec, real Arrow/partition path)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.attach_binary_payload(docs))

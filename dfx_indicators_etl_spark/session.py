@@ -44,7 +44,10 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # Determinism / oracle parity
+        # Determinism / oracle parity. ANSI off restores wrap-around
+        # 64-bit arithmetic (MinHash permutations rely on it) and the
+        # permissive coercions the reference's pandas transforms assume.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         # Parquet TIMESTAMP(NANOS) columns surface as nano-epoch longs

@@ -1,0 +1,136 @@
+"""Batch C: LLM-data queries vs oracles + semantic checks for the
+hash-based (rows-only) operators, including planted-duplicate frames
+the sf data can't provide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dfx_indicators_etl_spark.operators import dedup, multimodal, similarity
+from dfx_indicators_etl_spark.plans import ORACLES, QUERIES
+
+from .test_analytics import _normalize
+
+LLM_KEYS = [
+    k
+    for k in QUERIES
+    if k.startswith(("dedup_", "text_", "sim_", "mm_"))
+]
+
+
+@pytest.mark.parametrize("name", LLM_KEYS)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0
+        return
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(df.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, df.columns) == _normalize(duck_rows, duck_cols)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with exact dups, a near-dup, and an unrelated doc."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark query engines at scale now"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups(planted):
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in dedup.exact_dedup(planted).collect()}
+    assert rows == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(planted, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # exact dup pair
+    assert 0.5 <= pairs[(1, 3)] < 1.0    # near dup pair
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(planted, threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(planted, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0            # identical docs → identical simhash
+    assert pairs[(1, 3)] <= 10           # near dup within radius
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_max_freq_cap(planted):
+    # With an aggressive cap every shared shingle is dropped → no pairs.
+    capped = dedup.ngram_jaccard_pairs(planted, threshold=0.1, max_shingle_freq=1)
+    assert capped.count() == 0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]
+
+
+def test_lsh_ann_subset_of_bruteforce(spark, sf_dir):
+    """LSH results are (query, neighbor) pairs the brute-force ranking
+    also knows; recall may drop but precision of membership holds."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=50).collect()
+    }
+    ann = similarity.hyperplane_lsh_topk(emb, queries, k=5).collect()
+    assert len(ann) > 0
+    hits = sum((r["query_id"], r["neighbor_id"]) in brute for r in ann)
+    assert hits / len(ann) > 0.5  # bucketed candidates rank near the top
+
+
+def test_multimodal_decode_schema_and_batching(planted):
+    out = multimodal.decode_features(multimodal.attach_binary_payload(planted))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    r = rows[1]
+    n = len("the quick brown fox jumps over the lazy dog again and again today")
+    assert r["n_bytes"] == n
+    assert r["width"] == n % 640 and r["n_frames"] == n % 30 + 1
+
+
+def test_multimodal_unknown_media_type_raises(planted, spark):
+    bad = multimodal.attach_binary_payload(planted).withColumn(
+        "media_type", F.lit("video/real")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.decode_features(bad).collect()

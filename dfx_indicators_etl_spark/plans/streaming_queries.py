@@ -1,1 +1,112 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming + sink queries (SURVEY §2.D/§2.E).
+
+Streaming plans run with ``Trigger.AvailableNow`` against the events
+parquet so the driver gets a terminating batch result; the identical
+plan runs unbounded with a continuous trigger. Sink queries exercise
+the versioned/partitioned writers end-to-end (write, then read back)
+so the oracle checks round-trip fidelity, not just the write call.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import streaming
+from ..sources import read_table, sinks
+from .registry import query
+
+
+@query(
+    "stream_events_windowed",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg over the event stream, drained available-now.
+
+    ``complete`` output emits every window, so the batch ``time_bucket``
+    oracle reproduces it exactly; the watermark is still declared —
+    it's what bounds state when the same plan runs unbounded.
+    """
+    stream = streaming.read_events_stream(spark, sf_dir)
+    windowed = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    return streaming.run_available_now(windowed, output_mode="complete")
+
+
+@query("stream_dedup")  # rows-only: survivor row per key is arrival-order dependent
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup on (user_id, event_type) within a 1h watermark."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    deduped = streaming.stream_dedup_events(stream, keys=("user_id", "event_type"))
+    return streaming.run_available_now(deduped, output_mode="append")
+
+
+# Scratch space stays inside the repo (gitignored) — the harness must
+# not write outside it.
+_SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+def _scratch(prefix: str) -> str:
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+@query("sink_versioned_roundtrip", oracle="SELECT * FROM nation")
+def sink_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dataset layout round trip (`storage/_base.py:46-69` parity).
+
+    Writes ``<root>/vYY-MM-DD/dims/nation.parquet`` and reads it back —
+    the oracle equality proves the layout loses nothing.
+    """
+    root = _scratch("dfx_versioned_")
+    try:
+        path = sinks.write_dataset(
+            read_table(spark, sf_dir, "nation"), root, "nation", folder="dims"
+        )
+        return spark.read.parquet(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS sum_value
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read-back.
+
+    Writes events partitioned by ``event_type`` and aggregates two
+    partitions: the scan of the read-back only lists matching
+    directories (PartitionFilters), the 100 TB pruning path.
+    """
+    root = _scratch("dfx_partitioned_")
+    try:
+        sinks.write_partitioned(
+            read_table(spark, sf_dir, "events"), root, ("event_type",)
+        )
+        back = sinks.read_dataset(spark, root)
+        return (
+            back.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

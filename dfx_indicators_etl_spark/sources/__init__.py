@@ -1,3 +1,4 @@
-from .readers import TABLES, read_table, read_tables
+from . import sinks
+from .readers import TABLES, read_csv, read_jsonl, read_table, read_tables
 
-__all__ = ["TABLES", "read_table", "read_tables"]
+__all__ = ["TABLES", "read_table", "read_tables", "read_csv", "read_jsonl", "sinks"]

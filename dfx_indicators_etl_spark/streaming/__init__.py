@@ -1,0 +1,15 @@
+"""Structured Streaming operators (SURVEY §2.D)."""
+
+from .ops import (
+    read_events_stream,
+    run_available_now,
+    stream_dedup_events,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "stream_dedup_events",
+    "windowed_event_counts",
+]

@@ -1,0 +1,149 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference is a batch ETL (its pipelines re-pull full API extracts,
+`/root/reference/src/dfx_etl/pipelines/_pipeline.py:22-121`); the
+streaming surface here is the Spark-native generalization: the same
+event-shaped observations arriving continuously.  Streams use the file
+source with an explicit schema (no inference pass), event-time
+watermarks for bounded state, and ``Trigger.AvailableNow`` so a test /
+driver run drains the backlog and terminates — the identical plan runs
+unbounded on a real cluster by swapping the trigger.
+
+Scale notes: a windowed aggregation shuffles once on (window, key) and
+keeps only in-flight windows in state (watermark evicts); stateful
+dedup keys state by the dedup columns, so the watermark horizon bounds
+state size regardless of total stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_events_stream",
+    "run_available_now",
+    "windowed_event_counts",
+    "stream_dedup_events",
+]
+
+# Explicit source schema — streaming reads never infer. ``ts`` is
+# parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong
+# (session default) it scans as a nano-epoch long and is converted to a
+# µs timestamp below, matching the batch readers.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+# File-source streams watch a *directory* (files land, the source picks
+# them up). The testdata ships single-file tables, so stage a symlink
+# into a per-sf landing directory under the repo's gitignored .scratch —
+# idempotent, and exactly the layout a production ingest dir has.
+_SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+def _landing_dir(sf_dir: str, name: str) -> str:
+    src = Path(sf_dir) / f"{name}.parquet"
+    if src.is_dir():  # already a directory dataset — stream it directly
+        return str(src)
+    land = _SCRATCH / "stream_landing" / Path(sf_dir).name / name
+    land.mkdir(parents=True, exist_ok=True)
+    link = land / src.name
+    if not link.exists():
+        os.symlink(src, link)
+    return str(land)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with event-time ``ts``."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_landing_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type aggregate with an event-time watermark.
+
+    The watermark bounds state on an unbounded stream; output flattens
+    the window struct to a sortable ``window_start`` column so batch
+    SQL (``time_bucket``/``date_trunc``) can reproduce it exactly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_events(
+    events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type"), watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful stream dedup: first event per key within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``keys`` and evicts
+    entries once the watermark passes — constant state per live key.
+    Projects to the key columns only: *which* row of a duplicate set
+    survives depends on arrival order, but the surviving key set is
+    deterministic.
+    """
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    return deduped.select(*keys)
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a stream into a memory sink and return the batch result.
+
+    ``Trigger.AvailableNow`` processes the existing backlog (possibly in
+    several rate-limited batches, each advancing the watermark) and
+    stops — the harness path for verifying streaming plans.  ``complete``
+    mode emits every window so results match a batch oracle; ``append``
+    exercises finalized-only emission.
+    """
+    spark = stream_df.sparkSession
+    sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        query.stop()
+    # Materialize before dropping the sink registration.
+    result = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return result

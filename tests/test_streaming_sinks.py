@@ -1,0 +1,99 @@
+"""Batch D/E: streaming queries vs oracles, sink round trips, bucketed
+join shuffle-elimination, and storage-root resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dfx_indicators_etl_spark.plans import ORACLES, QUERIES
+from dfx_indicators_etl_spark.sources import read_table, sinks
+
+from .test_analytics import _normalize
+
+STREAM_SINK_KEYS = [k for k in QUERIES if k.startswith(("stream_", "sink_"))]
+
+
+@pytest.mark.parametrize("name", STREAM_SINK_KEYS)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0
+        return
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(df.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, df.columns) == _normalize(duck_rows, duck_cols)
+
+
+def test_stream_dedup_equals_distinct_keys(spark, sf_dir):
+    """Surviving key set must equal batch DISTINCT regardless of which
+    duplicate row won."""
+    got = {tuple(r) for r in QUERIES["stream_dedup"](spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_dataset_version_format():
+    from datetime import date
+
+    assert sinks.dataset_version(date(2026, 8, 13)) == "v26-08-13"
+
+
+def test_resolve_storage_root(monkeypatch):
+    monkeypatch.setenv("LOCAL_STORAGE_PATH", "/data/root")
+    assert sinks.resolve_storage_root() == "/data/root"
+    monkeypatch.delenv("LOCAL_STORAGE_PATH")
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "acct")
+    monkeypatch.setenv("AZURE_STORAGE_CONTAINER", "c")
+    with pytest.raises(NotImplementedError):
+        sinks.resolve_storage_root()
+    monkeypatch.delenv("AZURE_STORAGE_ACCOUNT")
+    with pytest.raises(KeyError):
+        sinks.resolve_storage_root()
+
+
+def test_read_dataset_rejects_unknown_extension(spark):
+    with pytest.raises(ValueError):
+        sinks.read_dataset(spark, "/x/file.zip")
+    with pytest.raises(NotImplementedError):
+        sinks.read_dataset(spark, "/x/file.xlsx")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange — the fact–fact join strategy at 100 TB."""
+    # saveAsTable lands in the default warehouse dir (gitignored).
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    sinks.write_bucketed_table(orders, "t_orders_b", ("o_orderkey",), num_buckets=4)
+    sinks.write_bucketed_table(
+        lineitem, "t_lineitem_b", ("l_orderkey",), num_buckets=4
+    )
+    # At test SF the planner would broadcast; disable it so the plan
+    # shows the at-scale strategy (fact sides too big to broadcast).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # Bucket-local join: neither side shuffles.
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -118,6 +118,32 @@ def combine_dimensions(
     ).drop(*dim_cols)
 
 
+def resolve_dimension_pairs(pairs: Sequence[tuple[Column, Column]]) -> Column:
+    """Combine dynamic (name, value) dimension pairs into one string.
+
+    The per-row analogue of ``combine_dimensions`` for sources whose
+    dimension *names* are data, not columns (reference
+    who_gho_api.py:152-176 builds a per-row dict then
+    ``_resolve_dimensions`` utils.py:191-220). Semantics preserved:
+    null values drop, ``Total`` renders as ``All <name>`` (name
+    underscores→spaces), join with ``"; "``, empty → ``Total``. Built
+    from array expressions — stays in whole-stage codegen.
+    """
+    entries = F.array(
+        *[F.struct(name.alias("n"), value.alias("v")) for name, value in pairs]
+    )
+    present = F.filter(entries, lambda e: e["v"].isNotNull())
+    rendered = F.transform(
+        present,
+        lambda e: F.when(
+            F.lower(e["v"]) == "total",
+            F.concat(F.lit("All "), F.replace(e["n"], F.lit("_"), F.lit(" "))),
+        ).otherwise(e["v"]),
+    )
+    combined = F.array_join(rendered, "; ")
+    return F.when(combined == "", "Total").otherwise(combined)
+
+
 def map_country_metadata(
     df: DataFrame,
     mapping: DataFrame,

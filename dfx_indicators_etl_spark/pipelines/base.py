@@ -1,0 +1,175 @@
+"""Pipeline framework: Retriever → Transformer → load.
+
+Spark-native re-expression of the reference's pipeline layer
+(`/root/reference/src/dfx_etl/pipelines/_pipeline.py:22-121` — the
+orchestration contract; `pipelines/_base.py:34-229` — retriever /
+transformer base classes). Differences are deliberate:
+
+- a Retriever returns a **DataFrame** (possibly from a distributed
+  read of bulk files), not a pandas frame; HTTP APIs are fetched on
+  the driver (they're small control-plane data) behind an import guard
+  since the harness ships no HTTP client and no network.
+- the Transformer's final step *splits* invalid rows to quarantine
+  instead of raising (``validation.validate_split``) — at scale a bad
+  record must not abort the job.
+- ``load`` writes a versioned parquet **directory** via
+  ``sources.sinks.write_dataset``.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import validation
+from ..operators import indicator as ops
+from ..sources import sinks
+
+try:  # no HTTP client / network in the verification harness
+    import httpx  # type: ignore
+except ImportError:  # pragma: no cover
+    httpx = None
+
+__all__ = ["PipelineSettings", "BaseRetriever", "BaseTransformer", "Pipeline"]
+
+
+@dataclass(frozen=True)
+class PipelineSettings:
+    """Reference `settings.py` pipeline section (year_min/year_max used
+    by `_pipeline.py:98-104`)."""
+
+    year_min: int = 2005
+    year_max: int = 2030
+    http_timeout: float = 30.0
+
+
+class BaseRetriever(ABC):
+    """Fetch raw data for one source (`pipelines/_base.py:34-121`).
+
+    ``provider`` derives from the module name, matching the reference's
+    convention (``_base.py:62-70``) — it names the output dataset.
+    """
+
+    uri: str = ""
+
+    @property
+    def provider(self) -> str:
+        return self.__class__.__module__.split(".")[-1]
+
+    @abstractmethod
+    def __call__(self, spark: SparkSession, **kwargs) -> DataFrame:
+        """Return the raw frame. Implementations read bulk files through
+        Spark readers, or small API payloads via ``fetch_json``."""
+
+    def get_metadata(self, spark: SparkSession) -> DataFrame:
+        """Optional indicator metadata (`_base.py:105-129`), conformed."""
+        raise NotImplementedError(
+            "Subclasses should override `get_metadata` if applicable."
+        )
+
+    def fetch_json(self, url: str, params: dict | None = None) -> object:
+        """Driver-side HTTP GET for small API payloads; guarded because
+        the harness has neither an HTTP client nor network access."""
+        if httpx is None:
+            raise NotImplementedError(
+                "HTTP retrieval requires `httpx`, which is not available "
+                "in this environment; use a file-based retriever or "
+                "pre-stage the payload."
+            )
+        response = httpx.get(url, params=params)  # pragma: no cover
+        response.raise_for_status()  # pragma: no cover
+        return response.json()  # pragma: no cover
+
+
+class BaseTransformer(ABC):
+    """Source transform + shared standardization (`_base.py:176-229`).
+
+    ``__call__`` applies the source-specific ``transform`` then the
+    shared chain: provider stamp → M49 membership filter (broadcast
+    left-semi on the country dim) → schema conformance. The reference
+    validates-or-raises; here invalid rows are dropped at ``__call__``
+    level via conformance, with ``validate_split`` available for
+    quarantine flows.
+    """
+
+    @abstractmethod
+    def transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        """Source-specific reshape to (at least) the canonical columns."""
+
+    def __call__(
+        self,
+        df: DataFrame,
+        provider: str,
+        countries: DataFrame | None = None,
+        country_key: str = "iso_alpha_3",
+        **kwargs,
+    ) -> DataFrame:
+        out = self.transform(df, **kwargs)
+        if "provider" not in out.columns:
+            out = out.withColumn("provider", F.lit(provider))
+        # DataSchema's dataframe_parser (validation.py:108-112): fold
+        # ``dimension_*`` columns / default ``Total`` before conformance.
+        out = ops.combine_dimensions(out)
+        if countries is not None:  # _base.py:212-218 — keep M49 areas only
+            out = ops.filter_countries(out, countries, "country_code", country_key)
+        return validation.conform(out)
+
+
+@dataclass
+class Pipeline:
+    """One-source ETL run (`_pipeline.py:22-121`).
+
+    ``run`` = retrieve → transform (+M49 filter) → year-range cut →
+    versioned parquet load; returns the transformed frame like the
+    reference's ``__call__``.
+    """
+
+    retriever: BaseRetriever
+    transformer: BaseTransformer
+    storage_root: str | None = None
+    countries: DataFrame | None = None
+    country_key: str = "iso_alpha_3"
+    settings: PipelineSettings = field(default_factory=PipelineSettings)
+
+    df_raw: DataFrame | None = None
+    df_transformed: DataFrame | None = None
+
+    def retrieve(self, spark: SparkSession, **kwargs) -> "Pipeline":
+        self.df_raw = self.retriever(spark, **kwargs)
+        return self
+
+    def transform(self, **kwargs) -> "Pipeline":
+        if self.df_raw is None:
+            raise ValueError("No raw data. Run the retrieval first")
+        out = self.transformer(
+            self.df_raw,
+            provider=self.retriever.provider,
+            countries=self.countries,
+            country_key=self.country_key,
+            **kwargs,
+        )
+        # _pipeline.py:98-104 — settings year window.
+        self.df_transformed = ops.filter_years(
+            out, "year", self.settings.year_min, self.settings.year_max
+        )
+        return self
+
+    def load(self) -> str:
+        if self.df_transformed is None:
+            raise ValueError("No validated data. Run the transformation first")
+        if self.storage_root is None:
+            root = sinks.resolve_storage_root()
+        else:
+            root = self.storage_root
+        return sinks.write_dataset(
+            self.df_transformed, root, self.retriever.provider
+        )
+
+    def run(self, spark: SparkSession, **kwargs) -> DataFrame:
+        self.retrieve(spark, **kwargs)
+        self.transform()
+        self.load()
+        return self.df_transformed

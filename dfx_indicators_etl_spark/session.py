@@ -48,6 +48,10 @@ def get_spark(
         # 64-bit arithmetic (MinHash permutations rely on it) and the
         # permissive coercions the reference's pandas transforms assume.
         .config("spark.sql.ansi.enabled", "false")
+        # Case-sensitive resolution: source payloads legitimately carry
+        # e.g. both `Indicator` and `INDICATOR` (UNICEF SDMX), which the
+        # reference's pandas handles case-sensitively.
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         # Parquet TIMESTAMP(NANOS) columns surface as nano-epoch longs

@@ -180,9 +180,12 @@ def test_pipeline_end_to_end(spark, country_mapping, tmp_path):
 
 
 def test_retrievers_guarded(spark):
+    from dfx_indicators_etl_spark.pipelines import healthdata_ghdx, unstats_sdg_database
+
+    file_based = {world_bank_wdi, healthdata_ghdx, unstats_sdg_database}
     for module in SOURCES.values():
-        if module is world_bank_wdi:
-            continue  # file-based
+        if module in file_based:
+            continue
         with pytest.raises(NotImplementedError):
             module.Retriever()(spark)
 

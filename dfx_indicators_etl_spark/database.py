@@ -1,0 +1,159 @@
+"""Star-schema builders: dimension extraction, surrogate keys, series
+fact, observation view, and conflict-aware loaders.
+
+Re-expresses the reference's relational layer
+(`/root/reference/src/dfx_etl/database/entities.py` — ``country /
+indicator / dimension`` dims + ``series`` fact keyed on the three dim
+ids + year, and the ``observation`` LEFT-JOIN view, entities.py:98-132;
+`database/__init__.py:92-127` — upsert / insert-ignore loaders) as
+DataFrame transformations: instead of loading rows into an RDBMS, the
+star schema *is* a set of DataFrames a caller writes as (bucketed)
+tables.
+
+Surrogate keys are ``dense_rank`` over the natural key: deterministic
+and reproducible in plain SQL, unlike ``monotonically_increasing_id``.
+The rank window is a single partition — acceptable because dim tables
+(distinct indicator names / dimension strings / countries) are small
+by construction at any fact scale; the fact side only ever sees the
+dims through broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.indicator import insert_ignore, upsert
+
+__all__ = [
+    "indicator_dim",
+    "dimension_dim",
+    "series_fact",
+    "build_star_schema",
+    "observation_view",
+    "upsert",
+    "insert_ignore",
+]
+
+
+def _with_id(df: DataFrame, order_col: str, id_name: str = "id") -> DataFrame:
+    w = Window.orderBy(order_col)
+    return df.select(
+        F.dense_rank().over(w).cast("int").alias(id_name), "*"
+    )
+
+
+def indicator_dim(obs: DataFrame) -> DataFrame:
+    """``indicator(id, name, provider)`` (entities.py:50-60)."""
+    return _with_id(
+        obs.select(
+            F.col("indicator_name").alias("name"), "provider"
+        ).dropDuplicates(["name"]),
+        "name",
+    )
+
+
+def dimension_dim(obs: DataFrame) -> DataFrame:
+    """``dimension(id, name)`` (entities.py:63-74)."""
+    return _with_id(
+        obs.select(F.col("dimension").alias("name")).distinct(), "name"
+    )
+
+
+def series_fact(
+    obs: DataFrame,
+    country: DataFrame,
+    indicator: DataFrame,
+    dimension: DataFrame,
+) -> DataFrame:
+    """``series(country_id, indicator_id, dimension_id, year, value)``
+    (entities.py:77-97): natural keys swapped for surrogate ids through
+    three broadcast joins — the fact never shuffles.
+    """
+    return (
+        obs.join(
+            F.broadcast(country.select(F.col("id").alias("country_id"), "iso_3")),
+            obs["country_code"] == F.col("iso_3"),
+        )
+        .join(
+            F.broadcast(
+                indicator.select(F.col("id").alias("indicator_id"), "name")
+            ),
+            obs["indicator_name"] == F.col("name"),
+        )
+        .drop("name")
+        .join(
+            F.broadcast(
+                dimension.select(F.col("id").alias("dimension_id"), "name")
+            ),
+            obs["dimension"] == F.col("name"),
+        )
+        .select(
+            "country_id",
+            "indicator_id",
+            "dimension_id",
+            F.col("year").cast("int").alias("year"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def build_star_schema(obs: DataFrame, country: DataFrame) -> dict[str, DataFrame]:
+    """Observations + country dim → the four star-schema tables.
+
+    ``country`` carries at least ``(id, iso_3)`` (the reference seeds it
+    from the UNSD M49 table, entities.py:137-160). The two derived dims
+    compute once each (one distinct-shuffle over small key sets); the
+    fact is broadcast-join-only.
+    """
+    indicator = indicator_dim(obs)
+    dimension = dimension_dim(obs)
+    return {
+        "country": country,
+        "indicator": indicator,
+        "dimension": dimension,
+        "series": series_fact(obs, country, indicator, dimension),
+    }
+
+
+def observation_view(star: dict[str, DataFrame]) -> DataFrame:
+    """The ``observation`` wide view (entities.py:98-132): series LEFT
+    JOIN the three dims, every dim broadcast."""
+    series, country = star["series"], star["country"]
+    indicator, dimension = star["indicator"], star["dimension"]
+    return (
+        series.join(
+            F.broadcast(country).withColumnsRenamed(
+                {"id": "c_id", "name": "country_name"}
+            ),
+            series["country_id"] == F.col("c_id"),
+            "left",
+        )
+        .join(
+            F.broadcast(indicator).withColumnsRenamed(
+                {"id": "i_id", "name": "indicator_name", "provider": "indicator_provider"}
+            ),
+            series["indicator_id"] == F.col("i_id"),
+            "left",
+        )
+        .join(
+            F.broadcast(dimension).withColumnsRenamed(
+                {"id": "d_id", "name": "dimension_name"}
+            ),
+            series["dimension_id"] == F.col("d_id"),
+            "left",
+        )
+        .select(
+            "country_id",
+            F.col("iso_2").alias("country_code_2"),
+            F.col("iso_3").alias("country_code_3"),
+            "country_name",
+            F.col("indicator_id"),
+            "indicator_name",
+            "indicator_provider",
+            "dimension_id",
+            "dimension_name",
+            "year",
+            "value",
+        )
+    )

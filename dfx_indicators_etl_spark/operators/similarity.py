@@ -13,10 +13,17 @@ the oracle check).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "hyperplane_lsh_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "embedding_cosine_pairs",
+    "hyperplane_lsh_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -57,9 +64,6 @@ def brute_force_topk(
     ``decimals`` before ranking, ties break on neighbor id — the total
     order is engine-stable, which makes partition-local top-k exact.
     """
-    import numpy as np
-    import pandas as pd
-
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -97,6 +101,43 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine ≥ threshold.
+
+    All-pairs semantics (the oracle-checked dedup mode): an id-ordered
+    self-join scored by an Arrow-vectorized pandas_udf (per-batch numpy
+    einsum — the JVM↔Python exchange is columnar, the arithmetic is
+    BLAS). Exact all-pairs is inherently quadratic; at corpus scale the
+    same verify runs behind an LSH candidate generator instead
+    (``hyperplane_lsh_topk``'s bucket join), trading recall for the n².
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        mat_a = np.array(list(a), dtype=np.float64)
+        mat_b = np.array(list(b), dtype=np.float64)
+        num = np.einsum("ij,ij->i", mat_a, mat_b)
+        den = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(mat_b, axis=1)
+        return pd.Series(np.round(num / np.where(den == 0.0, 1.0, den), decimals))
+
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cos_batch(F.col("__va"), F.col("__vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -518,3 +518,106 @@ def ind_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("value", "avg_value"),
         F.count_distinct("country_code").cast("bigint").alias("n_countries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Star schema (reference database/entities.py) — dims + series + view.
+
+STAR_SQL = f"""
+    obs AS ({OBS_SQL}),
+    shaped AS (
+        SELECT event_id, indicator_name, country_code, year, value,
+               CASE WHEN value < 10 THEN 'low' ELSE 'high' END AS dimension,
+               'events' AS provider
+        FROM obs
+    ),
+    ind_dim AS (
+        SELECT DENSE_RANK() OVER (ORDER BY name) AS id, name, provider
+        FROM (SELECT DISTINCT indicator_name AS name, provider FROM shaped)
+    ),
+    dim_dim AS (
+        SELECT DENSE_RANK() OVER (ORDER BY name) AS id, name
+        FROM (SELECT DISTINCT dimension AS name FROM shaped)
+    ),
+    country_dim AS (
+        SELECT CAST(n_nationkey AS INTEGER) AS id,
+               substring(n_name, 1, 2) AS iso_2, n_name AS iso_3,
+               n_name AS name
+        FROM nation
+    )
+"""
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    from .. import database
+
+    obs = observations(spark, sf_dir).select(
+        "event_id",
+        "indicator_name",
+        "country_code",
+        "year",
+        "value",
+        F.when(F.col("value") < 10, "low").otherwise("high").alias("dimension"),
+        F.lit("events").alias("provider"),
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    country = nation.select(
+        F.col("n_nationkey").cast("int").alias("id"),
+        F.substring("n_name", 1, 2).alias("iso_2"),
+        F.col("n_name").alias("iso_3"),
+        F.col("n_name").alias("name"),
+    )
+    return database.build_star_schema(obs, country)
+
+
+@query(
+    "ind_star_series",
+    oracle=f"""
+    WITH {STAR_SQL}
+    SELECT CAST(c.id AS INTEGER) AS country_id,
+           CAST(i.id AS INTEGER) AS indicator_id,
+           CAST(d.id AS INTEGER) AS dimension_id,
+           s.year, s.value
+    FROM shaped s
+    JOIN country_dim c ON s.country_code = c.iso_3
+    JOIN ind_dim i ON s.indicator_name = i.name
+    JOIN dim_dim d ON s.dimension = d.name
+    """,
+)
+def ind_star_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series fact with surrogate keys (entities.py:77-97): three
+    broadcast dim joins, fact never shuffles."""
+    return _star(spark, sf_dir)["series"]
+
+
+@query(
+    "ind_star_observation",
+    oracle=f"""
+    WITH {STAR_SQL},
+    series AS (
+        SELECT c.id AS country_id, i.id AS indicator_id, d.id AS dimension_id,
+               s.year, s.value
+        FROM shaped s
+        JOIN country_dim c ON s.country_code = c.iso_3
+        JOIN ind_dim i ON s.indicator_name = i.name
+        JOIN dim_dim d ON s.dimension = d.name
+    )
+    SELECT CAST(s.country_id AS INTEGER) AS country_id,
+           c.iso_2 AS country_code_2, c.iso_3 AS country_code_3,
+           c.name AS country_name,
+           CAST(s.indicator_id AS INTEGER) AS indicator_id,
+           i.name AS indicator_name, i.provider AS indicator_provider,
+           CAST(s.dimension_id AS INTEGER) AS dimension_id,
+           d.name AS dimension_name, s.year, s.value
+    FROM series s
+    LEFT JOIN country_dim c ON s.country_id = c.id
+    LEFT JOIN ind_dim i ON s.indicator_id = i.id
+    LEFT JOIN dim_dim d ON s.dimension_id = d.id
+    """,
+)
+def ind_star_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation wide view (entities.py:98-132): series LEFT JOIN the
+    three broadcast dims."""
+    from .. import database
+
+    return database.observation_view(_star(spark, sf_dir))

@@ -33,10 +33,13 @@ HEADLINE = (
     "q_asof_join",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding_cosine",
     "text_quality",
     "sim_bruteforce_topk",
     "ind_standardize",
     "ind_observation_view",
+    "ind_star_observation",
+    "stream_events_windowed",
 )
 
 

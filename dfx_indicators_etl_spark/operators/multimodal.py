@@ -17,7 +17,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "decode_features", "DECODE_SCHEMA"]
+__all__ = [
+    "attach_binary_payload",
+    "decode_features",
+    "resize_images",
+    "sample_frames",
+    "DECODE_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 # Output schema of the decode step: id + typed media metadata.
 DECODE_SCHEMA = (
@@ -70,3 +78,70 @@ def decode_features(df: DataFrame) -> DataFrame:
     body is a stub.
     """
     return df.mapInPandas(_decode_stub_batch, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_bytes bigint, width int, height int, checksum bigint"
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Resize stub: 1→1 payload transform with new metadata.
+
+    A real resize decodes, scales, and re-encodes per batch (PIL /
+    libvips); the stub truncates the payload to the target pixel budget
+    so outputs stay verifiable. Same narrow Arrow-batched plan either
+    way.
+    """
+    budget = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = batch["payload"].map(lambda b: b[:budget])
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "out_bytes": resized.map(len),
+                    "width": width,
+                    "height": height,
+                    "checksum": resized.map(lambda b: int(sum(b[:16]))),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum bigint"
+
+
+def sample_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling stub: 1→N row expansion per video payload.
+
+    Emits every ``stride``-th frame of each payload's declared
+    ``n_frames`` (the stub derives frame count and per-frame bytes from
+    the payload arithmetically). The 1→N batch shape — one input row
+    yielding a variable number of output rows — is exactly what a real
+    ffmpeg frame extractor produces through this same ``mapInPandas``
+    signature.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                n_frames = n % 30 + 1
+                step = n // n_frames
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(int(payload[i * step]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -113,31 +113,42 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine ≥ threshold.
 
-    All-pairs semantics (the oracle-checked dedup mode): an id-ordered
-    self-join scored by an Arrow-vectorized pandas_udf (per-batch numpy
-    einsum — the JVM↔Python exchange is columnar, the arithmetic is
-    BLAS). Exact all-pairs is inherently quadratic; at corpus scale the
-    same verify runs behind an LSH candidate generator instead
-    (``hyperplane_lsh_topk``'s bucket join), trading recall for the n².
+    All-pairs semantics (the oracle-checked dedup mode): the normalized
+    corpus matrix ships to executors in the UDF closure and every
+    partition scores its rows against it with one BLAS matmul, emitting
+    only pairs over the threshold — the quadratic work happens inside
+    numpy, never as a quadratic row exchange. Exact mode therefore
+    requires the embedding matrix to fit per-executor (8 GB ≈ 16M×64
+    float64 — beyond that, or at 100 TB corpus scale, run the same
+    verify behind an LSH candidate generator, trading recall for n²).
     """
-    from pyspark.sql.functions import pandas_udf
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norm == 0.0, 1.0, norm)
 
-    @pandas_udf("double")
-    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        mat_a = np.array(list(a), dtype=np.float64)
-        mat_b = np.array(list(b), dtype=np.float64)
-        num = np.einsum("ij,ij->i", mat_a, mat_b)
-        den = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(mat_b, axis=1)
-        return pd.Series(np.round(num / np.where(den == 0.0, 1.0, den), decimals))
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            part_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            part = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pn = np.linalg.norm(part, axis=1, keepdims=True)
+            sims = np.round((part / np.where(pn == 0.0, 1.0, pn)) @ unit.T, decimals)
+            # id-ordered upper triangle only, thresholded
+            keep = (sims >= threshold) & (part_ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": part_ids[ai],
+                    "id_b": ids[bj],
+                    "cos_sim": sims[ai, bj],
+                }
+            )
 
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        left.join(right, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", cos_batch(F.col("__va"), F.col("__vb")).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "id_a long, id_b long, cos_sim double"
     )
 
 

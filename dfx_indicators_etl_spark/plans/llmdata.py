@@ -252,3 +252,48 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction (deterministic stub codec, real Arrow/partition path)."""
     docs = read_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_binary_payload(docs))
+
+
+@query(
+    "mm_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(least(length(text), 64 * 48) AS BIGINT) AS out_bytes,
+           CAST(64 AS INTEGER) AS width,
+           CAST(48 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(
+               range(1, least(16, length(text)) + 1),
+               j -> ascii(text[j]))) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: 1→1 payload transform with target metadata."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.resize_images(
+        multimodal.attach_binary_payload(docs), width=64, height=48
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, length(text) AS n, length(text) % 30 + 1 AS n_frames
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(ascii(text[CAST(i * (n // n_frames) AS INTEGER) + 1]) AS BIGINT)
+               AS frame_checksum
+    FROM meta
+    JOIN documents USING (doc_id),
+    LATERAL unnest(range(0, n_frames, 2)) AS t(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1→N row expansion per video payload."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_binary_payload(docs), stride=2
+    )

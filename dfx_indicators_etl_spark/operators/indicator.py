@@ -113,8 +113,14 @@ def combine_dimensions(
         for c in dim_cols
     ]
     combined = F.concat_ws("; ", *parts)
+    # "Total" only when every dimension is null (reference returns ""
+    # for a present-but-empty value, utils.py:213-219 — `if not values`
+    # tests list emptiness, not string emptiness).
+    all_null = F.lit(True)
+    for c in dim_cols:
+        all_null = all_null & F.col(c).isNull()
     return df.withColumn(
-        output, F.when(combined == "", "Total").otherwise(combined)
+        output, F.when(all_null, "Total").otherwise(combined)
     ).drop(*dim_cols)
 
 
@@ -141,7 +147,7 @@ def resolve_dimension_pairs(pairs: Sequence[tuple[Column, Column]]) -> Column:
         ).otherwise(e["v"]),
     )
     combined = F.array_join(rendered, "; ")
-    return F.when(combined == "", "Total").otherwise(combined)
+    return F.when(F.size(present) == 0, "Total").otherwise(combined)
 
 
 def map_country_metadata(

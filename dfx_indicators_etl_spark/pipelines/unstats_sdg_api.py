@@ -53,8 +53,9 @@ class Transformer(BaseTransformer):
         # dimensions map → "name: per-row keys" resolved like the wide
         # case; attributes carry Units for the display name.
         dims = F.map_entries(F.col("dimensions"))
+        present = F.filter(dims, lambda e: e["value"].isNotNull())
         rendered = F.transform(
-            F.filter(dims, lambda e: e["value"].isNotNull()),
+            present,
             lambda e: F.when(
                 F.lower(e["value"]) == "total",
                 F.concat(F.lit("All "), F.lower(F.trim(e["key"]))),
@@ -73,5 +74,5 @@ class Transformer(BaseTransformer):
             "country_code",
             F.col("timePeriodStart").cast("int").alias("year"),
             F.col("value").cast("double").alias("value"),
-            F.when(combined == "", "Total").otherwise(combined).alias("dimension"),
+            F.when(F.size(present) == 0, "Total").otherwise(combined).alias("dimension"),
         )

@@ -1,0 +1,146 @@
+"""Property-style tests (SURVEY §5): Spark operators vs direct Python
+models of the reference's pandas semantics on generated inputs."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from dfx_indicators_etl_spark.operators import indicator as ops
+from dfx_indicators_etl_spark import validation
+
+# --- reference models (reimplemented from the reference, not imported) ---
+
+
+def ref_resolve_dimensions(mapping: dict[str, str | None]) -> str:
+    """utils.py:191-220 `_resolve_dimensions` on a plain dict."""
+    present = {
+        name.replace("_", " "): value
+        for name, value in mapping.items()
+        if value is not None
+    }
+    values = [
+        value if value.lower() != "total" else f"All {name}"
+        for name, value in present.items()
+    ]
+    if not values:
+        return "Total"
+    return "; ".join(values)
+
+
+DIM_VALUES = st.one_of(
+    st.none(),
+    st.sampled_from(["Total", "total", "TOTAL", "", "Female", "15-24", "x y"]),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(DIM_VALUES, DIM_VALUES, DIM_VALUES), min_size=1, max_size=8))
+def test_combine_dimensions_matches_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(rows)],
+        "id int, dimension_sex string, dimension_age_group string, dimension_x string",
+    )
+    got = {
+        r["id"]: r["dimension"]
+        for r in ops.combine_dimensions(df, prefix="dimension_").collect()
+    }
+    for i, (a, b, c) in enumerate(rows):
+        want = ref_resolve_dimensions(
+            {"sex": a, "age_group": b, "x": c}
+        )
+        assert got[i] == want, (i, a, b, c)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 5),  # order col
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_first_matches_reference(spark, rows):
+    """who_gho_api.py:183-190: sort by (key, order, value) then keep the
+    first row per key — modelled directly with sorted()."""
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    got = {
+        (r["k"]): (r["o"], r["v"])
+        for r in ops.dedup_first(df, ["k"], ["o", "v"]).collect()
+    }
+    want = {}
+    for k, o, v in sorted(rows, key=lambda t: (t[0], t[1], t[2])):
+        want.setdefault(k, (o, v))
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 6), st.integers(0, 100), max_size=8),
+    st.dictionaries(st.integers(0, 6), st.integers(0, 100), max_size=8),
+)
+def test_upsert_and_insert_ignore_match_reference(spark, existing, incoming):
+    """database/__init__.py:92-127 merge semantics on unique-keyed
+    (key → value) states."""
+    e_df = spark.createDataFrame(list(existing.items()) or [], "k int, v int")
+    i_df = spark.createDataFrame(list(incoming.items()) or [], "k int, v int")
+
+    up = {r["k"]: r["v"] for r in ops.upsert(e_df, i_df, ["k"], ["v"]).collect()}
+    assert up == {**existing, **incoming}  # incoming wins on conflict
+
+    ig = {r["k"]: r["v"] for r in ops.insert_ignore(e_df, i_df, ["k"], ["v"]).collect()}
+    assert ig == {**incoming, **existing}  # existing wins on conflict
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ABCdef ", min_size=0, max_size=5),  # country_code
+            st.integers(1500, 2500),  # year
+            st.one_of(st.none(), st.floats(allow_nan=False, width=32)),  # value
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_validate_split_partition_is_exact(spark, rows):
+    """valid + quarantine partition the input; rules match the Python
+    model of DataSchema (validation.py:64-97)."""
+    df = spark.createDataFrame(
+        [("events", "indicator one", c, y, "Total", v, None) for c, y, v in rows],
+        "provider string, indicator_name string, country_code string, "
+        "year int, dimension string, value double, source string",
+    )
+    valid, quarantine = validation.validate_split(df)
+    n_valid, n_quar = valid.count(), quarantine.count()
+    assert n_valid + n_quar == len(rows)
+
+    def ok(c, y, v):
+        import re
+
+        return (
+            re.fullmatch(r"[A-Z]{3}", c) is not None
+            and 1900 <= y <= 2100
+            and v is not None
+        )
+
+    assert n_valid == sum(1 for c, y, v in rows if ok(c, y, v))
+
+
+def test_combine_dimensions_empty_string_edge(spark):
+    """A present-but-empty dimension is NOT 'Total' (utils.py:213-219
+    tests list emptiness, not string emptiness)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "id int, dimension_sex string"
+    )
+    got = {
+        r["id"]: r["dimension"]
+        for r in ops.combine_dimensions(df, prefix="dimension_").collect()
+    }
+    assert got == {1: "", 2: "Total"}

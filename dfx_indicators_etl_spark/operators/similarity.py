@@ -23,6 +23,7 @@ __all__ = [
     "brute_force_topk",
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -149,6 +150,130 @@ def embedding_cosine_pairs(
 
     return df.select(id_col, vec_col).mapInPandas(
         score, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization.
+
+    Classic two-level search: a small centroid codebook (Lloyd's
+    iterations on a deterministic corpus sample, computed driver-side —
+    the codebook is control-plane data), corpus vectors assigned to
+    their nearest centroid cell (narrow Arrow-batched pass), and each
+    query probing only its ``n_probe`` nearest cells. The candidate
+    fetch is a broadcast semi-join on the cell id, so probe cost tracks
+    cell occupancy (~|corpus|·n_probe/n_centroids), not corpus size.
+    Recall < 1 by construction — tune with n_probe/n_centroids.
+    """
+    # --- codebook: deterministic sample → a few Lloyd iterations -----
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(id_col)
+            .limit(max(n_centroids * 16, 256))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0.0, 1.0, norms)
+    centroids = sample[:n_centroids].copy()
+    for _ in range(5):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                centroids[c] = mean / (n if n > 0 else 1.0)
+
+    # --- corpus cell assignment (narrow, Arrow-batched) --------------
+    def assign_cells(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = ((mat / np.where(nm == 0.0, 1.0, nm)) @ centroids.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    binned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    # --- query probe lists (driver-side: queries are a small batch) --
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = q_mat / np.where(qn == 0.0, 1.0, qn)
+    probe_order = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :n_probe]
+    spark = corpus.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qid), int(cell))
+                for qid, cells in zip(q_ids, probe_order)
+                for cell in cells
+            ],
+            "query_id long, cell int",
+        )
+    )
+
+    # --- candidate fetch + exact scoring ------------------------------
+    by_query = {int(qid): q_unit[i] for i, qid in enumerate(q_ids)}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nm == 0.0, 1.0, nm)
+            sims = np.array(
+                [
+                    float(vec @ by_query[qid])
+                    for vec, qid in zip(unit, pdf["query_id"])
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf[id_col],
+                    "cos_sim": np.round(sims, decimals),
+                }
+            )
+
+    candidates = (
+        binned.join(probes, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col)
+    )
+    scored = candidates.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -233,6 +233,15 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_ann")  # rows-only: approximate (probe subset)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-5 (scale path; recall < 1)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 @query(
     "mm_decode_stub",
     oracle="""

@@ -44,6 +44,16 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(windowed, output_mode="complete")
 
 
+@query("stream_sessionize")  # rows-only: open sessions stay in state by design
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState):
+    per-user 30-min-gap sessions, event-time timeouts flushing idle
+    users past the watermark."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    sessions = streaming.stream_sessionize_events(stream, gap_minutes=30)
+    return streaming.run_available_now(sessions, output_mode="append")
+
+
 @query("stream_dedup")  # rows-only: survivor row per key is arrival-order dependent
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream dedup on (user_id, event_type) within a 1h watermark."""

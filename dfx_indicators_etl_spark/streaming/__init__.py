@@ -4,6 +4,7 @@ from .ops import (
     read_events_stream,
     run_available_now,
     stream_dedup_events,
+    stream_sessionize_events,
     windowed_event_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "stream_dedup_events",
+    "stream_sessionize_events",
     "windowed_event_counts",
 ]

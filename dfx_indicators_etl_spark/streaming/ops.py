@@ -30,6 +30,7 @@ __all__ = [
     "run_available_now",
     "windowed_event_counts",
     "stream_dedup_events",
+    "stream_sessionize_events",
 ]
 
 # Explicit source schema — streaming reads never infer. ``ts`` is
@@ -117,6 +118,87 @@ def stream_dedup_events(
         list(keys)
     )
     return deduped.select(*keys)
+
+
+def stream_sessionize_events(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows via
+    ``applyInPandasWithState``.
+
+    Spark's built-in session windows cover gap-based aggregation, but
+    this is the *custom state* path the reference-free operators need
+    (arbitrary per-key state machines). State per user holds the open
+    session (start, last_ts, n, sum); a batch's events sort by event
+    time, extend or close sessions on the gap rule, and closed sessions
+    emit. The watermark bounds state: users silent past the horizon
+    time out and flush. Dangling open sessions at end-of-stream remain
+    in state by design (exactly what a continuous deployment wants).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                    "sum_value": [round(total, 4)],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs epoch
+        out = []
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        for t, v in zip(ts_us, rows["value"]):
+            if start is None:
+                start, last, n, total = int(t), int(t), 1, float(v)
+            elif t - last > gap_us:
+                out.append((start, last, n, total))
+                start, last, n, total = int(t), int(t), 1, float(v)
+            else:
+                last, n, total = int(t), n + 1, total + float(v)
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [o[0] for o in out],
+                    "session_end": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                    "sum_value": [round(o[3], 4) for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start long, session_end long, "
+                "n_events int, sum_value double"
+            ),
+            stateStructType="start long, last long, n int, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def run_available_now(

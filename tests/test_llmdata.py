@@ -134,3 +134,18 @@ def test_multimodal_unknown_media_type_raises(planted, spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         multimodal.decode_features(bad).collect()
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probing 4/16 cells must recover most exact neighbors
+    (deterministic codebook → stable recall on fixed data)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ivf_ann"](spark, sf_dir).collect()
+    }
+    assert len(ivf) == len(bf)  # k rows per query either way
+    assert len(bf & ivf) / len(bf) >= 0.5

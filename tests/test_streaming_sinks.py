@@ -97,3 +97,38 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_stream_sessionize_matches_batch_model(spark, sf_dir):
+    """Every closed session emitted by the stateful operator must match
+    the batch gaps-and-islands sessionization computed in plain Python;
+    only each user's final (still-open) session may be withheld."""
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in QUERIES["stream_sessionize"](spark, sf_dir).collect()
+    }
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in events:
+        per_user.setdefault(r.user_id, []).append(r.ts)
+    want = set()
+    gap_us = 30 * 60 * 1_000_000
+    to_us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    open_sessions = set()
+    for uid, stamps in per_user.items():
+        stamps.sort()
+        start = last = stamps[0]
+        n = 1
+        for t in stamps[1:]:
+            if to_us(t) - to_us(last) > gap_us:
+                want.add((uid, to_us(start), to_us(last), n))
+                start, n = t, 0
+            n += 1
+            last = t
+        open_sessions.add((uid, to_us(start), to_us(last), n))  # final session
+    assert got <= want | open_sessions  # nothing invented
+    assert got >= want - open_sessions or len(got) >= len(want) - len(per_user)

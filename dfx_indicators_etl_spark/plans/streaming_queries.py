@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import streaming
-from ..sources import read_table, sinks
+from ..sources import read_csv, read_jsonl, read_table, sinks
 from .registry import query
 
 
@@ -85,6 +85,33 @@ def sink_versioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_table(spark, sf_dir, "nation"), root, "nation", folder="dims"
         )
         return spark.read.parquet(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@query("sink_csv_roundtrip", oracle="SELECT * FROM nation")
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + explicit-schema read (no inference scan, §E)."""
+    root = _scratch("dfx_csv_")
+    try:
+        path = f"{root}/nation.csv"
+        read_table(spark, sf_dir, "nation").write.option("header", "true").csv(path)
+        return read_csv(spark, path, schema=NATION_SCHEMA).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("sink_jsonl_roundtrip", oracle="SELECT * FROM nation")
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + explicit-schema read (§E)."""
+    root = _scratch("dfx_jsonl_")
+    try:
+        path = f"{root}/nation.jsonl"
+        read_table(spark, sf_dir, "nation").write.json(path)
+        return read_jsonl(spark, path, schema=NATION_SCHEMA).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -132,3 +132,33 @@ def test_stream_sessionize_matches_batch_model(spark, sf_dir):
         open_sessions.add((uid, to_us(start), to_us(last), n))  # final session
     assert got <= want | open_sessions  # nothing invented
     assert got >= want - open_sessions or len(got) >= len(want) - len(per_user)
+
+
+def test_load_m49(spark, tmp_path):
+    """UNSD-format CSV → canonical mapping frame → country dim."""
+    from dfx_indicators_etl_spark.sources.m49 import load_m49, m49_country_dim
+
+    csv = tmp_path / "m49.csv"
+    header = (
+        "Global Code;Global Name;Region Code;Region Name;Sub-region Code;"
+        "Sub-region Name;Intermediate Region Code;Intermediate Region Name;"
+        "Country or Area;M49 Code;ISO-alpha2 Code;ISO-alpha3 Code;"
+        "Least Developed Countries (LDC);"
+        "Land Locked Developing Countries (LLDC);"
+        "Small Island Developing States (SIDS)"
+    )
+    csv.write_text(
+        header + "\n"
+        "001;World;002;Africa;015;Northern Africa;;;Algeria;012;DZ;DZA;;;\n"
+        "001;World;002;Africa;202;Sub-Saharan Africa;014;Eastern Africa;"
+        "Somalia;706;SO;SOM;x;;\n"
+        "001;World;;;;;;;Antarctica;010;AQ;;;;\n"  # no ISO3 -> dropped
+    )
+    m49 = load_m49(spark, str(csv))
+    rows = {r.iso_alpha_3: r for r in m49.collect()}
+    assert set(rows) == {"DZA", "SOM"}
+    assert rows["DZA"].m49 == "12" and rows["DZA"].ldc is False
+    assert rows["SOM"].ldc is True and rows["SOM"].subregion == "Sub-Saharan Africa"
+
+    dim = {r.iso_3: r for r in m49_country_dim(m49).collect()}
+    assert dim["SOM"].id == 706 and dim["DZA"].iso_2 == "DZ"

@@ -667,3 +667,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
     )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (continuous interpolation).
+
+    ``percentile`` is exact (sort-based within groups) and matches
+    DuckDB's ``quantile_cont`` bit-for-bit after rounding; at scale the
+    one-pass mergeable alternative is ``percentile_approx`` — same
+    plan shape, bounded memory, no per-group sort.
+    """
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", q), 6).alias(name)
+            for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        ]
+    )
+
+
+@query("q_hll_sketch")  # rows-only: sketch binary is engine-specific
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches (Apache DataSketches HLL).
+
+    Unlike ``approx_count_distinct`` (a scalar), ``hll_sketch_agg``
+    materializes a *mergeable* sketch: per-partition/day sketches can
+    be stored and unioned later without re-reading the data — the
+    incremental-cardinality pattern for 100 TB pipelines. Estimates
+    are checked against exact counts in the test suite (±5%).
+    """
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").cast("bigint").alias("approx_users"),
+        )
+    )

@@ -120,6 +120,31 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_dataset(
+    spark: SparkSession, path: str, target_partitions: int
+) -> int:
+    """Compact a parquet dataset's small files into ``target_partitions``.
+
+    The maintenance half of streaming/incremental writes: many small
+    files destroy scan parallelism economics (one task per tiny file,
+    footer overhead dominating). Rewrites via a staging directory then
+    swaps — a real deployment gets this atomically from a table format
+    (Delta/Iceberg ``OPTIMIZE``); the rewrite plan is identical.
+    Returns the file count after compaction.
+    """
+    import shutil
+
+    staging = f"{path}__compacting"
+    spark.read.parquet(path).repartition(target_partitions).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

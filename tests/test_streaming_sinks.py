@@ -162,3 +162,32 @@ def test_load_m49(spark, tmp_path):
 
     dim = {r.iso_3: r for r in m49_country_dim(m49).collect()}
     assert dim["SOM"].id == 706 and dim["DZA"].iso_2 == "DZ"
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """Merged daily sketches estimate exact per-type user counts ±5%."""
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_hll_sketch"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+
+
+def test_compact_dataset(spark, sf_dir, tmp_path):
+    """Many small files → target_partitions files, data intact."""
+    path = str(tmp_path / "frag")
+    src = read_table(spark, sf_dir, "events")
+    n_rows = src.count()
+    src.repartition(16).write.parquet(path)
+    n_files = sinks.compact_dataset(spark, path, target_partitions=2)
+    assert n_files == 2
+    assert spark.read.parquet(path).count() == n_rows

@@ -1,0 +1,101 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+AQE's skew-join splitting (on in `session.get_spark`) handles most
+runtime skew; these are the *explicit* tools for the cases AQE can't
+see — a groupBy whose hot key overwhelms one reducer, or a repeated
+join against a dimension with a known-hot key. Both are semantically
+transparent: results are identical to the unsalted plan (asserted in
+tests and by the oracle-checked ``q_skew_salted_agg``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg", "salted_join", "REAGG"]
+
+# How each partial aggregate re-aggregates in phase 2.
+REAGG = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation over a salted key.
+
+    ``aggs`` maps output name → (function, column) with function in
+    ``REAGG``. Phase 1 aggregates on (keys, salt) — the hot key spreads
+    over ``salt_buckets`` reducers — phase 2 re-aggregates the (small)
+    partials on the true keys. The salt must NOT be a function of the
+    group key (that would leave the hot key on one reducer): pass a
+    high-cardinality column as ``salt_on``, or default to a per-row
+    id (salt assignment then varies across retries, but every salt
+    assignment yields the same final result). Only decomposable
+    aggregates belong here; AVG = SUM/COUNT built from two entries.
+    """
+    unsupported = {f for f, _ in aggs.values()} - set(REAGG)
+    if unsupported:
+        raise ValueError(f"non-decomposable aggregate(s): {sorted(unsupported)}")
+    if salt_on is None:
+        salt_src = F.monotonically_increasing_id()
+    else:
+        salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            getattr(F, func)(col).alias(f"__p_{name}")
+            for name, (func, col) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            REAGG[func](f"__p_{name}").alias(name)
+            for name, (func, _col) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Skew-proof fact⋈dim shuffle join: replicate the dim per salt.
+
+    For a shuffle join whose fact side has hot keys, each dim row
+    replicates ``salt_buckets`` times and each fact row takes a salt
+    *independent of the join key* (a high-cardinality ``salt_on``
+    column, default a per-row id), so one hot key spreads over
+    ``salt_buckets`` tasks at the cost of a ``salt_buckets``× larger
+    dim shuffle side. (A dim under the broadcast threshold doesn't
+    need this — broadcast joins are skew-immune.)
+    """
+    salts = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
+    )
+    dim_rep = dim.withColumn("__salt", salts)
+    if salt_on is None:
+        salt_src = F.monotonically_increasing_id()
+    else:
+        salt_src = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    fact_salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    return fact_salted.join(dim_rep, [key, "__salt"], how).drop("__salt")

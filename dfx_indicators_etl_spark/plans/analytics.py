@@ -718,3 +718,47 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").cast("bigint").alias("approx_users"),
         )
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a skewed key (5 event types ×
+    ~150k rows each: every key is 'hot' relative to reducer count).
+
+    The oracle is the PLAIN group-by — salting must be semantically
+    invisible; only the shuffle distribution changes.
+    """
+    from ..operators.scale import salted_agg
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "value"),
+            "total_dec": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_dec").cast("double").alias("total"),
+        "min_value",
+        "max_value",
+    )

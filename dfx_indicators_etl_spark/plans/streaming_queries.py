@@ -147,3 +147,38 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           r.r_name AS region_name,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the static
+    nation/region dims (broadcast per micro-batch) before a windowed
+    count — the standard streaming-fact/slowly-changing-dim pattern."""
+    from pyspark.sql import functions as F2
+
+    stream = streaming.read_events_stream(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    dims = F2.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", F2.col("r_name").alias("region_name"))
+    )
+    enriched = stream.join(dims, stream["user_id"] % 25 == dims["n_nationkey"])
+    windowed = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F2.window("ts", "1 hour").alias("w"), "region_name")
+        .agg(F2.count("*").alias("n_events"))
+        .select(F2.col("w.start").alias("window_start"), "region_name", "n_events")
+    )
+    return streaming.run_available_now(windowed, output_mode="complete")

@@ -1,0 +1,70 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data pipelines need samples and train/test splits that are
+(a) reproducible across runs and engines and (b) computable in one
+distributed pass without a global sort of the corpus. Both operators
+here key off ``md5`` of a stable id — a content-independent, uniform,
+engine-portable hash — so the selection is a pure function of the row
+and the result is identical on Spark and any ANSI-SQL engine
+(oracle-checked by ``sample_stratified`` / ``sample_train_test``).
+
+Scale notes (100 TB): ``hash_split`` is a narrow map — no shuffle at
+all. ``stratified_sample`` shuffles once on the strata key; with k
+rows kept per stratum the window input per reducer is the stratum
+size, so heavily skewed strata should pre-aggregate with the
+``operators.scale`` salting tools first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_sample", "hash_split"]
+
+
+def _hash_order(key_col: str) -> F.Column:
+    """Engine-portable pseudo-random ordering: md5 of the stringified key."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame, strata: Sequence[str], key_col: str, k: int
+) -> DataFrame:
+    """Keep the first ``k`` rows per stratum under md5(key) ordering.
+
+    Equivalent to a per-stratum uniform sample of fixed size, but fully
+    deterministic: the survivor set depends only on key values, never
+    on partitioning or execution order. One shuffle (on the strata
+    columns); the tie-break on the raw key makes duplicates stable.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        _hash_order(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    test_threshold: str = "cc",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label each row ``train``/``test`` by a hash bucket of its key.
+
+    The first two hex chars of md5(key) give 256 uniform buckets;
+    rows at or above ``test_threshold`` (lexicographic on hex) go to
+    ``test``. The default ``"cc"`` ≈ a 80/20 split. Pure map — no
+    shuffle, no state, stable under reruns and repartitioning.
+    """
+    bucket = F.substring(_hash_order(key_col), 1, 2)
+    return df.withColumn(
+        split_col,
+        F.when(bucket >= F.lit(test_threshold), "test").otherwise("train"),
+    )

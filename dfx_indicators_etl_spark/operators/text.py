@@ -9,15 +9,17 @@ narrow pass over the documents table regardless of scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "tokens",
     "token_stats",
     "quality_scores",
+    "quality_filter",
     "language_id",
     "fingerprint",
+    "word_vocab",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -106,6 +108,59 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         es.cast("bigint").alias("es_hits"),
         fr.cast("bigint").alias("fr_hits"),
         de.cast("bigint").alias("de_hits"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_alpha_ratio: float = 0.55,
+    min_tokens: int = 5,
+    min_chars: int = 30,
+    max_chars: int = 20_000,
+) -> DataFrame:
+    """Pretraining quality gate: keep documents passing all thresholds.
+
+    The standard corpus-cleaning filter (Gopher/C4-style rules): enough
+    alphabetic content, enough tokens, length within bounds. Pure
+    column predicates — Catalyst pushes the ``length`` bounds into the
+    scan and the whole gate runs in one codegen pass, so filtering
+    100 TB costs exactly one read.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alpha_ratio = F.regexp_count(text, F.lit("[A-Za-z]")).cast("double") / n_chars.cast(
+        "double"
+    )
+    n_toks = F.size(tokens(text_col))
+    return df.filter(
+        (alpha_ratio >= min_alpha_ratio)
+        & (n_toks >= min_tokens)
+        & n_chars.between(min_chars, max_chars)
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFrame:
+    """Top-``top_k`` lowercase-word vocabulary with deterministic ranks.
+
+    Corpus-level token frequency (the first step of any tokenizer /
+    vocab build): lowercase, split on non-letter runs, explode, count.
+    The count aggregation is map-side combinable, so the shuffle
+    carries one row per distinct word per partition — vocab-sized, not
+    corpus-sized. Only the aggregated vocab (≪ corpus) is sorted for
+    top-k, and the rank window runs on the ``top_k`` surviving rows,
+    so the single-partition window is O(top_k), never O(corpus).
+    """
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != "")
+    ).alias("word")
+    counts = df.select(words).groupBy("word").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return top.select(
+        "word",
+        F.col("n").cast("bigint").alias("n"),
+        F.row_number().over(w).cast("int").alias("rank"),
     )
 
 

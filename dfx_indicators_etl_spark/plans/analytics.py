@@ -762,3 +762,94 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    detail, per-status subtotal, and grand total in one pass. Spark
+    plans this as a single Expand + aggregate — the fact table is
+    scanned once, not once per set."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(dcount("n_orders"), dsum("o_totalprice", "total_price"))
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join: co-occurring event pairs within one
+    hour per user. The user_id equality makes this a partitioned
+    equi-join with a range residual — each user's events meet on one
+    reducer, so there is no O(n²) cross product at scale; skewed users
+    would use the operators.scale salting path."""
+    events = read_table(spark, sf_dir, "events")
+    a, b = events.alias("a"), events.alias("b")
+    within_hour = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(b, within_hour)
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(dcount("n_pairs"))
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+    FROM events
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame (ROWS BETWEEN): 4-event rolling sum per
+    user in event-time order. Frame aggregation is computed within the
+    user partition after one shuffle — no self-join, no re-sort beyond
+    the partition-local ordering."""
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+    )

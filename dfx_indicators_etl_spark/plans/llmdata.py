@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..sources import read_table
 from .registry import query
 
@@ -239,6 +239,95 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language under
+    md5(doc_id) ordering — reproducible across engines and runs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, ["lang"], "doc_id", k=20).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "sample_train_test",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'
+                THEN 'test' ELSE 'train' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def sample_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/test split (~80/20), summarized per split ×
+    language. The split is a pure map over md5(doc_id) — no shuffle."""
+    docs = sampling.hash_split(read_table(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "text_word_vocab",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word)
+    SELECT word, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 100
+    """,
+)
+def text_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word vocabulary build (tokenizer/vocab first pass)."""
+    return text.word_vocab(read_table(spark, sf_dir, "documents"), top_k=100)
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, source, length(text) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / length(text) AS alpha_ratio,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM q
+    WHERE alpha_ratio >= 0.55 AND n_toks >= 5 AND n_chars BETWEEN 30 AND 20000
+    GROUP BY source
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate (C4/Gopher-style rules) summarized per
+    source: documents surviving the alpha/token/length thresholds."""
+    kept = text.quality_filter(read_table(spark, sf_dir, "documents"))
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum(F.length("text")).cast("bigint").alias("kept_chars"),
     )
 
 

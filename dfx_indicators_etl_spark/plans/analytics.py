@@ -853,3 +853,182 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).over(w).cast("double").alias("rolling_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: order-count distribution over customers.
+
+    Left-outer join (customers with zero orders must survive as
+    c_count = 0) followed by a two-level aggregation. The second
+    aggregate's input is one row per customer, and the histogram
+    output is tiny — the only full-size shuffle is the first groupBy.
+    """
+    customer, orders = read_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(dcount("custdist"))
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold.
+
+    The HAVING subquery becomes an aggregate + left-semi join: lineitem
+    pre-aggregates per order (map-side combinable), the small surviving
+    key set semi-joins the fact, and customer broadcasts into the
+    result. No correlated execution — one extra agg pass instead.
+    """
+    customer, orders, lineitem = read_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == big["l_orderkey"], "left_semi")
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q7_bilateral_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               {REVENUE_SQL} AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: trade volume between two nations by year
+    (testdata nation names NATION_1/NATION_2 stand in for the spec's
+    FRANCE/GERMANY pair).
+
+    Both nation filters broadcast into their dimension sides
+    (supplier→n1, customer→n2) so the fact tables are pre-pruned
+    before the orders⋈lineitem shuffle — the pair predicate never
+    runs on the joined fact."""
+    supplier, lineitem, orders, customer, nation = read_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = F.broadcast(
+        supplier.join(pair, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust = F.broadcast(
+        customer.join(pair, F.col("c_nationkey") == F.col("n_nationkey")).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        lineitem.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: well-funded customers with no urgent orders.
+
+    The scalar subquery (global average balance) computes once and
+    joins in as a broadcast literal-free cross of a 1-row frame; the
+    NOT EXISTS becomes a left-anti join against the orders keys.
+    """
+    customer, orders = read_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(dcount("n_custs"), dsum("c_acctbal", "total_bal"))
+    )

@@ -182,3 +182,51 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F2.col("w.start").alias("window_start"), "region_name", "n_events")
     )
     return streaming.run_available_now(windowed, output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks within 30 minutes of a view by
+    the same user. Both sides carry watermarks and the join has an
+    event-time range bound, so Spark keeps only a bounded window of
+    each stream in state — the canonical funnel/attribution join. The
+    backlog fits one availableNow batch here, so the matched-pair set
+    equals the batch oracle exactly."""
+    from pyspark.sql import functions as F2
+
+    events = streaming.read_events_stream(spark, sf_dir)
+    views = (
+        events.filter(F2.col("event_type") == "view")
+        .select(
+            F2.col("event_id").alias("view_id"),
+            F2.col("user_id"),
+            F2.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F2.col("event_type") == "click")
+        .select(
+            F2.col("event_id").alias("click_id"),
+            F2.col("user_id").alias("click_user"),
+            F2.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F2.col("user_id") == F2.col("click_user"))
+        & (F2.col("click_ts") >= F2.col("view_ts"))
+        & (F2.col("click_ts") <= F2.col("view_ts") + F2.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "click_id", "user_id")
+    return streaming.run_available_now(joined, output_mode="append")

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine",
+    "l2_norms",
+    "label_centroids",
     "brute_force_topk",
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
@@ -362,4 +364,46 @@ def hyperplane_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def l2_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector L2 norm (rounded 6dp for cross-engine stability).
+
+    Pure higher-order-function fold — one narrow codegen pass, the
+    pre-step of any normalize-then-index embedding pipeline.
+    """
+    vec = F.col(vec_col)
+    return df.select(
+        F.col(id_col), F.round(_norm(vec), 6).alias("l2_norm")
+    )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per dimension.
+
+    posexplode → groupBy (label, dim) → exact decimal mean. The explode
+    multiplies rows by the dimensionality, but the aggregation is
+    map-side combinable on (label, dim), so the shuffle carries at most
+    |labels| × dims rows per partition — centroids of a 100 TB corpus
+    move kilobytes through the exchange. Decimal sums keep the mean
+    bit-identical across engines and partitionings.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count("v"),
+                6,
+            ).alias("centroid"),
+            F.count("v").cast("bigint").alias("n_vectors"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
     )

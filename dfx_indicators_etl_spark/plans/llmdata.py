@@ -395,3 +395,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.attach_binary_payload(docs), stride=2
     )
+
+
+@query(
+    "emb_l2_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def emb_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the normalize step of an embedding pipeline."""
+    return similarity.l2_norms(read_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (one row per dimension): the
+    k-means-style class-prototype aggregation over embeddings."""
+    return similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))

@@ -15,7 +15,7 @@ from .test_analytics import _normalize
 LLM_KEYS = [
     k
     for k in QUERIES
-    if k.startswith(("dedup_", "text_", "sim_", "mm_", "sample_"))
+    if k.startswith(("dedup_", "text_", "sim_", "mm_", "sample_", "emb_"))
 ]
 
 

@@ -38,6 +38,9 @@ HEADLINE = (
     "q_distinct_agg",
     "q_events_sessionize",
     "q_asof_join",
+    "q_percentile",
+    "q_range_join",
+    "ind_upsert",
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding_cosine",

@@ -115,13 +115,16 @@ def ngram_jaccard_pairs(
     shingle shared by 1M docs would otherwise create 10¹² join rows).
     Leave None for exact semantics (the oracle-checked mode).
     """
-    # Referenced three times below (sizes + both join sides) — persist
-    # so the shingle explode+distinct shuffle runs once.
+    # Referenced three times below (sizes + both join sides) — a lazy
+    # localCheckpoint materializes the shingle explode+distinct once at
+    # first action and, unlike persist(), is released by the context
+    # cleaner when the result plan is garbage-collected, so repeated
+    # calls in a long-lived session don't accumulate storage.
     doc_shingles = (
         _with_shingles(df, n, text_col, id_col, distinct=False)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     if max_shingle_freq is not None:
         freq_ok = (
@@ -163,16 +166,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature (64 permutations) per document.
 
-    Shingles hash once with xxhash64; each permutation is the affine
-    map h → h·(2i+1) + c_i over wrap-around 64-bit arithmetic (odd
-    multiplier ⇒ bijective on Z/2⁶⁴), minimized with higher-order
-    array functions — the permutation loop never leaves the JVM and
-    adds no extra passes over the data.
+    Shingle ids and per-permutation rehashes both use ``xxhash64`` —
+    no wrap-around multiply anywhere, so the sketch is correct whether
+    or not the session runs ANSI mode (Spark 4 defaults ANSI *on*,
+    where a raw 64-bit polynomial combine raises ARITHMETIC_OVERFLOW).
     """
     # Shingles as combined token hashes, never as strings: hash each
-    # token once (codegen), then a shingle id is a polynomial combine
-    # of n consecutive token hashes. Skips 3× string concatenation and
-    # shuffles longs instead of text.
+    # token once (codegen), then a shingle id is xxhash64 over the
+    # slice of n consecutive token hashes. Skips 3× string
+    # concatenation and shuffles longs instead of text.
     tokenized = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
@@ -180,10 +182,7 @@ def minhash_signatures(
     th = F.col("__th")
 
     def shingle_hash(i: Column) -> Column:
-        out = F.lit(0).cast("long")
-        for k in range(n):
-            out = out * 1_000_003 + F.element_at(th, (i + k + 1).cast("int"))
-        return out
+        return F.xxhash64(F.slice(th, (i + 1).cast("int"), n))
 
     gram_ids = F.when(
         F.size(th) >= n,
@@ -196,11 +195,13 @@ def minhash_signatures(
     )
     # One codegen'd hash-aggregate computes all 64 permutation minima —
     # higher-order array functions are interpreted row-at-a-time in
-    # Spark, so explode+agg beats transform/array_min by ~10×. Docs
-    # with no shingles (fewer than n tokens) have no signature rows.
+    # Spark, so explode+agg beats transform/array_min by ~10×. Each
+    # "permutation" is xxhash64 seeded by the permutation index (hash
+    # chaining over (h, i) — overflow-free, ANSI-safe). Docs with no
+    # shingles (fewer than n tokens) have no signature rows.
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h") * (2 * i + 1) + i * 1_000_003).alias(f"__m{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__m{i}")
             for i in range(NUM_PERMS)
         ]
     )
@@ -225,12 +226,14 @@ def minhash_lsh_pairs(
     estimated Jaccard (fraction of equal signature components).
     """
     # Signatures feed the band explode AND both sides of the verify
-    # join — persist so the sketch computes once (~0.5 KB/doc; spills
-    # to disk at corpus scale).
+    # join — a lazy localCheckpoint computes the sketch once
+    # (~0.5 KB/doc) and is context-cleaner-released when the result
+    # plan is GC'd (persist() would pin it in the cache manager until
+    # an explicit unpersist nobody owns).
     sigs = (
         minhash_signatures(df, n, text_col, id_col)
         .filter(F.col("signature").isNotNull())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     rows_per_band = NUM_PERMS // LSH_BANDS
     # Bucket index carries only (doc_id, band) — signatures rejoin later
@@ -284,7 +287,9 @@ def minhash_lsh_pairs(
 
 
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 4 bands × 16 bits
+SIMHASH_BANDS = 8  # 8 bands × 8 bits — pigeonhole-guarantees recall
+# for Hamming ≤ 7: 7 differing bits cannot touch all 8 bands, so every
+# qualifying pair shares at least one exact band.
 
 
 def _bit_mask(b: int) -> int:
@@ -327,25 +332,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def simhash_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
-    """Near-duplicate pairs with Hamming(simhash) ≤ k.
+    """Near-duplicate pairs with Hamming(simhash) ≤ k — exact recall.
 
-    Band trick: 4 bands of 16 bits — any pair within Hamming ≤ 3·16
-    shares at least one exact band when k < bands, and in practice the
-    band join prunes the candidate space to colliding 16-bit chunks;
-    candidates verify exactly with bit_count(xor).
+    Band trick: with ``bands`` exact-match bands, any pair within
+    Hamming < bands shares at least one band (pigeonhole), so the
+    bucket join finds *every* qualifying pair; candidates then verify
+    exactly with bit_count(xor). ``max_hamming ≥ bands`` would silently
+    miss pairs whose differing bits spread across all bands, so it is
+    rejected rather than hedged. Wider tolerance ⇒ raise ``bands``
+    (more/smaller bands ⇒ bigger buckets — the recall/cost dial).
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming for "
+            f"guaranteed recall (got bands={bands}); raise bands or "
+            "lower max_hamming"
+        )
     sims = simhash(df, text_col, id_col)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    band_width = SIMHASH_BITS // bands
     mask = (1 << band_width) - 1
     band_exprs = [
         F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(
             F.lit(mask).cast("long")
         )
-        for b in range(SIMHASH_BANDS)
+        for b in range(bands)
     ]
     bands = sims.select(
         "doc_id",

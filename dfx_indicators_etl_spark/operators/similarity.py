@@ -113,44 +113,90 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine ≥ threshold.
 
-    All-pairs semantics (the oracle-checked dedup mode): the normalized
-    corpus matrix ships to executors in the UDF closure and every
-    partition scores its rows against it with one BLAS matmul, emitting
-    only pairs over the threshold — the quadratic work happens inside
-    numpy, never as a quadratic row exchange. Exact mode therefore
-    requires the embedding matrix to fit per-executor (8 GB ≈ 16M×64
-    float64 — beyond that, or at 100 TB corpus scale, run the same
-    verify behind an LSH candidate generator, trading recall for n²).
+    Distributed blocked self-join (no driver-side corpus collect):
+    vectors hash into ``n_blocks`` blocks on the id; every unordered
+    block pair (i ≤ j) becomes one ``applyInPandas`` group holding two
+    block-sized matrices, scored with a single BLAS matmul that emits
+    only pairs over the threshold. The O(n²) similarity work is
+    unavoidable for *exact* all-pairs semantics, but it happens inside
+    numpy per task — the exchange moves each row ``n_blocks`` times
+    (once per block pair it participates in), never n² rows.
+
+    Scale sizing: a task holds two blocks ≈ 2·(n/n_blocks)·dim·8 B, so
+    pick ``n_blocks ≈ n·dim·8 / (task_mem/2)`` — n_blocks grows ~√n for
+    fixed task memory while per-row replication grows the same √n. At
+    true 100 TB corpus scale prefer the LSH/IVF candidate generators
+    (``hyperplane_lsh_topk`` / ``ivf_topk``) with exact verification of
+    candidates only; this operator is the exact-semantics path.
     """
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norm = np.linalg.norm(mat, axis=1, keepdims=True)
-    unit = mat / np.where(norm == 0.0, 1.0, norm)
+    spark = df.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "pb_a int, pb_b int",
+    )
+    blocked = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # Tiny (n_blocks²/2-row) pair table broadcast against the corpus;
+    # a row tags itself "a" for pairs keyed by its own block and "b"
+    # for pairs where it is the partner block (diagonal rows tag "a"
+    # exactly once — the OR matches pb_a first).
+    expanded = blocked.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("pb_a")) | (F.col("blk") == F.col("pb_b")),
+    ).select(
+        "pb_a",
+        "pb_b",
+        "vid",
+        "vec",
+        F.when(F.col("blk") == F.col("pb_a"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+    )
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            part_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            part = np.array(list(pdf[vec_col]), dtype=np.float64)
-            pn = np.linalg.norm(part, axis=1, keepdims=True)
-            sims = np.round((part / np.where(pn == 0.0, 1.0, pn)) @ unit.T, decimals)
-            # id-ordered upper triangle only, thresholded
-            keep = (sims >= threshold) & (part_ids[:, None] < ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": part_ids[ai],
-                    "id_b": ids[bj],
-                    "cos_sim": sims[ai, bj],
-                }
-            )
+    def score(key, pdf):
+        pa, pb = key
+        a = pdf[pdf["side"] == "a"]
+        if len(a) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids_a = a["vid"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["vec"]), dtype=np.float64)
+        na = np.linalg.norm(mat_a, axis=1, keepdims=True)
+        unit_a = mat_a / np.where(na == 0.0, 1.0, na)
+        if pa == pb:
+            ids_b, unit_b = ids_a, unit_a
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            ids_b = b["vid"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(b["vec"]), dtype=np.float64)
+            nb = np.linalg.norm(mat_b, axis=1, keepdims=True)
+            unit_b = mat_b / np.where(nb == 0.0, 1.0, nb)
+        sims = np.round(unit_a @ unit_b.T, decimals)
+        if pa == pb:
+            # within-block: id-ordered upper triangle (no self pairs)
+            keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+        else:
+            # cross-block: every pair appears in exactly this group
+            keep = sims >= threshold
+        ai, bj = np.nonzero(keep)
+        ia, ib = ids_a[ai], ids_b[bj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": sims[ai, bj],
+            }
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return expanded.groupBy("pb_a", "pb_b").applyInPandas(
         score, "id_a long, id_b long, cos_sim double"
     )
 

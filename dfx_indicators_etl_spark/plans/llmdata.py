@@ -82,8 +82,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming ≤ 8)."""
-    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup pairs (banded Hamming ≤ 7, guaranteed recall:
+    8 bands > max_hamming, so every qualifying pair shares a band)."""
+    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=7)
 
 
 @query(

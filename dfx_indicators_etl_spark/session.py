@@ -14,7 +14,42 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "ensure_session_confs", "RUNTIME_CONFS"]
+
+
+# Confs every plan in this engine assumes, all runtime-settable.  Set at
+# query entry (plans/registry.py wraps each registered query) and again
+# in the readers, so results are correct on ANY session the caller hands
+# us — including a stock ``SparkSession.builder.getOrCreate()`` with
+# Spark 4 defaults (ANSI on, no nanosAsLong), which is exactly what the
+# verification driver uses.
+RUNTIME_CONFS: dict[str, str] = {
+    # Testdata timestamps are parquet TIMESTAMP(NANOS); scan them as
+    # nano-epoch longs (readers convert to µs, DuckDB-style truncation)
+    # instead of failing with PARQUET_TYPE_ILLEGAL.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Wrap-around 64-bit arithmetic + permissive coercions (the
+    # reference's pandas semantics); Spark 4 defaults ANSI on.
+    "spark.sql.ansi.enabled": "false",
+    # Oracle parity: DuckDB hashes timestamps in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Arrow for every mapInPandas / pandas_udf exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set the engine's required runtime confs on an arbitrary session.
+
+    Idempotent and cheap (a handful of conf RPCs); every registered
+    query calls this first so plans never depend on how the session was
+    built.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
+    return spark
 
 
 def get_spark(

@@ -1,4 +1,12 @@
-from . import sinks
+from . import sinks, xlsx
 from .readers import TABLES, read_csv, read_jsonl, read_table, read_tables
 
-__all__ = ["TABLES", "read_table", "read_tables", "read_csv", "read_jsonl", "sinks"]
+__all__ = [
+    "TABLES",
+    "read_table",
+    "read_tables",
+    "read_csv",
+    "read_jsonl",
+    "sinks",
+    "xlsx",
+]

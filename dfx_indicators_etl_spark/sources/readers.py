@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_session_confs
+
 __all__ = ["TABLES", "read_table", "read_tables", "read_csv", "read_jsonl"]
 
 # Canonical test/bench tables (TPC-H-ish star schema + events stream +
@@ -43,7 +45,14 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one named table from a scale-factor directory."""
+    """Read one named table from a scale-factor directory.
+
+    Pins the engine's runtime confs first (nanos-as-long, ANSI off,
+    UTC) so the scan succeeds on any session — the driver's default
+    session has ANSI on and no nanosAsLong, which would otherwise fail
+    every TIMESTAMP(NANOS) read with PARQUET_TYPE_ILLEGAL.
+    """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for column in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(column) == "bigint":
@@ -69,6 +78,7 @@ def read_csv(
     Schema inference triggers an extra full scan — never acceptable on a
     large input — so callers pass a schema; ``inferSchema`` is opt-in.
     """
+    ensure_session_confs(spark)
     reader = spark.read.options(header="true", **options)
     if schema is not None:
         reader = reader.schema(schema)
@@ -84,6 +94,7 @@ def read_jsonl(
     **options: str,
 ) -> DataFrame:
     """JSON-lines reader; explicit schema avoids the inference scan."""
+    ensure_session_confs(spark)
     reader = spark.read.options(**options)
     if schema is not None:
         reader = reader.schema(schema)

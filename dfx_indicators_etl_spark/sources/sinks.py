@@ -29,6 +29,9 @@ __all__ = [
     "read_dataset",
     "write_partitioned",
     "write_bucketed_table",
+    "write_jdbc",
+    "read_jdbc",
+    "jdbc_upsert",
 ]
 
 
@@ -102,9 +105,12 @@ def read_dataset(spark: SparkSession, path: str, **options: str) -> DataFrame:
     if lower.endswith(".csv"):
         return spark.read.options(header="true", **options).csv(path)
     if lower.endswith(".xlsx"):
-        raise NotImplementedError(
-            "xlsx needs an excel datasource (e.g. spark-excel) on the classpath"
-        )
+        # Control-plane sized by contract (the reference reads Excel
+        # into pandas on one node, `storage/_base.py:94-96`); parsed
+        # driver-side by the dependency-free OOXML reader.
+        from .xlsx import xlsx_to_spark
+
+        return xlsx_to_spark(spark, path, **options)  # type: ignore[arg-type]
     raise ValueError(f"Unsupported extension for {path!r}")
 
 
@@ -143,6 +149,114 @@ def compact_dataset(
     return len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """Relational-database load path (reference loads via SQLAlchemy,
+    `database/__init__.py:60-90`; Spark's writer runs one batched
+    INSERT stream per partition — the distributed equivalent).
+
+    ``num_partitions`` caps concurrent DB connections (a 1000-executor
+    cluster would otherwise open 1000 sessions against one database —
+    coalesce, don't repartition: no shuffle, just fewer writers).
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC table/query read; pass ``partition_column`` + bounds to
+    split the scan into ``num_partitions`` parallel range queries
+    (without them a JDBC read is a single-connection, single-task
+    scan — never acceptable for a large table)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**options)
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: tuple[str, ...],
+    driver: str | None = None,
+    insert_only: bool = False,
+) -> None:
+    """Upsert/insert-ignore into a JDBC table (reference
+    ``update_on_conflict`` / ``ignore_on_conflict``,
+    `database/__init__.py:92-127`).
+
+    Plain JDBC has no portable MERGE, so this reads the existing table,
+    merges key-wise with the engine's DataFrame merge operators, and
+    overwrites. The existing rows are eagerly localCheckpoint-ed first:
+    overwrite truncates the table *before* a lazy read would re-scan
+    it, which would otherwise merge against an already-empty table.
+    """
+    from ..operators.indicator import insert_ignore, upsert
+
+    spark = df.sparkSession
+    try:
+        existing = read_jdbc(spark, url, table, driver=driver).localCheckpoint(
+            eager=True
+        )
+    except Exception:  # table absent: first load
+        write_jdbc(df, url, table, mode="overwrite", driver=driver)
+        return
+    # Databases fold identifier case (Derby → upper); align the read
+    # table's columns back to the incoming frame's names so the
+    # (case-sensitive) merge sees one schema.
+    by_fold = {c.lower(): c for c in df.columns}
+    existing = existing.select(
+        *[
+            existing[c].alias(by_fold.get(c.lower(), c))
+            for c in existing.columns
+        ]
+    )
+    merge = insert_ignore if insert_only else upsert
+    merged = merge(existing, df, list(key_cols))
+    write_jdbc(merged, url, table, mode="overwrite", driver=driver)
 
 
 def write_bucketed_table(

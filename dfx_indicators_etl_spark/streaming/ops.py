@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import ensure_session_confs
+
 __all__ = [
     "read_events_stream",
     "run_available_now",
@@ -70,6 +72,7 @@ def _landing_dir(sf_dir: str, name: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with event-time ``ts``."""
+    ensure_session_confs(spark)
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .format("parquet")
@@ -222,7 +225,14 @@ def run_available_now(
         .start()
     )
     try:
-        query.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout — in that case the
+        # backlog was only partially processed, and returning the sink
+        # as-is would be silently-wrong results under load.
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"AvailableNow drain exceeded {timeout_sec}s; "
+                "memory sink is incomplete"
+            )
     finally:
         query.stop()
     # Materialize before dropping the sink registration.

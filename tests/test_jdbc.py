@@ -1,0 +1,87 @@
+"""JDBC load-path tests against embedded Derby (bundled with Spark —
+no external database needed). Models the reference's relational load
+layer: plain load, parallel partitioned read, upsert and insert-ignore
+merges (`database/__init__.py:60-127`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dfx_indicators_etl_spark.sources import sinks
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+@pytest.fixture()
+def base_rows(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0), (3, "gamma", 30.0)],
+        "id bigint, name string, value double",
+    )
+
+
+def test_jdbc_roundtrip(spark, derby_url, base_rows):
+    sinks.write_jdbc(base_rows, derby_url, "obs", mode="overwrite", driver=DRIVER)
+    back = sinks.read_jdbc(spark, derby_url, "obs", driver=DRIVER)
+    assert sorted((r.id, r.name, r.value) for r in back.collect()) == [
+        (1, "alpha", 10.0),
+        (2, "beta", 20.0),
+        (3, "gamma", 30.0),
+    ]
+
+
+def test_jdbc_partitioned_read(spark, derby_url, base_rows):
+    sinks.write_jdbc(base_rows, derby_url, "obs2", mode="overwrite", driver=DRIVER)
+    back = sinks.read_jdbc(
+        spark,
+        derby_url,
+        "obs2",
+        driver=DRIVER,
+        partition_column="id",
+        lower_bound=1,
+        upper_bound=4,
+        num_partitions=3,
+    )
+    assert back.rdd.getNumPartitions() == 3
+    assert back.count() == 3
+
+
+def test_jdbc_upsert_incoming_wins(spark, derby_url, base_rows):
+    sinks.jdbc_upsert(base_rows, derby_url, "merged", ("id",), driver=DRIVER)
+    incoming = spark.createDataFrame(
+        [(2, "beta2", 99.0), (4, "delta", 40.0)],
+        "id bigint, name string, value double",
+    )
+    sinks.jdbc_upsert(incoming, derby_url, "merged", ("id",), driver=DRIVER)
+    back = sinks.read_jdbc(spark, derby_url, "merged", driver=DRIVER)
+    rows = {r.id: (r.name, r.value) for r in back.collect()}
+    assert rows == {
+        1: ("alpha", 10.0),
+        2: ("beta2", 99.0),  # conflict: incoming wins
+        3: ("gamma", 30.0),
+        4: ("delta", 40.0),
+    }
+
+
+def test_jdbc_insert_ignore_existing_wins(spark, derby_url, base_rows):
+    sinks.jdbc_upsert(base_rows, derby_url, "kept", ("id",), driver=DRIVER)
+    incoming = spark.createDataFrame(
+        [(2, "beta2", 99.0), (4, "delta", 40.0)],
+        "id bigint, name string, value double",
+    )
+    sinks.jdbc_upsert(
+        incoming, derby_url, "kept", ("id",), driver=DRIVER, insert_only=True
+    )
+    back = sinks.read_jdbc(spark, derby_url, "kept", driver=DRIVER)
+    rows = {r.id: (r.name, r.value) for r in back.collect()}
+    assert rows == {
+        1: ("alpha", 10.0),
+        2: ("beta", 20.0),  # conflict: existing wins
+        3: ("gamma", 30.0),
+        4: ("delta", 40.0),
+    }

@@ -71,13 +71,22 @@ def test_minhash_lsh_finds_near_dup(planted):
 
 
 def test_simhash_hamming(planted):
+    # Hamming tolerance 10 needs > 10 bands for guaranteed recall.
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(planted, max_hamming=10).collect()
+        for r in dedup.simhash_pairs(planted, max_hamming=10, bands=16).collect()
     }
     assert pairs[(1, 2)] == 0            # identical docs → identical simhash
     assert pairs[(1, 3)] <= 10           # near dup within radius
     assert (1, 4) not in pairs
+
+
+def test_simhash_rejects_unguaranteed_radius(planted):
+    # max_hamming >= bands would silently miss qualifying pairs.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.simhash_pairs(planted, max_hamming=8, bands=8)
 
 
 def test_ngram_jaccard_max_freq_cap(planted):

@@ -65,8 +65,15 @@ def test_resolve_storage_root(monkeypatch):
 def test_read_dataset_rejects_unknown_extension(spark):
     with pytest.raises(ValueError):
         sinks.read_dataset(spark, "/x/file.zip")
-    with pytest.raises(NotImplementedError):
-        sinks.read_dataset(spark, "/x/file.xlsx")
+
+
+def test_read_dataset_dispatches_xlsx(spark, tmp_path):
+    from dfx_indicators_etl_spark.sources import xlsx
+
+    path = str(tmp_path / "d.xlsx")
+    xlsx.write_xlsx(path, {"S": [["k", "v"], ["a", 1.0]]})
+    df = sinks.read_dataset(spark, path)
+    assert [(r.k, r.v) for r in df.collect()] == [("a", 1.0)]
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):

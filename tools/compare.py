@@ -3,6 +3,10 @@
 Runs every registered query on Spark and its DuckDB oracle on the same
 parquet tables, then compares row count, column names/order-insensitive
 values. Used while iterating (``python tools/compare.py [sf_dir] [keys...]``).
+
+``--default`` runs on a stock ``SparkSession.builder.getOrCreate()``
+session and strips the engine's runtime confs before every query —
+exactly the driver's environment (ANSI on, no nanosAsLong).
 """
 
 from __future__ import annotations
@@ -39,9 +43,17 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("compare")
+    args = [a for a in sys.argv[1:] if a != "--default"]
+    default_session = "--default" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if default_session:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("compare").getOrCreate()
+    else:
+        spark = get_spark("compare")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -51,6 +63,14 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if default_session:
+            from dfx_indicators_etl_spark.session import RUNTIME_CONFS
+
+            for key in RUNTIME_CONFS:
+                try:
+                    spark.conf.unset(key)
+                except Exception:  # noqa: BLE001
+                    pass
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns

@@ -24,6 +24,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
 ]
 
 
@@ -283,6 +284,72 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-duplicate pair list, labeled by the component's minimum id.
+
+    The step every dedup pipeline needs after pair generation — pairs
+    say "A≈B"; the pipeline keeps one doc per *cluster*, and clusters
+    are the transitive closure of the pair relation.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors (one join + one
+    map-side-combinable min-aggregate per round), converging in
+    graph-diameter rounds — near-dup graphs are overwhelmingly tiny
+    cliques/chains, so diameter is small in practice and
+    ``max_iterations`` guards the pathological path case. Labels are
+    eagerly localCheckpoint-ed each round: iterative self-referential
+    plans otherwise grow exponentially deep lineage. The convergence
+    probe (``limit(1).count()``) is a control-plane action per round,
+    same as any iterative driver loop (cf. Lloyd's in ``ivf_topk``).
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("new")
+            .join(labels.alias("old"), F.col("new.node") == F.col("old.node"))
+            .filter(F.col("new.label") != F.col("old.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

@@ -20,6 +20,8 @@ __all__ = [
     "language_id",
     "fingerprint",
     "word_vocab",
+    "scrub_pii",
+    "repetition_stats",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -161,6 +163,63 @@ def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataF
         "word",
         F.col("n").cast("bigint").alias("n"),
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB
+# et al.) evaluate identically — no lookaround, no backreferences.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass: mask emails then phone-shaped digit runs.
+
+    The standard pre-training redaction step. Two ``regexp_replace``
+    projections in one codegen pass — emails first so digits inside an
+    address can't double-match as a phone; counts are taken on the
+    original text so they report what was masked.
+    """
+    text = F.col(text_col)
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    scrubbed = F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]")
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PHONE_PATTERN))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition ratio over word n-grams.
+
+    rep_ratio = 1 − distinct/total shingles — the Gopher-style
+    duplicated-n-gram fraction used to drop boilerplate/spam. One
+    narrow pass (shingle arrays never explode into rows); documents
+    shorter than ``n`` tokens are excluded (no shingles to measure).
+    """
+    from .dedup import shingles_from_tokens  # local: dedup imports text
+
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    with_sh = tokenized.select(
+        "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    total = F.size("__sh").cast("bigint")
+    distinct = F.size(F.array_distinct(F.col("__sh"))).cast("bigint")
+    return with_sh.select(
+        "doc_id",
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(
+            "rep_ratio"
+        ),
     )
 
 

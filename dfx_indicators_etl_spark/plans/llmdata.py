@@ -80,6 +80,108 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE toks AS ({TOKS_SQL}),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM doc_shingles a
+        JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY 1),
+    pairs AS (
+        SELECT doc_a, doc_b FROM co
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: transitive closure of the exact-Jaccard
+    pair relation, labeled by component-minimum doc id.
+
+    The Spark side is iterative min-label propagation
+    (``operators.dedup.connected_components``); the oracle computes the
+    same closure with a recursive CTE — a genuinely iterative operator
+    still held to a full value-level oracle because the pair input
+    (exact Jaccard, not hashes) is engine-deterministic.
+    """
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return dedup.connected_components(pairs)
+
+
+@query(
+    "text_scrub_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails/phone-shaped runs masked, counts kept."""
+    return text.scrub_pii(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    sh AS (
+        SELECT doc_id,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                FOR i IN range(1, len(t) - 1)] AS shingles
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles)
+               AS rep_ratio
+    FROM sh
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition ratio (boilerplate signal)."""
+    return text.repetition_stats(read_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming ≤ 7, guaranteed recall:

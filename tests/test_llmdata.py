@@ -89,6 +89,52 @@ def test_simhash_rejects_unguaranteed_radius(planted):
         dedup.simhash_pairs(planted, max_hamming=8, bands=8)
 
 
+def test_connected_components_labels_transitive_closure(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # {1,2,3,9} chain collapses to min id 1; {5,6} to 5.
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or call +1 (555) 123-4567 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.scrub_pii(df).collect()}
+    assert "[EMAIL]" in rows[1]["scrubbed"] and "[PHONE]" in rows[1]["scrubbed"]
+    assert "example.org" not in rows[1]["scrubbed"]
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "no pii here"
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),     # one distinct trigram
+            (2, "all words here are fully distinct"),  # no repeats
+            (3, "too short"),                          # < 3 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.repetition_stats(df).collect()}
+    assert rows[1]["n_distinct"] == 1 and rows[1]["rep_ratio"] == 0.75
+    assert rows[2]["rep_ratio"] == 0.0
+    assert 3 not in rows
+
+
 def test_ngram_jaccard_max_freq_cap(planted):
     # With an aggressive cap every shared shingle is dropped → no pairs.
     capped = dedup.ngram_jaccard_pairs(planted, threshold=0.1, max_shingle_freq=1)

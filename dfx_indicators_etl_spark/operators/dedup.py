@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -225,6 +226,13 @@ def minhash_lsh_pairs(
     collides in ≥1 band (bucket join on the band hash — the inverted
     index again, never an all-pairs product). Candidates verify by the
     estimated Jaccard (fraction of equal signature components).
+
+    ``max_band_bucket`` drops band buckets holding more than K
+    documents — the skew guard at corpus scale: a boilerplate cluster
+    of 1M identical docs otherwise lands in one bucket and the
+    self-join emits 10¹² rows. Dropped buckets are exactly the "too
+    common to be interesting" mass (their members still pair through
+    any *less* crowded band). None = exhaustive candidates.
     """
     # Signatures feed the band explode AND both sides of the verify
     # join — a lazy localCheckpoint computes the sketch once
@@ -254,6 +262,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_band_bucket is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_hash")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(ok, ["band_idx", "band_hash"], "left_semi")
     candidates = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
@@ -403,6 +419,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = SIMHASH_BANDS,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming(simhash) ≤ k — exact recall.
 
@@ -429,16 +446,28 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    bands = sims.select(
+    exploded = sims.select(
         "doc_id",
         "simhash",
         F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
     )
-    left = bands.select(
+    if max_band_bucket is not None:
+        # Skew guard (see minhash_lsh_pairs): drop band buckets larger
+        # than K docs before the self-join — exact recall becomes
+        # approximate only for mega-cluster members, which any less
+        # crowded band still pairs up.
+        ok = (
+            exploded.groupBy("band_idx", "band_val")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_val")
+        )
+        exploded = exploded.join(ok, ["band_idx", "band_val"], "left_semi")
+    left = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
         "band_idx", "band_val",
     )
-    right = bands.select(
+    right = exploded.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
         "band_idx", "band_val",
     )

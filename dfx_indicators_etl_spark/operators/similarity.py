@@ -113,7 +113,8 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine ≥ threshold.
 
@@ -126,14 +127,31 @@ def embedding_cosine_pairs(
     numpy per task — the exchange moves each row ``n_blocks`` times
     (once per block pair it participates in), never n² rows.
 
-    Scale sizing: a task holds two blocks ≈ 2·(n/n_blocks)·dim·8 B, so
-    pick ``n_blocks ≈ n·dim·8 / (task_mem/2)`` — n_blocks grows ~√n for
-    fixed task memory while per-row replication grows the same √n. At
-    true 100 TB corpus scale prefer the LSH/IVF candidate generators
-    (``hyperplane_lsh_topk`` / ``ivf_topk``) with exact verification of
-    candidates only; this operator is the exact-semantics path.
+    Scale sizing: a task holds two blocks ≈ 2·(n/n_blocks)·dim·8 B.
+    ``n_blocks=None`` auto-sizes from a count+first probe (control-plane
+    actions) so each block is ~``target_block_bytes``: small corpora
+    get few blocks (low replication), huge corpora get enough blocks to
+    bound task memory — n_blocks grows ~√n while per-row replication
+    grows the same √n. At true 100 TB corpus scale prefer the LSH/IVF
+    candidate generators (``hyperplane_lsh_topk`` / ``ivf_topk``) with
+    exact verification of candidates only; this operator is the
+    exact-semantics path.
     """
     spark = df.sparkSession
+    if n_blocks is None:
+        # Memory bound: blocks small enough for two per task. Parallelism
+        # bound: enough block pairs (B(B+1)/2) to occupy the cluster —
+        # replicating a small corpus a few extra times is cheaper than
+        # running its O(n²) scoring on one core.
+        import math
+
+        n = df.count()
+        dim = len(df.select(vec_col).first()[0]) if n else 1
+        per_block_rows = max(target_block_bytes // (dim * 8), 1)
+        b_mem = -(-n // per_block_rows)
+        par = spark.sparkContext.defaultParallelism
+        b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+        n_blocks = max(1, min(64, max(b_mem, b_par), n or 1))
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "pb_a int, pb_b int",

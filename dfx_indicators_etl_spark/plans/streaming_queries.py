@@ -150,6 +150,50 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_incremental_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental landing: the event stream appends micro-batches to a
+    parquet dataset through Spark's file sink — checkpoint + the sink's
+    metadata log give exactly-once landed files across restarts (the
+    streaming analogue of the reference's full-extract load). The
+    result aggregates the *landed* dataset, so the oracle equality
+    proves no batch was lost or doubled.
+    """
+    root = _scratch("dfx_stream_land_")
+    try:
+        stream = streaming.read_events_stream(spark, sf_dir)
+        out, ckpt = f"{root}/landed", f"{root}/ckpt"
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("incremental landing drain exceeded 120s")
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,

@@ -141,6 +141,26 @@ def test_ngram_jaccard_max_freq_cap(planted):
     assert capped.count() == 0
 
 
+def test_minhash_band_bucket_cap(planted):
+    # Bucket cap 1 drops every colliding band bucket → no candidates;
+    # a generous cap changes nothing.
+    assert (
+        dedup.minhash_lsh_pairs(planted, threshold=0.1, max_band_bucket=1).count()
+        == 0
+    )
+    uncapped = dedup.minhash_lsh_pairs(planted, threshold=0.4).collect()
+    capped = dedup.minhash_lsh_pairs(
+        planted, threshold=0.4, max_band_bucket=1000
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_simhash_band_bucket_cap(planted):
+    assert (
+        dedup.simhash_pairs(planted, max_hamming=7, max_band_bucket=1).count() == 0
+    )
+
+
 def test_brute_force_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [

@@ -41,11 +41,16 @@ HEADLINE = (
     "q_percentile",
     "q_range_join",
     "ind_upsert",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "text_quality",
+    "text_repetition",
     "sim_bruteforce_topk",
+    "stream_incremental_sink",
     "ind_standardize",
     "ind_observation_view",
     "ind_star_observation",

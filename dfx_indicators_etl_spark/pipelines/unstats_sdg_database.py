@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import indicator as ops
 from ..sources import read_csv
+from ..sources.xlsx import xlsx_to_spark
 from .base import BaseRetriever, BaseTransformer
 
 __all__ = ["Retriever", "Transformer", "KNOWN_COLUMNS"]
@@ -50,10 +51,32 @@ def _snake(name: str) -> str:
 
 
 class Retriever(BaseRetriever):
-    uri = "inputs/SDG/*.csv"
+    """Bulk-extract loader: the reference reads one ``Goal{n}.xlsx``
+    per SDG goal and concatenates (unstats_sdg_database.py:52-66);
+    here a directory of ``Goal*.xlsx`` parses through the OOXML bridge
+    and unions (missing columns null-filled, like ``pd.concat``). A
+    ``.csv`` path loads the same extract in CSV form (distributed
+    scan — prefer it when the extract is large)."""
+
+    uri = "inputs/SDG"
 
     def __call__(self, spark: SparkSession, path: str | None = None, **kwargs) -> DataFrame:
-        return read_csv(spark, path or self.uri, **kwargs)
+        import glob as _glob
+        import os as _os
+
+        path = path or self.uri
+        if path.endswith(".csv") or "*" in path:
+            return read_csv(spark, path, **kwargs)
+        if path.endswith(".xlsx"):
+            return xlsx_to_spark(spark, path)
+        workbooks = sorted(_glob.glob(_os.path.join(path, "Goal*.xlsx")))
+        if not workbooks:
+            raise FileNotFoundError(f"no Goal*.xlsx under {path!r}")
+        frames = [xlsx_to_spark(spark, wb) for wb in workbooks]
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out
 
 
 class Transformer(BaseTransformer):

@@ -230,6 +230,27 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_percentile")  # rows-only: sketch-based approximation
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx``.
+
+    The scale path for quantiles: mergeable sketches aggregate
+    map-side, so no global sort and no per-group materialization —
+    the 100 TB answer to ``q_percentile``'s exact (sort-based) twin.
+    Accuracy is bounded by the relative-error parameter (10⁴ here);
+    tests assert the sketch lands within tolerance of exact.
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        *[
+            F.round(
+                F.percentile_approx("value", q, 10_000), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
 @query(
     "q12_priority_class",
     oracle="""

@@ -51,3 +51,27 @@ def test_q5_broadcasts_dims(spark, sf_dir):
     """Dimension joins must be broadcast — no shuffle on the dim side."""
     plan = QUERIES["q5_local_supplier"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_percentile_rank_accuracy(spark, duck, sf_dir):
+    """percentile_approx guarantees *rank* accuracy (a value whose true
+    quantile is within ±ε of the target), not value proximity — heavy
+    tails make adjacent order statistics arbitrarily far apart. Assert
+    each sketch output lands inside the exact [q−0.02, q+0.02]
+    quantile band."""
+    approx = {
+        r["event_type"]: r
+        for r in QUERIES["q_approx_percentile"](spark, sf_dir).collect()
+    }
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_q, hi_q = max(q - 0.02, 0.0), min(q + 0.02, 1.0)
+        bands = duck.execute(
+            "SELECT event_type, quantile_cont(value, ?) AS lo, "
+            "quantile_cont(value, ?) AS hi FROM events GROUP BY 1",
+            [lo_q, hi_q],
+        ).fetchall()
+        for event_type, lo, hi in bands:
+            assert lo - 1e-9 <= approx[event_type][col] <= hi + 1e-9, (
+                f"{event_type} {col}: {approx[event_type][col]} outside "
+                f"[{lo}, {hi}]"
+            )

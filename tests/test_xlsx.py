@@ -100,6 +100,38 @@ def test_sipri_retriever_from_xlsx(spark, sipri_workbook):
     assert all(r["2020"] is None for r in fr)
 
 
+def test_sdg_database_goal_workbooks(spark, tmp_path):
+    from dfx_indicators_etl_spark.pipelines import unstats_sdg_database as sdg
+
+    header = ["SeriesCode", "SeriesDescription", "GeoAreaCode", "TimePeriod",
+              "Value", "Sex"]
+    xlsx.write_xlsx(
+        str(tmp_path / "Goal1.xlsx"),
+        {"data": [header, ["SI_POV", "Poverty", 250, 2019, 1.5, "F"]]},
+    )
+    xlsx.write_xlsx(
+        str(tmp_path / "Goal2.xlsx"),
+        # no Sex column: union must null-fill it
+        {"data": [header[:-1], ["SN_HUN", "Hunger", 276, 2020, 2.5]]},
+    )
+    raw = sdg.Retriever()(spark, path=str(tmp_path))
+    assert raw.count() == 2
+    rows = {r["SeriesCode"]: r for r in raw.collect()}
+    assert rows["SI_POV"]["Sex"] == "F"
+    assert rows["SN_HUN"]["Sex"] is None
+
+    mapping = spark.createDataFrame(
+        [("France", "250", "FRA"), ("Germany", "276", "DEU")],
+        ["name", "m49", "iso_alpha_3"],
+    )
+    out = sdg.Transformer(mapping)(
+        raw, provider="unstats_sdg_database", countries=mapping,
+        country_key="iso_alpha_3",
+    )
+    got = {(r.country_code, r.year): r.value for r in out.collect()}
+    assert got == {("FRA", 2019): 1.5, ("DEU", 2020): 2.5}
+
+
 def test_sipri_xlsx_end_to_end(spark, sipri_workbook):
     mapping = spark.createDataFrame(
         [("France", "250", "FRA"), ("Germany", "276", "DEU")],

@@ -19,6 +19,8 @@ from .text import tokens
 __all__ = [
     "exact_dedup",
     "shingles",
+    "token_hashes",
+    "hashed_gram_ids",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -90,6 +92,33 @@ def _with_shingles(
     return tokenized.select("doc_id", grams.alias("shingles"))
 
 
+def token_hashes(text: Column | str) -> Column:
+    """Token array → xxhash64 array (project this into a NAMED column
+    before feeding ``hashed_gram_ids`` — an inlined expression would
+    re-evaluate per index inside the higher-order lambda)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+
+def hashed_gram_ids(th: Column, n: int, distinct: bool = True) -> Column:
+    """Shingle ids as xxhash64 over slices of a MATERIALIZED token-hash
+    array column.
+
+    The fast shingle representation shared by MinHash, Jaccard, and
+    repetition stats: hash each token once, then a shingle id is one
+    xxhash64 over the n-slice — ~4× cheaper than building shingle
+    *strings* (3× concat per index, interpreted), and longs, not text,
+    ride every downstream shuffle. 64-bit collisions at corpus shingle
+    cardinality (~2⁻⁶⁴·k²/2) are immaterial to similarity values.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(th) - n),
+        lambda i: F.xxhash64(F.slice(th, (i + 1).cast("int"), n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<long>"))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (single-expression form; prefer
     ``_with_shingles`` / ``shingles_from_tokens`` in operator plans)."""
@@ -115,6 +144,10 @@ def ngram_jaccard_pairs(
     documents — the standard skew guard at corpus scale (a boilerplate
     shingle shared by 1M docs would otherwise create 10¹² join rows).
     Leave None for exact semantics (the oracle-checked mode).
+
+    Shingles are hashed ids, not strings (``hashed_gram_ids``): the
+    inverted index keys and self-join shuffle move longs. Similarity
+    values are exact up to a ~2⁻⁶⁴·k² hash-collision chance.
     """
     # Referenced three times below (sizes + both join sides) — a lazy
     # localCheckpoint materializes the shingle explode+distinct once at
@@ -122,9 +155,9 @@ def ngram_jaccard_pairs(
     # cleaner when the result plan is garbage-collected, so repeated
     # calls in a long-lived session don't accumulate storage.
     doc_shingles = (
-        _with_shingles(df, n, text_col, id_col, distinct=False)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th"))
+        .select("doc_id", F.explode(hashed_gram_ids(F.col("__th"), n)).alias("shingle"))
         .localCheckpoint(eager=False)
     )
     if max_shingle_freq is not None:
@@ -172,27 +205,14 @@ def minhash_signatures(
     or not the session runs ANSI mode (Spark 4 defaults ANSI *on*,
     where a raw 64-bit polynomial combine raises ARITHMETIC_OVERFLOW).
     """
-    # Shingles as combined token hashes, never as strings: hash each
-    # token once (codegen), then a shingle id is xxhash64 over the
-    # slice of n consecutive token hashes. Skips 3× string
-    # concatenation and shuffles longs instead of text.
+    # Shingles as combined token hashes, never as strings (see
+    # ``hashed_gram_ids``): skips 3× string concatenation and shuffles
+    # longs instead of text.
     tokenized = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+        F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th")
     )
-    th = F.col("__th")
-
-    def shingle_hash(i: Column) -> Column:
-        return F.xxhash64(F.slice(th, (i + 1).cast("int"), n))
-
-    gram_ids = F.when(
-        F.size(th) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), F.size(th) - n), shingle_hash)
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     exploded = tokenized.select(
-        "doc_id", F.explode(gram_ids).alias("h")
+        "doc_id", F.explode(hashed_gram_ids(F.col("__th"), n)).alias("h")
     )
     # One codegen'd hash-aggregate computes all 64 permutation minima —
     # higher-order array functions are interpreted row-at-a-time in
@@ -344,24 +364,22 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the previous label through the update: convergence then
+        # reads the already-materialized checkpoint (a near-free second
+        # action) instead of re-joining two label generations.
         updated = (
             labels.join(neigh, labels["node"] == neigh["u"], "left")
             .select(
                 labels["node"].alias("node"),
+                labels["label"].alias("prev"),
                 F.least(
                     labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("new")
-            .join(labels.alias("old"), F.col("new.node") == F.col("old.node"))
-            .filter(F.col("new.label") != F.col("old.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("label") != F.col("prev")).limit(1).count()
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     return labels.select(

@@ -199,22 +199,28 @@ def repetition_stats(
     """Within-document repetition ratio over word n-grams.
 
     rep_ratio = 1 − distinct/total shingles — the Gopher-style
-    duplicated-n-gram fraction used to drop boilerplate/spam. One
-    narrow pass (shingle arrays never explode into rows); documents
-    shorter than ``n`` tokens are excluded (no shingles to measure).
+    duplicated-n-gram fraction used to drop boilerplate/spam.
+    Documents shorter than ``n`` tokens are excluded (no shingles to
+    measure). Shingles are hashed ids (``dedup.hashed_gram_ids``) —
+    the ratio is exact up to a ~2⁻⁶⁴·k² per-doc collision chance.
+
+    Shape: explode + one map-side-combinable aggregate. The gram array
+    evaluates exactly once per document — keeping it as an array column
+    would let CollapseProject inline the (interpreted, expensive)
+    transform into every consumer expression and evaluate it 3×.
     """
-    from .dedup import shingles_from_tokens  # local: dedup imports text
+    from .dedup import hashed_gram_ids, token_hashes  # local: dedup imports text
 
     tokenized = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+        F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th")
     )
-    with_sh = tokenized.select(
-        "doc_id", shingles_from_tokens(F.col("__toks"), n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    total = F.size("__sh").cast("bigint")
-    distinct = F.size(F.array_distinct(F.col("__sh"))).cast("bigint")
-    return with_sh.select(
+    exploded = tokenized.select(
         "doc_id",
+        F.explode(hashed_gram_ids(F.col("__th"), n, distinct=False)).alias("__h"),
+    )
+    total = F.count("__h").cast("bigint")
+    distinct = F.count_distinct("__h").cast("bigint")
+    return exploded.groupBy("doc_id").agg(
         total.alias("n_shingles"),
         distinct.alias("n_distinct"),
         (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(

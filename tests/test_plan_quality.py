@@ -1,0 +1,110 @@
+"""Plan-quality guards (SURVEY §4): assert the *shape* of physical
+plans, not just results — pushdown reaching scans, dims broadcasting,
+and above all no row-at-a-time Python creeping into JVM-only operators.
+
+These are regression tests for the properties that matter at 100 TB:
+a query that silently gains a BatchEvalPython node or loses a
+broadcast still returns correct rows at sf0.001, so only a plan
+assertion catches the scale defect.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dfx_indicators_etl_spark.plans import QUERIES
+
+# Queries allowed to run Python at all (Arrow-batched by design:
+# BLAS scoring, stub codecs, stateful sessionization). Everything
+# else must stay whole-stage-codegen JVM.
+ARROW_OK = {
+    "sim_bruteforce_topk",
+    "sim_ivf_ann",
+    "dedup_embedding_cosine",
+    "mm_decode_stub",
+    "mm_resize_stub",
+    "mm_frame_sample",
+    "stream_sessionize",
+}
+
+# Batch, SQL-expressible, JVM-only queries — a representative sweep
+# (streaming drains and sink round-trips execute eagerly, so they are
+# exercised elsewhere; plan text for them reflects the memory sink).
+JVM_ONLY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q_window_topk",
+    "q_asof_join",
+    "q_percentile",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_scrub_pii",
+    "text_repetition",
+    "text_word_vocab",
+    "sample_stratified",
+    "sample_train_test",
+    "emb_l2_norm",
+    "emb_label_centroids",
+    "ind_standardize",
+    "ind_star_observation",
+]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", JVM_ONLY)
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} gained a Python UDF hot path"
+    # Arrow-batched Python is reserved for the ARROW_OK set.
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+        f"{name} unexpectedly runs Python (Arrow) — move it to ARROW_OK "
+        "only if the Python is genuinely required"
+    )
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_q8_star_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    # part/customer-region/supplier-nation all broadcast; the only
+    # sort-merge-eligible join is the fact-fact lineitem⋈orders.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_sample_train_test_no_shuffle_split(spark, sf_dir):
+    # The split itself is a pure map; the only exchange belongs to the
+    # summarizing groupBy, never to assigning rows to splits.
+    plan = _plan(spark, sf_dir, "sample_train_test")
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_exact_dedup_two_phase_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_exact")
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_minhash_all_jvm_single_agg_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash")
+    assert "xxhash64" in plan.lower()
+    assert "BatchEvalPython" not in plan

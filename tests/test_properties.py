@@ -144,3 +144,44 @@ def test_combine_dimensions_empty_string_edge(spark):
         for r in ops.combine_dimensions(df, prefix="dimension_").collect()
     }
     assert got == {1: "", 2: "Total"}
+
+
+# --- XLSX round-trip: arbitrary rectangular cell grids survive -----------
+
+CELL = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "Zs"), max_codepoint=0x2FFF
+        ),
+        max_size=20,
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),  # width
+    st.lists(st.lists(CELL, min_size=0, max_size=6), min_size=1, max_size=8),
+)
+def test_xlsx_roundtrip_property(tmp_path_factory, width, grid):
+    from dfx_indicators_etl_spark.sources import xlsx
+
+    rows = [row[:width] for row in grid]
+    path = str(tmp_path_factory.mktemp("xlsx_prop") / "t.xlsx")
+    xlsx.write_xlsx(path, {"S": rows})
+    back = xlsx.read_xlsx(path, "S")
+    # Reader pads to the widest *populated* cell; compare cell-wise on
+    # the written prefix, treating missing as None.
+    for ri, row in enumerate(rows):
+        for ci, value in enumerate(row):
+            got = back[ri][ci] if ri < len(back) and ci < len(back[ri]) else None
+            if isinstance(value, float):
+                assert got is not None and math.isclose(got, value, rel_tol=1e-15)
+            elif isinstance(value, str) and value == "":
+                assert got in ("", None)
+            else:
+                assert got == value, (ri, ci, value, got)

@@ -73,16 +73,24 @@ def main() -> None:
             fn(spark, warm_dir).collect()
     spark.catalog.clearCache()
 
+    # Two timed repetitions, keeping the per-query minimum: single-shot
+    # timings on a busy host carry 2× noise (observed q1 1.17s vs 2.26s
+    # for identical code); min-of-N reports the plan's cost, not the
+    # scheduler's mood. The cache is cleared between runs so each rep
+    # still reads parquet cold and recomputes every shuffle.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        start = time.time()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - start, 3)
-        del rows
-        spark.catalog.clearCache()
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            start = time.time()
+            rows = fn(spark, sf_dir).collect()
+            elapsed = round(time.time() - start, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            del rows
+            spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -45,6 +45,21 @@ class PipelineSettings:
     year_max: int = 2030
     http_timeout: float = 30.0
 
+    @classmethod
+    def from_env(cls) -> "PipelineSettings":
+        """Environment-driven construction (the reference's
+        pydantic-settings layer, `settings.py:35-52`): PIPELINE_YEAR_MIN,
+        PIPELINE_YEAR_MAX, PIPELINE_HTTP_TIMEOUT override the defaults."""
+        import os
+
+        return cls(
+            year_min=int(os.environ.get("PIPELINE_YEAR_MIN", cls.year_min)),
+            year_max=int(os.environ.get("PIPELINE_YEAR_MAX", cls.year_max)),
+            http_timeout=float(
+                os.environ.get("PIPELINE_HTTP_TIMEOUT", cls.http_timeout)
+            ),
+        )
+
 
 class BaseRetriever(ABC):
     """Fetch raw data for one source (`pipelines/_base.py:34-121`).

@@ -230,6 +230,65 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT 'hour' AS level, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           event_type, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', time_bucket(INTERVAL '1 day', ts), event_type,
+           COUNT(*), round(SUM(value), 4)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts), event_type,
+           COUNT(*), round(SUM(value), 4)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: hour /
+    day / month rollups of the event stream in ONE pass.
+
+    GROUPING SETS over the three truncation granularities plans as a
+    single Expand + aggregate — the fact scans once, not once per
+    resolution (the UNION ALL form the oracle uses would scan 3×).
+    The aggregate stays map-side combinable on (bucket, event_type).
+    """
+    from ..sources import read_table as _rt
+
+    events = _rt(spark, sf_dir, "events")
+    buckets = events.select(
+        F.date_trunc("hour", "ts").alias("__h"),
+        F.date_trunc("day", "ts").alias("__d"),
+        F.date_trunc("month", "ts").alias("__m"),
+        "event_type",
+        "value",
+    )
+    rolled = buckets.groupingSets(
+        [["__h", "event_type"], ["__d", "event_type"], ["__m", "event_type"]],
+        "__h",
+        "__d",
+        "__m",
+        "event_type",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    level = (
+        F.when(F.col("__h").isNotNull(), "hour")
+        .when(F.col("__d").isNotNull(), "day")
+        .otherwise("month")
+    )
+    return rolled.select(
+        level.alias("level"),
+        F.coalesce("__h", "__d", "__m").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 @query("q_approx_percentile")  # rows-only: sketch-based approximation
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles via ``percentile_approx``.

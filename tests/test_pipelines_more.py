@@ -195,3 +195,14 @@ def test_unstats_sdg_database(spark, country_mapping):
         ("FRA", 2019, 2.5, "Female; ALLAGE",
          "Poverty headcount [SI_POV_DAY1]")
     ]
+
+
+def test_pipeline_settings_from_env(monkeypatch):
+    from dfx_indicators_etl_spark.pipelines.base import PipelineSettings
+
+    assert PipelineSettings.from_env() == PipelineSettings()
+    monkeypatch.setenv("PIPELINE_YEAR_MIN", "1990")
+    monkeypatch.setenv("PIPELINE_HTTP_TIMEOUT", "5.5")
+    got = PipelineSettings.from_env()
+    assert got.year_min == 1990 and got.year_max == 2030
+    assert got.http_timeout == 5.5

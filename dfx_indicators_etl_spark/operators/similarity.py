@@ -22,6 +22,7 @@ __all__ = [
     "cosine",
     "l2_norms",
     "label_centroids",
+    "random_projection",
     "brute_force_topk",
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
@@ -428,6 +429,50 @@ def hyperplane_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims.
+
+    The standard pre-ANN compression step: a fixed dense Gaussian
+    projection matrix (seeded → reproducible across runs/executors),
+    scaled 1/√out_dim so expected norms are preserved. The matrix is
+    control-plane sized (in_dim × out_dim floats) and ships in the UDF
+    closure; each partition projects with one Arrow-batched BLAS
+    matmul — a narrow map, no shuffle, linear in corpus size.
+    """
+    rng = np.random.default_rng(seed)
+    proj_by_dim: dict[int, np.ndarray] = {}
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = mat.shape[1]
+            if d not in proj_by_dim:
+                local = np.random.default_rng(seed)
+                proj_by_dim[d] = local.standard_normal((d, out_dim)) / np.sqrt(
+                    out_dim
+                )
+            out = mat @ proj_by_dim[d]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "projected": [row.astype(np.float32) for row in out],
+                }
+            )
+
+    del rng  # matrix is rebuilt per-executor from the seed (cheap, exact)
+    return df.select(id_col, vec_col).mapInPandas(
+        project, "vec_id long, projected array<float>"
     )
 
 

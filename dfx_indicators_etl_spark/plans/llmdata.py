@@ -500,6 +500,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_random_projection")  # rows-only: seeded-RNG matrix is engine-specific
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64→16 dims (pre-ANN compression;
+    distance-preservation asserted in tests)."""
+    return similarity.random_projection(
+        read_table(spark, sf_dir, "embeddings"), out_dim=16
+    )
+
+
 @query(
     "emb_l2_norm",
     oracle="""

@@ -224,3 +224,39 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     assert len(ivf) == len(bf)  # k rows per query either way
     assert len(bf & ivf) / len(bf) >= 0.5
+
+
+def test_random_projection_preserves_geometry(spark, sf_dir):
+    """JL property: projected norms concentrate around original norms,
+    and projected pairwise distances correlate strongly with the
+    originals (deterministic seed → stable bounds)."""
+    import numpy as np
+
+    from dfx_indicators_etl_spark.operators import similarity
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 60")
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    proj = {
+        r["vec_id"]: np.array(r["projected"], dtype=float)
+        for r in similarity.random_projection(emb, out_dim=16).collect()
+    }
+    assert set(proj) == set(orig)
+    ids = sorted(orig)
+    rel_err = [
+        abs(np.linalg.norm(proj[i]) - np.linalg.norm(orig[i]))
+        / max(np.linalg.norm(orig[i]), 1e-9)
+        for i in ids
+    ]
+    assert np.median(rel_err) < 0.35  # 16 dims → ~1/sqrt(16) typical error
+    # Random high-dim vectors are near-equidistant, so distance
+    # *correlation* is pure noise — the JL guarantee is per-distance
+    # relative error (~1/sqrt(out_dim) typical).
+    d_err = [
+        abs(np.linalg.norm(proj[a] - proj[b]) - np.linalg.norm(orig[a] - orig[b]))
+        / max(np.linalg.norm(orig[a] - orig[b]), 1e-9)
+        for a in ids[:20]
+        for b in ids[:20]
+        if a < b
+    ]
+    assert np.median(d_err) < 0.35

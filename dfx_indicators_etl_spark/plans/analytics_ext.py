@@ -19,9 +19,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import read_tables
+from ..sources.readers import register_views
 from .analytics import REVENUE_SQL, _revenue
 from .numeric import dcount, dec, dsum
 from .registry import query
+
+# One SQL text, two engines: syntax kept to the ANSI subset Spark SQL
+# and DuckDB share, so the spark.sql entry path and the oracle run the
+# *identical* statement.
+TOP_SPENDERS_SQL = """
+    WITH spend AS (
+        SELECT n_name AS nation, c_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_name
+    )
+    SELECT nation, c_name, total_spend, CAST(rn AS INT) AS nation_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY nation ORDER BY total_spend DESC, c_name
+        ) AS rn FROM spend
+    )
+    WHERE rn <= 2
+"""
+
+
+@query("q_sql_interface", oracle=TOP_SPENDERS_SQL)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entry path: tables registered as temp views and
+    the plan declared in SQL — Catalyst produces the same physical plan
+    a DataFrame formulation would (broadcast dims, partial agg,
+    WindowGroupLimit top-k pushdown). The oracle runs the *identical*
+    SQL string on DuckDB."""
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(TOP_SPENDERS_SQL)
 
 
 @query(

@@ -15,7 +15,14 @@ from pyspark.sql import types as T
 
 from ..session import ensure_session_confs
 
-__all__ = ["TABLES", "read_table", "read_tables", "read_csv", "read_jsonl"]
+__all__ = [
+    "TABLES",
+    "read_table",
+    "read_tables",
+    "register_views",
+    "read_csv",
+    "read_jsonl",
+]
 
 # Canonical test/bench tables (TPC-H-ish star schema + events stream +
 # LLM-data tables). One parquet file per table under a sf dir.
@@ -65,6 +72,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     """Read several tables at once: ``li, o = read_tables(s, d, 'lineitem', 'orders')``."""
     return tuple(read_table(spark, sf_dir, name) for name in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the named tables as temp views — the ``spark.sql``
+    entry path. Views are lazy scans (same pushdown/pruning as the
+    DataFrame readers); SQL and DataFrame forms produce identical
+    Catalyst plans."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def read_csv(

@@ -91,6 +91,20 @@ def write_dataset(
     return path
 
 
+def latest_version(root: str) -> str | None:
+    """Most recent ``vYY-MM-DD`` directory under ``root`` (lexical max
+    — the format sorts chronologically), or None when none exist. The
+    read-side pairing of ``write_dataset``'s versioned layout."""
+    import re
+
+    if not os.path.isdir(root):
+        return None
+    versions = [
+        d for d in os.listdir(root) if re.fullmatch(r"v\d{2}-\d{2}-\d{2}", d)
+    ]
+    return max(versions) if versions else None
+
+
 def read_dataset(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Read a dataset back, dispatching on extension.
 

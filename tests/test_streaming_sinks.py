@@ -262,3 +262,10 @@ def test_foreachbatch_versioned_dataset_load(spark, sf_dir, tmp_path):
     q.stop()
     landed = spark.read.parquet(f"{root}/v26-08-13/landed/events.parquet")
     assert landed.count() == read_table(spark, sf_dir, "events").count()
+
+
+def test_latest_version(tmp_path):
+    assert sinks.latest_version(str(tmp_path)) is None
+    for v in ("v25-12-31", "v26-08-01", "v26-08-13", "not-a-version"):
+        (tmp_path / v).mkdir()
+    assert sinks.latest_version(str(tmp_path)) == "v26-08-13"

@@ -323,6 +323,71 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_click,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_click
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id,
+           strftime(CASE
+               WHEN prev_click IS NULL THEN next_click
+               WHEN next_click IS NULL THEN prev_click
+               WHEN epoch_us(ts) - epoch_us(prev_click)
+                    <= epoch_us(next_click) - epoch_us(ts) THEN prev_click
+               ELSE next_click END, '%Y-%m-%d %H:%M:%S') AS nearest_click_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of join: for each purchase, the user's closest
+    click in EITHER time direction (ties → the earlier one).
+
+    Same scalable union-sort shape as the backward as-of
+    (plans/analytics.py q_asof_join): one shuffle on the entity key,
+    two frame-bounded window passes over the time-ordered stream
+    (running MAX before / running MIN after), then an arithmetic pick —
+    never a per-row range join.
+    """
+    from pyspark.sql import Window as W
+
+    from ..sources import read_table as _rt
+
+    events = _rt(spark, sf_dir, "events")
+    both = events.filter(F.col("event_type").isin("click", "purchase"))
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = both.withColumn(
+        "prev_click",
+        F.max(click_ts).over(order.rowsBetween(W.unboundedPreceding, -1)),
+    ).withColumn(
+        "next_click",
+        F.min(click_ts).over(order.rowsBetween(1, W.unboundedFollowing)),
+    )
+    prev_gap = F.unix_micros("ts") - F.unix_micros("prev_click")
+    next_gap = F.unix_micros("next_click") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_click").isNull(), F.col("next_click"))
+        .when(F.col("next_click").isNull(), F.col("prev_click"))
+        .when(prev_gap <= next_gap, F.col("prev_click"))
+        .otherwise(F.col("next_click"))
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format(nearest, "yyyy-MM-dd HH:mm:ss").alias("nearest_click_ts"),
+    )
+
+
 @query("q_approx_percentile")  # rows-only: sketch-based approximation
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles via ``percentile_approx``.

@@ -665,14 +665,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, lineitem, orders, nation = read_tables(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation"
     )
-    # Per-order totals (any supplier / R-flag suppliers).
+    # Per-order totals (any supplier / R-flag suppliers) as CASCADED
+    # aggregation: (order, supplier) partial then order — both
+    # map-side combinable. Two count_distincts in one agg would plan
+    # an Expand that doubles every shuffled row; the cascade moves
+    # each row once.
     per_order = (
-        lineitem.groupBy("l_orderkey")
+        lineitem.groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("__n_supp"),
-            F.count_distinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("__n_flagged"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("__has_r")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("__n_supp"),
+            F.sum("__has_r").alias("__n_flagged"),
         )
     )
     # One candidate row per flagged lineitem ROW (the spec counts l1

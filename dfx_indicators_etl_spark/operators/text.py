@@ -22,6 +22,8 @@ __all__ = [
     "word_vocab",
     "scrub_pii",
     "repetition_stats",
+    "contamination_flags",
+    "unigram_logprob",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -226,6 +228,76 @@ def repetition_stats(
         (F.lit(1.0) - distinct.cast("double") / total.cast("double")).alias(
             "rep_ratio"
         ),
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    ``n``-gram with the benchmark set, with the count of distinct
+    overlapping shingles per doc.
+
+    The standard eval-leakage sweep before pretraining. Inverted-index
+    shape: both sides reduce to (id, shingle-id) via the shared hashed
+    shingle path, the benchmark side dedupes to a distinct shingle set,
+    and one equi-join (semi on the benchmark side) scores overlaps —
+    cost tracks shared-shingle density, never |train|×|bench|.
+    """
+    from .dedup import hashed_gram_ids, token_hashes
+
+    tr = train.select(
+        F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th")
+    ).select("doc_id", F.explode(hashed_gram_ids(F.col("__th"), n)).alias("__g"))
+    be = (
+        bench.select(token_hashes(text_col).alias("__th"))
+        .select(F.explode(hashed_gram_ids(F.col("__th"), n)).alias("__g"))
+        .distinct()
+    )
+    return (
+        tr.join(be, "__g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_contaminated"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own MLE word distribution — the cheap "perplexity-ish"
+    quality signal (fluent text scores low, gibberish/rare-token spam
+    scores high).
+
+    Two aggregates: corpus word counts (map-side combinable,
+    vocab-sized shuffle), then a token→frequency equi-join and a
+    per-doc mean. The frequency table is vocab-sized — broadcastable
+    for natural-language vocabularies; AQE falls back to a shuffle
+    join if a pathological corpus exceeds the threshold.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    totals = words.groupBy("word").agg(F.count("*").alias("__n"))
+    corpus_n = totals.agg(F.sum("__n").alias("__total"))
+    scored = (
+        words.join(totals, "word")
+        .join(F.broadcast(corpus_n))
+        .select(
+            "doc_id",
+            (-F.log(F.col("__n").cast("double") / F.col("__total"))).alias("__nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("__nll"), 6).alias("mean_nll"),
+        F.count("*").cast("bigint").alias("n_words"),
     )
 
 

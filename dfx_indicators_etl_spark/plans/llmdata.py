@@ -182,6 +182,65 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(read_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                       || t[i+3] || ' ' || t[i+4]
+                       FOR i IN range(1, len(t) - 3)]) AS shingle
+        FROM toks WHERE len(t) >= 5
+    ),
+    bench_g AS (SELECT DISTINCT shingle FROM grams WHERE source = 'src0'),
+    train_g AS (
+        SELECT DISTINCT doc_id, shingle FROM grams WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM train_g JOIN bench_g USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage sweep: training docs (source ≠ src0) sharing any
+    5-gram with the benchmark set (source = src0), scored by distinct
+    overlapping shingles. Inverted-index semi-join — never an
+    all-pairs document product."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.contamination_flags(
+        train=docs.filter(F.col("source") != "src0"),
+        bench=docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    totals AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    corpus AS (SELECT SUM(n) AS total FROM totals)
+    SELECT doc_id,
+           round(AVG(-ln(CAST(n AS DOUBLE) / total)), 6) AS mean_nll,
+           COUNT(*) AS n_words
+    FROM words JOIN totals USING (word), corpus
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-MLE unigram NLL per document (perplexity-proxy quality)."""
+    return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming ≤ 7, guaranteed recall:

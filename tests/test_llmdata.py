@@ -260,3 +260,40 @@ def test_random_projection_preserves_geometry(spark, sf_dir):
         if a < b
     ]
     assert np.median(d_err) < 0.35
+
+
+def test_contamination_flags_planted(spark):
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the secret eval answer is forty two exactly copied"),
+            (2, "completely unrelated training document with different words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in text_ops.contamination_flags(train, bench, n=5).collect()
+    }
+    assert 1 in got and got[1] >= 1  # copied span flagged
+    assert 2 not in got              # clean doc untouched
+
+
+def test_unigram_logprob_orders_quality(spark):
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),   # high-frequency words
+            (2, "common zyxwvut"),                # contains a rare word
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.unigram_logprob(df).collect()}
+    assert rows[1]["mean_nll"] < rows[2]["mean_nll"]  # rarity raises NLL
+    assert rows[1]["n_words"] == 4 and rows[2]["n_words"] == 2

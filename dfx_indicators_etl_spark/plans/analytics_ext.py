@@ -489,6 +489,98 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's maximum-revenue supplier(s).
+
+    The view + scalar-MAX subquery decorrelates to: one pre-aggregate
+    over the date-pruned fact, a 1-row broadcast of its MAX, and a
+    broadcast supplier join — the fact scans once and only the
+    aggregated (supplier-sized) side is re-read for the max.
+    """
+    lineitem, supplier = read_tables(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue loss from small-quantity orders of one brand.
+
+    The correlated per-part average decorrelates to a pre-aggregate on
+    the brand-pruned part set: the tiny avg-per-part table broadcasts
+    back onto the fact, so the correlation costs one extra combinable
+    aggregate, never a per-row subquery execution.
+    """
+    lineitem, part = read_tables(spark, sf_dir, "lineitem", "part")
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    pruned = lineitem.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part_avg = pruned.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_cut")
+    )
+    return (
+        pruned.join(
+            F.broadcast(per_part_avg), F.col("l_partkey") == F.col("__pk")
+        )
+        .filter(F.col("l_quantity") < F.col("__qty_cut"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            dcount("n_lines"),
+        )
+    )
+
+
+@query(
     "q16_supplier_count",
     oracle="""
     SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt

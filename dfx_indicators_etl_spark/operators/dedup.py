@@ -218,8 +218,14 @@ def minhash_signatures(
     # higher-order array functions are interpreted row-at-a-time in
     # Spark, so explode+agg beats transform/array_min by ~10×. Each
     # "permutation" is xxhash64 seeded by the permutation index (hash
-    # chaining over (h, i) — overflow-free, ANSI-safe). Docs with no
-    # shingles (fewer than n tokens) have no signature rows.
+    # chaining over (h, i) — overflow-free, ANSI-safe). Cheaper
+    # families were tried and rejected: Kirsch–Mitzenmacher double
+    # hashing (h₁ + i·h₂) needs either wrap-around multiply (ANSI
+    # breaks) or pmod-bounded terms, and bounding makes the i·h₂ term
+    # negligible against h₁ — one shingle then wins every permutation
+    # and the sketch degenerates to 1 effective permutation (measured:
+    # ~40× candidate inflation). Docs with no shingles (fewer than n
+    # tokens) have no signature rows.
     mins = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"__m{i}")

@@ -108,3 +108,52 @@ def test_minhash_all_jvm_single_agg_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash")
     assert "xxhash64" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_partitioned_write_static_pruning(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become PartitionFilters
+    (directory pruning), not a data filter over all files."""
+    from dfx_indicators_etl_spark.sources import read_table, sinks
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "events_by_type")
+    sinks.write_partitioned(
+        read_table(spark, sf_dir, "events"), path, ("event_type",)
+    )
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters", 1)[1][:200]
+    assert "event_type" in frag
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamic pruning subquery on the partition column — the 100 TB
+    pattern where the dim filter decides which fact directories are
+    read at runtime."""
+    from dfx_indicators_etl_spark.sources import read_table, sinks
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "events_dpp")
+    sinks.write_partitioned(
+        read_table(spark, sf_dir, "events"), path, ("event_type",)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type").isin("click", "view"))
+    )
+    # Disable broadcast so the planner must rely on DPP, not a
+    # broadcast-join-side filter, to prune the scan.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        assert joined.count() == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

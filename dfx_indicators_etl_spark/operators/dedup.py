@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = [
+    "DEFAULT_MAX_SHINGLE_FREQ",
+    "DEFAULT_MAX_BAND_BUCKET",
     "exact_dedup",
     "shingles",
     "token_hashes",
@@ -28,6 +30,20 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
 ]
+
+
+# Library-default skew guards (VERDICT r2 §Next-round 3). At corpus
+# scale a single hot inverted-index bucket — a boilerplate shingle or
+# an empty-document MinHash band shared by 10⁶ docs — makes the bucket
+# self-join quadratic (10¹² rows from one key). The caps bound every
+# bucket's fan-out so worst-case join output is ≤ cap² per bucket,
+# independent of corpus size. Values are deliberately generous: real
+# near-duplicate buckets hold a handful of docs, so dropping >cap
+# buckets only sheds "too common to be informative" mass (for banded
+# sketches, members of a dropped bucket still pair through any less
+# crowded band). Exact/oracle-checked paths pass ``None`` explicitly.
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+DEFAULT_MAX_BAND_BUCKET = 500
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -131,7 +147,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -143,7 +159,11 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles occurring in more than K
     documents — the standard skew guard at corpus scale (a boilerplate
     shingle shared by 1M docs would otherwise create 10¹² join rows).
-    Leave None for exact semantics (the oracle-checked mode).
+    Defaults ON (``DEFAULT_MAX_SHINGLE_FREQ``) so the scale-safe
+    behavior is what a caller gets without reading the docs; pass
+    ``None`` explicitly for exact semantics (the oracle-checked mode).
+    Note the cap changes *reported similarity*, not just recall: capped
+    shingles leave both the intersection and the sizes.
 
     Shingles are hashed ids, not strings (``hashed_gram_ids``): the
     inverted index keys and self-join shuffle move longs. Similarity
@@ -244,7 +264,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_band_bucket: int | None = None,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -258,7 +278,9 @@ def minhash_lsh_pairs(
     of 1M identical docs otherwise lands in one bucket and the
     self-join emits 10¹² rows. Dropped buckets are exactly the "too
     common to be interesting" mass (their members still pair through
-    any *less* crowded band). None = exhaustive candidates.
+    any *less* crowded band). Defaults ON (``DEFAULT_MAX_BAND_BUCKET``);
+    pass ``None`` explicitly for exhaustive candidates (the
+    oracle-checked mode).
     """
     # Signatures feed the band explode AND both sides of the verify
     # join — a lazy localCheckpoint computes the sketch once
@@ -342,16 +364,24 @@ def connected_components(
     say "A≈B"; the pipeline keeps one doc per *cluster*, and clusters
     are the transitive closure of the pair relation.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors (one join + one
-    map-side-combinable min-aggregate per round), converging in
-    graph-diameter rounds — near-dup graphs are overwhelmingly tiny
-    cliques/chains, so diameter is small in practice and
-    ``max_iterations`` guards the pathological path case. Labels are
-    eagerly localCheckpoint-ed each round: iterative self-referential
-    plans otherwise grow exponentially deep lineage. The convergence
-    probe (``limit(1).count()``) is a control-plane action per round,
-    same as any iterative driver loop (cf. Lloyd's in ``ivf_topk``).
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the minimum label among itself and its neighbors
+    (one join + one map-side-combinable min-aggregate), then labels
+    short-circuit through their own labels (``label ← label(label)``,
+    one more equi-join). The jump doubles the propagation horizon per
+    round, so a chain of length d converges in O(log d) rounds instead
+    of O(d) — on near-dup graphs (tiny cliques/chains) both are small,
+    but pathological long paths no longer approach ``max_iterations``.
+    Labels are eagerly localCheckpoint-ed each round: iterative
+    self-referential plans otherwise grow exponentially deep lineage.
+    The convergence probe (``limit(1).count()``) is a control-plane
+    action per round, same as any iterative driver loop (cf. Lloyd's in
+    ``ivf_topk``).
+
+    Raises ``RuntimeError`` if the loop exits without converging —
+    partial labels are silently-wrong cluster assignments, never
+    returned (with pointer jumping, hitting this needs a path of
+    length ~2^max_iterations).
     """
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = (
@@ -364,16 +394,14 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        # Carry the previous label through the update: convergence then
-        # reads the already-materialized checkpoint (a near-free second
-        # action) instead of re-joining two label generations.
-        updated = (
+        propagated = (
             labels.join(neigh, labels["node"] == neigh["u"], "left")
             .select(
                 labels["node"].alias("node"),
@@ -382,12 +410,40 @@ def connected_components(
                     labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
                 ).alias("label"),
             )
+            # Feeds both sides of the jump self-join below — materialize
+            # the neighbor-min once, not twice.
+            .localCheckpoint(eager=False)
+        )
+        # Pointer jump: follow the label one hop (labels are node ids,
+        # so label(label) is defined; min-propagation keeps every label
+        # a member of the node's own component and non-increasing, so
+        # the jump preserves correctness while halving rounds-to-
+        # convergence on chains). Carry ``prev`` through so the
+        # convergence probe reads the already-materialized checkpoint.
+        lab2 = propagated.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        updated = (
+            propagated.join(lab2, propagated["label"] == lab2["jnode"], "left")
+            .select(
+                "node",
+                "prev",
+                F.least(
+                    propagated["label"], F.coalesce(F.col("jlabel"), propagated["label"])
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("label") != F.col("prev")).limit(1).count()
         labels = updated.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (labels would be partial "
+            "and wrong, so none are returned)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -443,9 +499,11 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = SIMHASH_BANDS,
-    max_band_bucket: int | None = None,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """Near-duplicate pairs with Hamming(simhash) ≤ k — exact recall.
+    """Near-duplicate pairs with Hamming(simhash) ≤ k — exact recall
+    (approximate only for members of >``max_band_bucket`` hot buckets;
+    pass ``max_band_bucket=None`` for the unconditional guarantee).
 
     Band trick: with ``bands`` exact-match bands, any pair within
     Hamming < bands shares at least one band (pigeonhole), so the

@@ -66,17 +66,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard via shingle inverted index."""
+    """Near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
+
+    ``max_shingle_freq=None``: the skew cap (library default ON) is
+    disabled here because the oracle computes *exact* Jaccard."""
     return dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.2
+        read_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_freq=None
     )
 
 
 @query("dedup_minhash")  # rows-only: xxhash64 is engine-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs (banded bucket join)."""
+    """MinHash+LSH candidate near-dup pairs (banded bucket join).
+
+    ``max_band_bucket=None``: exhaustive candidates so the rows-only
+    check is deterministic; the library default caps hot buckets."""
     return dedup.minhash_lsh_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.4
+        read_table(spark, sf_dir, "documents"), threshold=0.4, max_band_bucket=None
     )
 
 
@@ -129,7 +135,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact Jaccard, not hashes) is engine-deterministic.
     """
     pairs = dedup.ngram_jaccard_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.2
+        read_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_freq=None
     )
     return dedup.connected_components(pairs)
 
@@ -244,8 +250,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming ≤ 7, guaranteed recall:
-    8 bands > max_hamming, so every qualifying pair shares a band)."""
-    return dedup.simhash_pairs(read_table(spark, sf_dir, "documents"), max_hamming=7)
+    8 bands > max_hamming, so every qualifying pair shares a band;
+    ``max_band_bucket=None`` keeps the guarantee unconditional for the
+    deterministic rows-only check — the library default caps buckets)."""
+    return dedup.simhash_pairs(
+        read_table(spark, sf_dir, "documents"), max_hamming=7, max_band_bucket=None
+    )
 
 
 @query(

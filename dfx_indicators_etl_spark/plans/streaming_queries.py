@@ -273,4 +273,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F2.col("click_ts") >= F2.col("view_ts"))
         & (F2.col("click_ts") <= F2.col("view_ts") + F2.expr("INTERVAL 30 MINUTES")),
     ).select("view_id", "click_id", "user_id")
-    return streaming.run_available_now(joined, output_mode="append")
+    # Stream-stream joins drain ~4× slower than the windowed aggs (two
+    # state stores per partition) — give the AvailableNow drain extra
+    # headroom so a loaded machine doesn't flip a correct plan to a
+    # spurious TimeoutError.
+    return streaming.run_available_now(joined, output_mode="append", timeout_sec=300)

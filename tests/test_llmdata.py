@@ -161,6 +161,63 @@ def test_simhash_band_bucket_cap(planted):
     )
 
 
+def test_skew_caps_default_on():
+    # The scale-safe behavior must be the default (VERDICT r2): a caller
+    # who doesn't know the knob gets bounded bucket fan-out. Exact
+    # paths opt out with an explicit None.
+    import inspect
+
+    assert dedup.DEFAULT_MAX_SHINGLE_FREQ is not None
+    assert dedup.DEFAULT_MAX_BAND_BUCKET is not None
+    sig = inspect.signature(dedup.ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_freq"].default == dedup.DEFAULT_MAX_SHINGLE_FREQ
+    sig = inspect.signature(dedup.minhash_lsh_pairs)
+    assert sig.parameters["max_band_bucket"].default == dedup.DEFAULT_MAX_BAND_BUCKET
+    sig = inspect.signature(dedup.simhash_pairs)
+    assert sig.parameters["max_band_bucket"].default == dedup.DEFAULT_MAX_BAND_BUCKET
+
+
+def test_hot_shingle_corpus_stays_bounded(spark):
+    # 60 docs sharing one boilerplate sentence: uncapped, the shared
+    # shingles alone mean every doc pairs with every other through the
+    # inverted index join (60·59/2 candidate groups). With a tight cap
+    # the boilerplate shingles drop and join fan-out collapses.
+    docs = spark.createDataFrame(
+        [(i, f"unique token {i} " + "all rights reserved contact us today")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=10)
+    assert capped.count() == 0
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=None)
+    assert uncapped.count() == 60 * 59 / 2
+
+
+def test_connected_components_pointer_jump_beats_diameter(spark):
+    # A 64-node path has diameter 63: plain min-propagation needs ~63
+    # rounds, pointer jumping converges in O(log d) — 10 rounds must be
+    # plenty (this test fails under 1-hop propagation).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, max_iterations=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    # Partial labels are wrong labels — never returned silently.
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+
+
 def test_brute_force_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [

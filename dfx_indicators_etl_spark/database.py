@@ -10,12 +10,14 @@ DataFrame transformations: instead of loading rows into an RDBMS, the
 star schema *is* a set of DataFrames a caller writes as (bucketed)
 tables.
 
-Surrogate keys are ``dense_rank`` over the natural key: deterministic
+Surrogate keys are dense ranks over the natural key: deterministic
 and reproducible in plain SQL, unlike ``monotonically_increasing_id``.
-The rank window is a single partition — acceptable because dim tables
-(distinct indicator names / dimension strings / countries) are small
-by construction at any fact scale; the fact side only ever sees the
-dims through broadcast joins.
+The rank is computed scalably (``_with_id``): range-repartition on the
+key, rank *within* each partition, then add per-partition offsets —
+bit-identical to a global ``DENSE_RANK() OVER (ORDER BY key)`` without
+ever funneling every distinct value through one task (the r2 plan-audit
+weak spot: the combined-``dimension`` dim can be high-cardinality at
+fact scale even though country/indicator dims stay small).
 """
 
 from __future__ import annotations
@@ -37,10 +39,51 @@ __all__ = [
 
 
 def _with_id(df: DataFrame, order_col: str, id_name: str = "id") -> DataFrame:
-    w = Window.orderBy(order_col)
-    return df.select(
-        F.dense_rank().over(w).cast("int").alias(id_name), "*"
+    """Dense-rank surrogate ids without a single-task global sort.
+
+    ``DENSE_RANK() OVER (ORDER BY key)`` — the reference's deterministic
+    id rule and what the DuckDB oracles compute — normally plans as an
+    unpartitioned Window: every distinct dim value through one task.
+    Equivalent distributed plan:
+
+    1. range-repartition by the key (partition i holds only keys ≤
+       partition i+1's; equal keys co-locate),
+    2. dense-rank within each partition (partitioned Window — parallel),
+    3. add the count of distinct keys in all earlier partitions
+       (a ≤-#partitions-row control-plane collect, like the iterative
+       loops' convergence probes).
+
+    The ids are bit-identical to the global window's for any input, so
+    the SQL oracles still reproduce them.
+    """
+    spark = df.sparkSession
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    # Materialize the partitioning: spark_partition_id() must agree
+    # between the offset probe and the rank projection.
+    parted = df.repartitionByRange(n_parts, F.col(order_col)).localCheckpoint(
+        eager=False
     )
+    keyed = parted.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in keyed.groupBy("__pid")
+        .agg(F.count_distinct(order_col).alias("n"))
+        .collect()
+    )
+    offsets, running = {}, 0
+    for pid, n in counts:
+        offsets[pid] = running
+        running += n
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return keyed.select(
+        (F.dense_rank().over(w) + offset_expr).cast("int").alias(id_name), "*"
+    ).drop("__pid")
 
 
 def indicator_dim(obs: DataFrame) -> DataFrame:

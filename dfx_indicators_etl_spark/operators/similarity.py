@@ -146,6 +146,11 @@ def embedding_cosine_pairs(
         # running its O(n²) scoring on one core.
         import math
 
+        # The count/first probes plus the blocked join would otherwise
+        # evaluate the upstream lineage three times — expensive when df
+        # is a derived frame, not a bare scan. One lazy localCheckpoint
+        # materializes it at the first probe and the join reuses it.
+        df = df.localCheckpoint(eager=False)
         n = df.count()
         dim = len(df.select(vec_col).first()[0]) if n else 1
         per_block_rows = max(target_block_bytes // (dim * 8), 1)
@@ -447,8 +452,10 @@ def random_projection(
     control-plane sized (in_dim × out_dim floats) and ships in the UDF
     closure; each partition projects with one Arrow-batched BLAS
     matmul — a narrow map, no shuffle, linear in corpus size.
+
+    The output id column keeps the caller's ``id_col`` name (a custom
+    id column no longer comes back silently renamed to ``vec_id``).
     """
-    rng = np.random.default_rng(seed)
     proj_by_dim: dict[int, np.ndarray] = {}
 
     def project(batches):
@@ -458,6 +465,7 @@ def random_projection(
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             d = mat.shape[1]
             if d not in proj_by_dim:
+                # Rebuilt per-executor from the seed (cheap, exact).
                 local = np.random.default_rng(seed)
                 proj_by_dim[d] = local.standard_normal((d, out_dim)) / np.sqrt(
                     out_dim
@@ -465,14 +473,13 @@ def random_projection(
             out = mat @ proj_by_dim[d]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "projected": [row.astype(np.float32) for row in out],
                 }
             )
 
-    del rng  # matrix is rebuilt per-executor from the seed (cheap, exact)
     return df.select(id_col, vec_col).mapInPandas(
-        project, "vec_id long, projected array<float>"
+        project, f"{id_col} long, projected array<float>"
     )
 
 

@@ -174,7 +174,9 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
 
-def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """PII scrubbing pass: mask emails then phone-shaped digit runs.
 
     The standard pre-training redaction step. Two ``regexp_replace``
@@ -186,7 +188,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     no_email = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
     scrubbed = F.regexp_replace(no_email, PHONE_PATTERN, "[PHONE]")
     return df.select(
-        "doc_id",
+        id_col,
         scrubbed.alias("scrubbed"),
         F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
         F.regexp_count(no_email, F.lit(PHONE_PATTERN))

@@ -308,10 +308,15 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+        # grouping() distinguishes "column not in this grouping set"
+        # from "grouped value is null" — an isNotNull probe on __h would
+        # misclassify a null-ts hour row as a day/month row.
+        F.grouping("__h").alias("__gh"),
+        F.grouping("__d").alias("__gd"),
     )
     level = (
-        F.when(F.col("__h").isNotNull(), "hour")
-        .when(F.col("__d").isNotNull(), "day")
+        F.when(F.col("__gh") == 0, "hour")
+        .when(F.col("__gd") == 0, "day")
         .otherwise("month")
     )
     return rolled.select(

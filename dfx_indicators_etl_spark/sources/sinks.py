@@ -31,6 +31,7 @@ __all__ = [
     "write_bucketed_table",
     "write_jdbc",
     "read_jdbc",
+    "jdbc_table_exists",
     "jdbc_upsert",
 ]
 
@@ -230,6 +231,39 @@ def read_jdbc(
     return reader.load()
 
 
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, driver: str | None = None
+) -> bool:
+    """Probe for a JDBC table via ``DatabaseMetaData.getTables`` — a
+    driver-side control-plane call, engine-portable (no vendor SQLState
+    parsing), and crucially *distinct from a failed read*: a transient
+    connection error raises instead of reporting "absent".
+
+    Tries the name as written plus upper/lower foldings (engines fold
+    unquoted identifiers differently — Derby/Oracle up, Postgres down).
+    """
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    schema, _, bare = table.rpartition(".")
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for cand in dict.fromkeys((bare, bare.upper(), bare.lower())):
+            for sch in dict.fromkeys(
+                (schema or None, schema.upper() or None, schema.lower() or None)
+            ):
+                rs = meta.getTables(None, sch, cand, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+        return False
+    finally:
+        conn.close()
+
+
 def jdbc_upsert(
     df: DataFrame,
     url: str,
@@ -247,17 +281,23 @@ def jdbc_upsert(
     overwrites. The existing rows are eagerly localCheckpoint-ed first:
     overwrite truncates the table *before* a lazy read would re-scan
     it, which would otherwise merge against an already-empty table.
+
+    Table absence is decided by an explicit metadata probe
+    (``jdbc_table_exists``), never by catching a failed read: treating
+    any read exception as "absent" would let a transient failure (auth,
+    network, DB briefly down) against an EXISTING table fall through to
+    overwrite-with-incoming-only — silently destroying every previously
+    loaded row. Transient errors now propagate to the caller.
     """
     from ..operators.indicator import insert_ignore, upsert
 
     spark = df.sparkSession
-    try:
-        existing = read_jdbc(spark, url, table, driver=driver).localCheckpoint(
-            eager=True
-        )
-    except Exception:  # table absent: first load
+    if not jdbc_table_exists(spark, url, table, driver=driver):
         write_jdbc(df, url, table, mode="overwrite", driver=driver)
         return
+    existing = read_jdbc(spark, url, table, driver=driver).localCheckpoint(
+        eager=True
+    )
     # Databases fold identifier case (Derby → upper); align the read
     # table's columns back to the incoming frame's names so the
     # (case-sensitive) merge sees one schema.

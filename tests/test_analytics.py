@@ -75,3 +75,35 @@ def test_approx_percentile_rank_accuracy(spark, duck, sf_dir):
                 f"{event_type} {col}: {approx[event_type][col]} outside "
                 f"[{lo}, {hi}]"
             )
+
+
+def test_time_rollup_null_ts_keeps_level(spark, tmp_path):
+    """A null event time must stay classified by its grouping set
+    (grouping_id), not fall through to 'day'/'month' because the hour
+    bucket is null — the silent-misclassification bug on sources with
+    null timestamps."""
+    events = spark.createDataFrame(
+        [
+            (1, "2024-03-01 10:15:00", "click", 1.0, "{}", 7),
+            (2, None, "click", 2.0, "{}", 7),
+        ],
+        "event_id long, ts_s string, event_type string, value double, "
+        "props string, user_id long",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    )
+    sf = tmp_path / "nullts"
+    sf.mkdir()
+    events.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    rows = QUERIES["q_time_rollup"](spark, str(sf)).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    # Every level sees BOTH events: the null-ts one lands in a
+    # null-bucket group at each resolution rather than vanishing or
+    # double-counting at the wrong level.
+    for level in ("hour", "day", "month"):
+        assert sum(r["n_events"] for r in by_level[level]) == 2, by_level
+        null_rows = [r for r in by_level[level] if r["bucket_start"] is None]
+        assert len(null_rows) == 1 and null_rows[0]["n_events"] == 1

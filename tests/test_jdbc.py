@@ -51,6 +51,29 @@ def test_jdbc_partitioned_read(spark, derby_url, base_rows):
     assert back.count() == 3
 
 
+def test_jdbc_table_exists_probe(spark, derby_url, base_rows):
+    # Metadata probe distinguishes "absent" from "read failed" — the
+    # upsert must never treat a connection error as an empty table.
+    assert not sinks.jdbc_table_exists(spark, derby_url, "nope", driver=DRIVER)
+    sinks.write_jdbc(base_rows, derby_url, "probed", mode="overwrite", driver=DRIVER)
+    assert sinks.jdbc_table_exists(spark, derby_url, "probed", driver=DRIVER)
+    # Case foldings resolve to the same physical table.
+    assert sinks.jdbc_table_exists(spark, derby_url, "PROBED", driver=DRIVER)
+
+
+def test_jdbc_upsert_propagates_connection_errors(spark, base_rows):
+    # A dead database must raise, not fall through to a destructive
+    # first-load overwrite.
+    with pytest.raises(Exception, match="(?i)derby|connect|database"):
+        sinks.jdbc_upsert(
+            base_rows,
+            "jdbc:derby:/nonexistent/denied/db",  # no ;create=true
+            "merged",
+            ("id",),
+            driver=DRIVER,
+        )
+
+
 def test_jdbc_upsert_incoming_wins(spark, derby_url, base_rows):
     sinks.jdbc_upsert(base_rows, derby_url, "merged", ("id",), driver=DRIVER)
     incoming = spark.createDataFrame(

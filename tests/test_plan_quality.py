@@ -110,6 +110,42 @@ def test_minhash_all_jvm_single_agg_pass(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_star_dims_no_unpartitioned_window(spark, sf_dir):
+    """Surrogate-key ranks must never plan as a global (unpartitioned)
+    Window — that funnels every distinct dim value through one task.
+    ``database._with_id`` range-partitions first; every Window below it
+    must carry a partition spec and every Sort must be local."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ind_star_series")
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"global window in star plan: {line.strip()[:160]}"
+        # A global Sort prints as `Sort [...], true` (global=true).
+        if re.search(r"\bSort \[.*\], true,", line):
+            raise AssertionError(f"global sort in star plan: {line.strip()[:160]}")
+
+
+def test_with_id_matches_global_dense_rank(spark):
+    """Bucketed rank must be bit-identical to DENSE_RANK() OVER
+    (ORDER BY key) — the contract the SQL oracles rely on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark.database import _with_id
+
+    names = [(f"name_{i:04d}",) for i in range(997)]
+    df = spark.createDataFrame(names, "name string").repartition(16)
+    got = {r["name"]: r["id"] for r in _with_id(df, "name").collect()}
+    expect = {
+        r["name"]: r["id"]
+        for r in df.select(
+            F.dense_rank().over(Window.orderBy("name")).alias("id"), "name"
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_partitioned_write_static_pruning(spark, sf_dir, tmp_path):
     """A filter on the partition column must become PartitionFilters
     (directory pruning), not a data filter over all files."""

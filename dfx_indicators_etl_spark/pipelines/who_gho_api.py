@@ -32,8 +32,18 @@ class Retriever(BaseRetriever):
 
 
 def _snake(col: Column) -> Column:
-    """``to_snake_case`` (utils.py:158-188) as a column expression."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", "_")
+    """``to_snake_case`` (utils.py:158-188) as a column expression.
+
+    Python ``str.strip()`` removes ALL whitespace (tabs, newlines), but
+    ``F.trim`` strips only spaces — a category like ``"Age Group\\n"``
+    would keep a trailing underscore under trim. Strip with a regex so
+    the column form matches the reference (and the driver-side
+    ``operators.indicator.to_snake_case``) byte-for-byte, including the
+    reference's documented ``" Time\\n\\n\\nPeriod  "`` → ``time_period``
+    example.
+    """
+    stripped = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return F.regexp_replace(F.lower(stripped), r"\s+", "_")
 
 
 class Transformer(BaseTransformer):

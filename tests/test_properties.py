@@ -185,3 +185,35 @@ def test_xlsx_roundtrip_property(tmp_path_factory, width, grid):
                 assert got in ("", None)
             else:
                 assert got == value, (ri, ci, value, got)
+
+
+def test_to_snake_case_reference_fixtures():
+    # The reference's documented examples (utils.py:158-188 docstring):
+    # strip ALL whitespace, lower, collapse runs to one underscore,
+    # then prefix/suffix.
+    assert ops.to_snake_case("Time Period") == "time_period"
+    assert (
+        ops.to_snake_case(" Time\n\n\nPeriod  ", prefix="dim", suffix="years")
+        == "dim_time_period_years"
+    )
+    assert ops.to_snake_case("AgeGroup") == "agegroup"  # no camel splits
+    assert ops.to_snake_case("\tA  B\r\n") == "a_b"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("aB c\t\n\r-_.")), min_size=0, max_size=12
+    )
+)
+def test_snake_column_expression_matches_driver_side(spark, value):
+    # The WHO-GHO column-expression form must agree byte-for-byte with
+    # the driver-side reference port for any whitespace mix.
+    from dfx_indicators_etl_spark.pipelines.who_gho_api import _snake
+
+    got = (
+        spark.createDataFrame([(value,)], "v string")
+        .select(_snake(ops.F.col("v")).alias("s"))
+        .first()["s"]
+    )
+    assert got == ops.to_snake_case(value)

@@ -28,6 +28,11 @@ from dfx_indicators_etl_spark.plans import QUERIES  # noqa: E402
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
 
 # Headline set: the heaviest/most representative operator per family.
+# Round 3 widened this from 26 to 47 queries (superset of the round-2
+# set): the full non-partsupp TPC-H suite plus every indicator-model
+# query now gets a per-round timing, so regressions anywhere on the
+# surface are visible — compare shared-subset sums across BENCH_r{N},
+# not the headline total (the set grows between rounds).
 HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -55,6 +60,29 @@ HEADLINE = (
     "ind_observation_view",
     "ind_star_observation",
     "stream_events_windowed",
+    # -- added in round 3: remaining TPC-H shapes --
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q9_nation_profit",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    # -- added in round 3: previously unbenched indicator-model queries --
+    "ind_country_filter",
+    "ind_year_filter",
+    "ind_dedup_first",
+    "ind_insert_ignore",
+    "ind_validate",
+    "ind_value_stats",
+    "ind_star_series",
 )
 
 

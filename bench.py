@@ -83,6 +83,9 @@ HEADLINE = (
     "ind_validate",
     "ind_value_stats",
     "ind_star_series",
+    # -- added in round 3: new surface --
+    "q_pagerank_nations",
+    "stream_minhash_dedup",
 )
 
 

@@ -1,0 +1,122 @@
+"""Iterative graph operators (PageRank) on DataFrames.
+
+The reference engine has no graph surface; this extends the repo's
+iterative scaffolding (``operators.dedup.connected_components``) to
+rank propagation — the canonical "iterative algorithm on Spark"
+pattern a training-data pipeline needs for link/citation-weighted
+corpus scoring.
+
+Scale design: the edge table is normalized to per-source transition
+fractions ONCE, repartitioned by source and checkpointed — each
+iteration then shuffles only the |V|-sized rank table (join on src +
+re-aggregate on dst), never the |E|-sized edge table. Dangling-node
+mass (nodes with no out-edges) is collected as one driver scalar per
+round — a bounded control-plane action, exactly like the convergence
+probe in connected_components. Lineage is truncated per round with an
+eager localCheckpoint so 10 iterations don't build a 10-deep plan.
+
+Determinism contract (for the DuckDB oracle): pass ``weight`` as a
+DECIMAL column so the per-edge and per-source sums are exact; all
+per-iteration arithmetic is IEEE double with the same operation order
+the unrolled-CTE oracle uses, and callers round the final rank (the
+only remaining divergence is summation order inside one aggregate —
+last-ulp, absorbed by ``round(pr, 6)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over ``edges`` for every node in ``nodes``.
+
+    ``edges`` holds one row per (src, dst) with a summed weight;
+    ``nodes`` holds one ``node`` column covering every vertex (isolated
+    and dangling vertices included — they receive teleport mass and
+    redistribute their rank uniformly). Returns ``(node, pr)`` with the
+    un-rounded double rank; ranks sum to 1.
+
+    Update rule (matching the unrolled SQL oracle term-for-term)::
+
+        pr'(v) = (1-d)/N + d * (sum_in(pr(u) * w(u,v)/out_w(u))
+                                + dangling_mass/N)
+    """
+    teleport = 1.0 - damping
+
+    nodes = nodes.select("node").localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty node set")
+
+    # Transition fractions, computed once. The weight column stays in
+    # its input type (decimal in the oracle-checked path) until the
+    # single double division, so per-source totals are exact.
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__total_w"))
+    frac = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight).cast("double") / F.col("__total_w").cast("double")).alias(
+                "frac"
+            ),
+        )
+        # Partitioned by src so every iteration's rank join co-locates
+        # against a materialized edge side — the big table shuffles
+        # once, not once per round.
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+
+    # Dangling vertices (no out-edges) redistribute their mass
+    # uniformly each round. Detected once; the per-round scalar is the
+    # only driver action in the loop.
+    dangling = nodes.join(
+        frac.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling.limit(1).count())
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(n_iter):
+        if has_dangling:
+            dm = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.sum("pr"))
+                .collect()[0][0]
+                or 0.0
+            )
+        else:
+            dm = 0.0
+        contrib = (
+            frac.join(ranks, frac["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("frac")).alias("__mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__mass"), F.lit(0.0)) + F.lit(dm / n_nodes))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -5,6 +5,7 @@ from .registry import ORACLES, QUERIES, query
 # Importing the modules populates the registry.
 from . import analytics  # noqa: E402,F401
 from . import analytics_ext  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
 from . import indicator_queries  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
@@ -66,6 +67,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "sink_partitioned_roundtrip",
     # red in r2 (oracle typing), re-check after the BIGINT cast fix
     "q12_priority_class",
+    # round-3 additions: oracle-backed ops enter ahead of the rows-only
+    # tail (displacing the weakest rows-only row from the window)
+    "q_pagerank_nations",
     # rows-only entries (weaker driver check by design) — window tail
     "dedup_minhash",
     "dedup_simhash",

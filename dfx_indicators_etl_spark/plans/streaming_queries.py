@@ -62,6 +62,19 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(deduped, output_mode="append")
 
 
+@query("stream_minhash_dedup")  # rows-only: surviving doc per signature is arrival-order dependent
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash dedup over the document corpus: row-local
+    64-perm signatures, state keyed on the signature hash within a 1h
+    ingest-clock watermark (see streaming/ops.py for the full design).
+    Row count (= distinct signatures) is deterministic; the surviving
+    doc_id per group is arrival-order dependent, hence rows-only.
+    Batch-equivalence of the signature scheme is pytest-verified."""
+    docs = streaming.read_documents_stream(spark, sf_dir)
+    deduped = streaming.stream_minhash_dedup_docs(docs)
+    return streaming.run_available_now(deduped, output_mode="append")
+
+
 # Scratch space stays inside the repo (gitignored) — the harness must
 # not write outside it.
 _SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"

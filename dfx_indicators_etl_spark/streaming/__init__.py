@@ -1,17 +1,21 @@
 """Structured Streaming operators (SURVEY §2.D)."""
 
 from .ops import (
+    read_documents_stream,
     read_events_stream,
     run_available_now,
     stream_dedup_events,
+    stream_minhash_dedup_docs,
     stream_sessionize_events,
     windowed_event_counts,
 )
 
 __all__ = [
+    "read_documents_stream",
     "read_events_stream",
     "run_available_now",
     "stream_dedup_events",
+    "stream_minhash_dedup_docs",
     "stream_sessionize_events",
     "windowed_event_counts",
 ]

@@ -29,9 +29,11 @@ from ..session import ensure_session_confs
 
 __all__ = [
     "read_events_stream",
+    "read_documents_stream",
     "run_available_now",
     "windowed_event_counts",
     "stream_dedup_events",
+    "stream_minhash_dedup_docs",
     "stream_sessionize_events",
 ]
 
@@ -79,6 +81,104 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_landing_dir(sf_dir, "events"))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+# Fixed epoch for the synthetic document arrival clock (2020-09-13).
+_DOC_ARRIVAL_EPOCH_US = 1_600_000_000_000_000
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet.
+
+    The corpus has no event time, so ingestion assigns a synthetic
+    arrival timestamp (one doc per second from a fixed epoch, in
+    ``doc_id`` order) — deterministic, and exactly the "ingest clock"
+    a crawl-landing pipeline stamps on arrival. The watermark over it
+    bounds dedup state the same way it would over a real clock.
+    """
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(_landing_dir(sf_dir, "documents"))
+    )
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(_DOC_ARRIVAL_EPOCH_US) + F.col("doc_id") * F.lit(1_000_000)
+        ),
+    )
+
+
+def stream_minhash_dedup_docs(
+    docs: DataFrame,
+    n: int = 3,
+    num_perms: int = 64,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming near-duplicate dedup on the MinHash signature.
+
+    Each document's 64-permutation MinHash signature is computed
+    row-locally with higher-order array functions (no explode/groupBy —
+    the batch path's explode+agg trick needs a blocking aggregate,
+    which a streaming dedup can't sit behind), then
+    ``dropDuplicatesWithinWatermark`` keys state on the signature hash:
+    a doc whose full signature matches any doc seen within the
+    watermark horizon is dropped. Full-signature equality means
+    "identical shingle set to sketch resolution" — the bounded-state
+    streaming analogue of exact+near-exact dedup; band-level
+    any-of-k matching needs cross-row state beyond dropDuplicates
+    semantics (transformWithState territory, out of scope).
+
+    Documents too short to shingle (< n tokens) fall back to exact
+    text-hash dedup under a separate key kind, so they never collide
+    with each other through an all-null signature.
+
+    State per live key is one hash + timestamp, evicted at the
+    watermark — constant memory per distinct doc within the horizon
+    regardless of stream length. The signature hashes are identical to
+    ``operators.dedup.minhash_signatures`` (same shingle ids, same
+    per-permutation xxhash64 chaining), tested batch-vs-stream.
+    """
+    from ..operators.dedup import hashed_gram_ids, token_hashes
+
+    hashed = docs.select(
+        "doc_id", "ts", "text", token_hashes("text").alias("__th")
+    )
+    grams = hashed.select(
+        "doc_id", "ts", "text", hashed_gram_ids(F.col("__th"), n).alias("__g")
+    )
+    signature = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perms - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("__g"), lambda h: F.xxhash64(h, i))
+        ),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "ts",
+        F.when(F.size("__g") > 0, F.lit("minhash"))
+        .otherwise(F.lit("exact"))
+        .alias("sig_kind"),
+        F.when(F.size("__g") > 0, F.xxhash64(signature))
+        .otherwise(F.xxhash64(F.col("text")))
+        .alias("sig_key"),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["sig_kind", "sig_key"])
+        .select("doc_id", "sig_kind", "sig_key")
+    )
 
 
 def windowed_event_counts(

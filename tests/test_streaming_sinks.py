@@ -43,6 +43,43 @@ def test_stream_dedup_equals_distinct_keys(spark, sf_dir):
     assert got == want
 
 
+def test_stream_minhash_dedup_matches_batch_signatures(spark, sf_dir):
+    """The streaming survivors' signature-key set must equal the batch
+    MinHash signature key set (same shingle ids, same per-permutation
+    hashing), and the surviving-row count must equal the number of
+    distinct keys — whichever doc of a duplicate group won."""
+    from dfx_indicators_etl_spark.operators.dedup import (
+        NUM_PERMS,
+        hashed_gram_ids,
+        minhash_signatures,
+        token_hashes,
+    )
+
+    out = QUERIES["stream_minhash_dedup"](spark, sf_dir).collect()
+    got_keys = {(r["sig_kind"], r["sig_key"]) for r in out}
+    assert len(out) == len(got_keys)  # one survivor per key
+
+    docs = read_table(spark, sf_dir, "documents")
+    # Batch equivalent of the streaming key: hash of the 64-perm
+    # signature for shingle-able docs, exact text hash otherwise.
+    sigs = minhash_signatures(docs, n=3)
+    assert NUM_PERMS == 64
+    minhash_keys = {
+        ("minhash", r["k"])
+        for r in sigs.select(F.xxhash64("signature").alias("k")).collect()
+    }
+    short = docs.select(
+        "doc_id", "text", token_hashes("text").alias("__th")
+    ).select("text", hashed_gram_ids(F.col("__th"), 3).alias("__g"))
+    exact_keys = {
+        ("exact", r["k"])
+        for r in short.filter(F.size("__g") == 0)
+        .select(F.xxhash64("text").alias("k"))
+        .collect()
+    }
+    assert got_keys == minhash_keys | exact_keys
+
+
 def test_dataset_version_format():
     from datetime import date
 

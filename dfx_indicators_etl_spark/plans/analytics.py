@@ -605,10 +605,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Interval arithmetic is timestamp-type-agnostic (works on both
+    # TIMESTAMP and TIMESTAMP_NTZ), unlike a long cast — the physical
+    # type of the source files must never decide whether this plan
+    # analyzes (it broke once when the testdata regenerated as NTZ).
     flagged = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)

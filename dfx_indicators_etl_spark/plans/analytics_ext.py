@@ -378,8 +378,11 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click",
         F.min(click_ts).over(order.rowsBetween(1, W.unboundedFollowing)),
     )
-    prev_gap = F.unix_micros("ts") - F.unix_micros("prev_click")
-    next_gap = F.unix_micros("next_click") - F.unix_micros("ts")
+    # Interval subtraction instead of unix_micros: type-agnostic across
+    # TIMESTAMP / TIMESTAMP_NTZ (unix_micros refuses NTZ, and the
+    # testdata's physical type has changed between generations).
+    prev_gap = F.col("ts") - F.col("prev_click")
+    next_gap = F.col("next_click") - F.col("ts")
     nearest = (
         F.when(F.col("prev_click").isNull(), F.col("next_click"))
         .when(F.col("next_click").isNull(), F.col("prev_click"))

@@ -1,8 +1,9 @@
 from . import sinks, xlsx
-from .readers import TABLES, read_csv, read_jsonl, read_table, read_tables
+from .readers import TABLES, normalize_timestamps, read_csv, read_jsonl, read_table, read_tables
 
 __all__ = [
     "TABLES",
+    "normalize_timestamps",
     "read_table",
     "read_tables",
     "read_csv",

@@ -17,6 +17,7 @@ from ..session import ensure_session_confs
 
 __all__ = [
     "TABLES",
+    "normalize_timestamps",
     "read_table",
     "read_tables",
     "register_views",
@@ -40,9 +41,9 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS); with
+# Columns that may arrive as parquet TIMESTAMP(NANOS); with
 # spark.sql.legacy.parquet.nanosAsLong they scan as nano-epoch longs
-# and are converted here to µs timestamps (floor division — the same
+# and are converted to µs timestamps (floor division — the same
 # truncation DuckDB applies when reading ns parquet as TIMESTAMP).
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
@@ -51,22 +52,46 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def normalize_timestamps(df: DataFrame, nano_long_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize every timestamp flavor to session-TZ ``timestamp``.
+
+    The physical timestamp type of the source parquet is a generator
+    detail the engine must not depend on — the same table has shipped
+    as TIMESTAMP(NANOS) (scans as a nano-epoch long under nanosAsLong)
+    and as timestamp[us] without isAdjustedToUTC (scans as
+    TIMESTAMP_NTZ). Downstream plans assume one surface type, so:
+
+    - named ``nano_long_cols`` that scanned as bigint → µs timestamp,
+    - any TIMESTAMP_NTZ column → TIMESTAMP (identical wall-clock under
+      the engine's pinned UTC session zone, and unlocks epoch functions
+      like ``unix_micros`` / long casts that NTZ refuses).
+    """
+    dtypes = dict(df.dtypes)
+    for column in nano_long_cols:
+        if dtypes.get(column) == "bigint":
+            df = df.withColumn(
+                column, F.timestamp_micros(F.expr(f"`{column}` div 1000"))
+            )
+            dtypes[column] = "timestamp"
+    ntz = [c for c, t in dtypes.items() if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table from a scale-factor directory.
 
     Pins the engine's runtime confs first (nanos-as-long, ANSI off,
     UTC) so the scan succeeds on any session — the driver's default
     session has ANSI on and no nanosAsLong, which would otherwise fail
-    every TIMESTAMP(NANOS) read with PARQUET_TYPE_ILLEGAL.
+    every TIMESTAMP(NANOS) read with PARQUET_TYPE_ILLEGAL — then
+    normalizes whatever physical timestamp type the file carries to
+    session-TZ ``timestamp`` (see ``normalize_timestamps``).
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for column in NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(column) == "bigint":
-            df = df.withColumn(
-                column, F.timestamp_micros(F.expr(f"{column} div 1000"))
-            )
-    return df
+    return normalize_timestamps(df, NANO_TS_COLUMNS.get(name, ()))
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

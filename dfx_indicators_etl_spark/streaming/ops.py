@@ -23,7 +23,6 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..session import ensure_session_confs
 
@@ -37,20 +36,37 @@ __all__ = [
     "stream_sessionize_events",
 ]
 
-# Explicit source schema — streaming reads never infer. ``ts`` is
-# parquet TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong
-# (session default) it scans as a nano-epoch long and is converted to a
-# µs timestamp below, matching the batch readers.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Streaming file sources need an explicit schema (no inference pass on
+# an unbounded directory) — but hard-coding one bakes in the upstream
+# writer's physical timestamp choice, which has already changed once
+# (TIMESTAMP(NANOS) → timestamp[us]/NTZ between testdata generations).
+# Instead, probe the batch footer of the landing dir ONCE at stream
+# construction (a footer-only read, no data scan) and declare exactly
+# what the files contain; event-time columns are then normalized to
+# session-TZ ``timestamp`` the same way the batch readers do.
+
+
+def _probed_stream(
+    spark: SparkSession, landing: str, event_time_col: str | None = None
+) -> DataFrame:
+    """readStream with the landing dir's own footer schema; the
+    ``event_time_col`` (if named) is normalized to ``timestamp``
+    whether the files carry ns-longs, TIMESTAMP_NTZ, or TIMESTAMP."""
+    schema = spark.read.parquet(landing).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(landing)
+    if event_time_col is None:
+        return raw
+    dtype = dict(raw.dtypes)[event_time_col]
+    if dtype == "bigint":  # TIMESTAMP(NANOS) scanned under nanosAsLong
+        return raw.withColumn(
+            event_time_col,
+            F.timestamp_micros(F.expr(f"`{event_time_col}` div 1000")),
+        )
+    if dtype == "timestamp_ntz":  # same wall-clock under the UTC session
+        return raw.withColumn(
+            event_time_col, F.col(event_time_col).cast("timestamp")
+        )
+    return raw
 
 
 # File-source streams watch a *directory* (files land, the source picks
@@ -75,23 +91,8 @@ def _landing_dir(sf_dir: str, name: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with event-time ``ts``."""
     ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(_landing_dir(sf_dir, "events"))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _probed_stream(spark, _landing_dir(sf_dir, "events"), "ts")
 
-
-DOCUMENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
 
 # Fixed epoch for the synthetic document arrival clock (2020-09-13).
 _DOC_ARRIVAL_EPOCH_US = 1_600_000_000_000_000
@@ -107,11 +108,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds dedup state the same way it would over a real clock.
     """
     ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(_landing_dir(sf_dir, "documents"))
-    )
+    raw = _probed_stream(spark, _landing_dir(sf_dir, "documents"))
     return raw.withColumn(
         "ts",
         F.timestamp_micros(
@@ -260,7 +257,15 @@ def stream_sessionize_events(
             )
             return
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs epoch
+        # Arrow hands ts over as datetime64 whose unit (ns vs µs) and
+        # tz-awareness track the source's physical type — normalize to
+        # a µs UTC epoch explicitly rather than assuming ns int64.
+        ts_us = (
+            pd.to_datetime(rows["ts"], utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
         out = []
         if state.exists:
             start, last, n, total = state.get

@@ -98,10 +98,18 @@ def main() -> None:
     # and codegen caches are hot; clear the (plan-keyed) data cache so
     # timed runs recompute everything from parquet.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
-        if fn is not None:
+        if fn is None:
+            continue
+        # One broken query must never zero out the whole round's bench
+        # evidence (BENCH_r03 was a crash log because warm-up had no
+        # per-query isolation) — record the error and keep going.
+        try:
             fn(spark, warm_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
     spark.catalog.clearCache()
 
     # Two timed repetitions, keeping the per-query minimum: single-shot
@@ -114,27 +122,32 @@ def main() -> None:
     for _ in range(reps):
         for name in HEADLINE:
             fn = QUERIES.get(name)
-            if fn is None:
+            if fn is None or name in errors:
                 continue
             start = time.time()
-            rows = fn(spark, sf_dir).collect()
+            try:
+                rows = fn(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                spark.catalog.clearCache()
+                continue
             elapsed = round(time.time() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
             del rows
             spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -572,9 +572,23 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("emb_random_projection")  # rows-only: seeded-RNG matrix is engine-specific
 def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection 64→16 dims (pre-ANN compression;
-    distance-preservation asserted in tests)."""
-    return similarity.random_projection(
+    distance-preservation asserted in tests).
+
+    Flattened to one ``(vec_id, dim, value)`` row per output dimension
+    (mirroring ``emb_label_centroids``): array columns are hostile to
+    result canonicalizers (unhashable in pandas sorts), and the
+    exploded shape makes the rows-only row count meaningful
+    (n_vectors × out_dim)."""
+    projected = similarity.random_projection(
         read_table(spark, sf_dir, "embeddings"), out_dim=16
+    )
+    return projected.select(
+        "vec_id",
+        F.posexplode("projected").alias("dim", "value"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
     )
 
 

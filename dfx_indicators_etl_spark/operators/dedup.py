@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -356,6 +357,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-duplicate pair list, labeled by the component's minimum id.
@@ -382,10 +384,62 @@ def connected_components(
     partial labels are silently-wrong cluster assignments, never
     returned (with pointer jumping, hitting this needs a path of
     length ~2^max_iterations).
+
+    Like a broadcast-join decision, the execution strategy is picked at
+    runtime from the data's actual size: the pair graph is orders of
+    magnitude smaller than the corpus it came from (it holds only
+    near-duplicates), so when the edge count — a control-plane scalar
+    read off the already-materialized edge checkpoint — is at most
+    ``small_graph_edges``, a single collect + path-compressed
+    union-find on the driver replaces the iterative loop (identical
+    labels, none of the per-round shuffle/checkpoint/probe job
+    overhead, which dominates wall time when components are tiny).
+    Larger graphs take the distributed loop unchanged; at the default
+    threshold the collect is bounded at ~32 MB of longs.
     """
-    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    spark = pairs.sparkSession
+    und = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=False)
+    n_edges = und.count()  # materializes the checkpoint; one scalar back
+
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in und.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union-by-min keeps every root the component minimum,
+                # matching the distributed loop's min-label semantics
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+
+        node_type = pairs.schema[a_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", node_type),
+                T.StructField("cluster_id", node_type),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, find(n)) for n in parent], out_schema
+        )
+
     edges = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)  # reused every round
     )
     labels = (

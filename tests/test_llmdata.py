@@ -197,12 +197,15 @@ def test_connected_components_pointer_jump_beats_diameter(spark):
     # A 64-node path has diameter 63: plain min-propagation needs ~63
     # rounds, pointer jumping converges in O(log d) — 10 rounds must be
     # plenty (this test fails under 1-hop propagation).
+    # small_graph_edges=0 forces the distributed loop under test.
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.connected_components(pairs, max_iterations=10).collect()
+        for r in dedup.connected_components(
+            pairs, max_iterations=10, small_graph_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(64)}
 
@@ -215,7 +218,27 @@ def test_connected_components_raises_when_not_converged(spark):
         [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=1)
+        dedup.connected_components(pairs, max_iterations=1, small_graph_edges=0)
+
+
+def test_connected_components_small_and_distributed_paths_agree(spark):
+    # The runtime strategy pick (driver union-find vs iterative loop)
+    # must be invisible in the labels.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3), (5, 6), (10, 11), (11, 12), (12, 10)],
+        "doc_a long, doc_b long",
+    )
+    small = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, small_graph_edges=0
+        ).collect()
+    }
+    assert small == dist == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
 
 
 def test_brute_force_topk_self_similarity(spark):

@@ -12,12 +12,14 @@ tables.
 
 Surrogate keys are dense ranks over the natural key: deterministic
 and reproducible in plain SQL, unlike ``monotonically_increasing_id``.
-The rank is computed scalably (``_with_id``): range-repartition on the
-key, rank *within* each partition, then add per-partition offsets —
-bit-identical to a global ``DENSE_RANK() OVER (ORDER BY key)`` without
-ever funneling every distinct value through one task (the r2 plan-audit
-weak spot: the combined-``dimension`` dim can be high-cardinality at
-fact scale even though country/indicator dims stay small).
+The rank strategy is picked from the dim's actual size (``_with_id``):
+broadcast-sized dims rank in one bounded partition; larger dims
+range-repartition on the key, rank *within* each partition, then add
+per-partition offsets — bit-identical to a global ``DENSE_RANK() OVER
+(ORDER BY key)`` without ever funneling an unbounded distinct-value
+set through one task (the r2 plan-audit weak spot: the combined-
+``dimension`` dim can be high-cardinality at fact scale even though
+country/indicator dims stay small).
 """
 
 from __future__ import annotations
@@ -38,25 +40,46 @@ __all__ = [
 ]
 
 
-def _with_id(df: DataFrame, order_col: str, id_name: str = "id") -> DataFrame:
-    """Dense-rank surrogate ids without a single-task global sort.
+def _with_id(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "id",
+    small_dim_rows: int = 1_000_000,
+) -> DataFrame:
+    """Dense-rank surrogate ids without an unbounded single-task sort.
 
     ``DENSE_RANK() OVER (ORDER BY key)`` — the reference's deterministic
     id rule and what the DuckDB oracles compute — normally plans as an
-    unpartitioned Window: every distinct dim value through one task.
-    Equivalent distributed plan:
+    unpartitioned Window: every distinct dim value through one task,
+    unacceptable when a dim is fact-scale. But MOST dims are broadcast
+    sized, and the distributed rank's fixed costs (range-sampling pass,
+    per-partition offset probe) tripled the star-build wall time at
+    bench SF. So, like a broadcast-join decision, pick the strategy
+    from the data: the input is checkpointed and counted once (the
+    count doubles as the checkpoint materialization), and
 
-    1. range-repartition by the key (partition i holds only keys ≤
-       partition i+1's; equal keys co-locate),
-    2. dense-rank within each partition (partitioned Window — parallel),
-    3. add the count of distinct keys in all earlier partitions
-       (a ≤-#partitions-row control-plane collect, like the iterative
-       loops' convergence probes).
+    - ``n ≤ small_dim_rows``: rank in ONE partition (window still keyed
+      by ``__pid``, which is constant) — identical execution to the
+      global window, explicitly bounded by the threshold;
+    - larger: the distributed plan — range-repartition by key (equal
+      keys co-locate), dense-rank within each partition, then add the
+      count of distinct keys in earlier partitions (a ≤-#partitions-row
+      control-plane collect).
 
     The ids are bit-identical to the global window's for any input, so
     the SQL oracles still reproduce them.
     """
     spark = df.sparkSession
+    df = df.localCheckpoint(eager=False)
+    n_rows = df.count()  # materializes the checkpoint; one scalar back
+
+    if n_rows <= small_dim_rows:
+        keyed = df.repartition(1).withColumn("__pid", F.spark_partition_id())
+        w = Window.partitionBy("__pid").orderBy(order_col)
+        return keyed.select(
+            F.dense_rank().over(w).cast("int").alias(id_name), "*"
+        ).drop("__pid")
+
     n_parts = max(1, spark.sparkContext.defaultParallelism)
     # Materialize the partitioning: spark_partition_id() must agree
     # between the offset probe and the rank projection.

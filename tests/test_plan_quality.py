@@ -136,14 +136,22 @@ def test_with_id_matches_global_dense_rank(spark):
 
     names = [(f"name_{i:04d}",) for i in range(997)]
     df = spark.createDataFrame(names, "name string").repartition(16)
-    got = {r["name"]: r["id"] for r in _with_id(df, "name").collect()}
     expect = {
         r["name"]: r["id"]
         for r in df.select(
             F.dense_rank().over(Window.orderBy("name")).alias("id"), "name"
         ).collect()
     }
-    assert got == expect
+    # Both strategies (bounded single-partition and distributed
+    # range-partitioned) must reproduce the global rank exactly.
+    for small_dim_rows in (1_000_000, 0):
+        got = {
+            r["name"]: r["id"]
+            for r in _with_id(
+                df, "name", small_dim_rows=small_dim_rows
+            ).collect()
+        }
+        assert got == expect, f"small_dim_rows={small_dim_rows}"
 
 
 def test_partitioned_write_static_pruning(spark, sf_dir, tmp_path):

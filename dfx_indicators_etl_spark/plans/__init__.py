@@ -11,73 +11,79 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Rounds 1-2 covered the 50 analytics/indicator
-# queries registered first; the 49 registered after them never received
-# a driver row. Rotate those to the front, plus q12_priority_class
-# (red in r2 on an oracle typing artifact, fixed this round so the
-# re-check can flip it green). Oracle-backed queries come first;
-# rows-only queries sit at the tail of the window so any newly added
-# oracle-backed operator displaces a weaker rows-only row, not a
-# value-verified one.
+# in insertion order. Round-4 rotation: (a) the keys fixed this round
+# (red/broken in r3 — the timestamp-ingest family) plus the two
+# streaming keys that have never had a driver row lead; (b) then every
+# key whose latest green row predates the driver's testdata
+# regeneration (r2 hashes computed on the OLD parquet — expected still
+# correct via the type-agnostic readers, but unevidenced), ordered
+# oracle-backed first. Keys with fresh r3 green rows (the 41 checked
+# last round) sit after the window — their evidence is current.
 _DRIVER_WINDOW_PRIORITY = [
-    # indicator-model queries without a driver row in r1/r2
-    "ind_country_map",
-    "ind_country_filter",
-    "ind_year_filter",
-    "ind_dedup_first",
-    "ind_upsert",
-    "ind_insert_ignore",
-    "ind_metadata_dedup",
-    "ind_validate",
-    "ind_indicator_format",
-    "ind_value_stats",
-    "ind_star_series",
-    "ind_star_observation",
-    # LLM-data operators, never driver-checked
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "text_scrub_pii",
-    "text_repetition",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_word_vocab",
-    "text_quality_filter",
-    "sim_bruteforce_topk",
-    "sample_stratified",
-    "sample_train_test",
-    "mm_decode_stub",
-    "mm_resize_stub",
-    "mm_frame_sample",
-    "emb_l2_norm",
-    "emb_label_centroids",
-    # streaming + sinks, never driver-checked
+    # (a) fixed this round / never driver-checked — 9 keys
+    "q_events_sessionize",
+    "q_asof_nearest",
     "stream_events_windowed",
     "stream_static_enrich",
     "stream_stream_join",
-    "stream_incremental_sink",
-    "sink_versioned_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_partitioned_roundtrip",
-    # red in r2 (oracle typing), re-check after the BIGINT cast fix
-    "q12_priority_class",
-    # round-3 additions: oracle-backed ops enter ahead of the rows-only
-    # tail (displacing the weakest rows-only row from the window)
-    "q_pagerank_nations",
-    # rows-only entries (weaker driver check by design) — window tail
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "emb_random_projection",
     "stream_sessionize",
     "stream_dedup",
+    "stream_minhash_dedup",
+    "emb_random_projection",
+    # (b) stale r2 greens (pre-regeneration hashes), oracle-backed —
+    # core analytics first, then indicator-model
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_item",
+    "q_top_suppliers",
+    "q_window_topk",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_unpivot",
+    "q_semi_join",
+    "q_anti_join",
+    "q_distinct_agg",
+    "q_union_dedup",
+    "q_orders_enriched",
+    "q_correlated_scalar",
+    "q_percentile",
+    "q_skew_salted_agg",
+    "q_grouping_sets",
+    "q_window_frame",
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q_sql_interface",
+    "ind_standardize",
+    "ind_observation_view",
+    "ind_combine_dimensions",
+    "ind_melt",
+    # stale r2 but re-verified live on the new data during the r3
+    # review (weakest claim to a window slot among the stale set)
+    "q_events_daily",
+    # --- window boundary (~50) ---
+    "q_asof_join",
+    "q_time_rollup",
+    "q_range_join",
+    # stale rows-only r2 entries
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_hll_sketch",
+    # r3-green keys follow in registration order (fresh evidence)
 ]
 
 

@@ -86,6 +86,8 @@ HEADLINE = (
     # -- added in round 3: new surface --
     "q_pagerank_nations",
     "stream_minhash_dedup",
+    # -- added in round 4: band-level streaming LSH dedup --
+    "stream_minhash_dedup_banded",
 )
 
 

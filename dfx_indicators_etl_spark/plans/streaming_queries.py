@@ -75,6 +75,34 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(deduped, output_mode="append")
 
 
+@query("stream_minhash_dedup_banded")  # rows-only: xxhash64 band hashes are engine-specific
+def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-level (any-of-k) streaming LSH dedup: a doc is a near-dup
+    if ANY of its 16 MinHash band buckets was claimed by an earlier
+    doc, and a kept doc claims all its buckets atomically — the
+    check-then-claim semantics built-in stateful operators can't
+    express (see streaming/ops.py for the design and why foreachBatch
+    + a persisted claims table is the vehicle). Deterministic: claims
+    are ordered by event time, not arrival. Returns one verdict row
+    per document."""
+    root = _scratch("dfx_banded_")
+    try:
+        docs = streaming.read_documents_stream(spark, sf_dir)
+        q = streaming.stream_minhash_dedup_banded(
+            docs, f"{root}/claims", f"{root}/verdicts"
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("banded dedup drain exceeded 300s")
+        finally:
+            q.stop()
+        return spark.read.parquet(f"{root}/verdicts").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Scratch space stays inside the repo (gitignored) — the harness must
 # not write outside it.
 _SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"

@@ -5,6 +5,7 @@ from .ops import (
     read_events_stream,
     run_available_now,
     stream_dedup_events,
+    stream_minhash_dedup_banded,
     stream_minhash_dedup_docs,
     stream_sessionize_events,
     windowed_event_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "stream_dedup_events",
+    "stream_minhash_dedup_banded",
     "stream_minhash_dedup_docs",
     "stream_sessionize_events",
     "windowed_event_counts",

@@ -10,10 +10,11 @@ Scale design: the edge table is normalized to per-source transition
 fractions ONCE, repartitioned by source and checkpointed — each
 iteration then shuffles only the |V|-sized rank table (join on src +
 re-aggregate on dst), never the |E|-sized edge table. Dangling-node
-mass (nodes with no out-edges) is collected as one driver scalar per
-round — a bounded control-plane action, exactly like the convergence
-probe in connected_components. Lineage is truncated per round with an
-eager localCheckpoint so 10 iterations don't build a 10-deep plan.
+mass (nodes with no out-edges) stays in the plan as a 1-row aggregate
+broadcast-cross-joined onto the update — no per-round driver action.
+Lineage is truncated every other round with an eager localCheckpoint
+so iterations don't build an unboundedly deep plan while halving the
+per-round materialization jobs.
 
 Determinism contract (for the DuckDB oracle): pass ``weight`` as a
 DECIMAL column so the per-edge and per-source sums are exact; all
@@ -81,8 +82,7 @@ def pagerank(
     )
 
     # Dangling vertices (no out-edges) redistribute their mass
-    # uniformly each round. Detected once; the per-round scalar is the
-    # only driver action in the loop.
+    # uniformly each round. Detected once up front.
     dangling = nodes.join(
         frac.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
@@ -92,31 +92,37 @@ def pagerank(
         eager=True
     )
 
-    for _ in range(n_iter):
+    # Loop-overhead design: the dangling-mass scalar stays IN the plan
+    # (a 1-row aggregate broadcast-cross-joined onto the update) rather
+    # than round-tripping through the driver, and lineage is truncated
+    # every OTHER round — a 2-round-deep plan is harmless, and halving
+    # the eager materializations halves the per-round job count. Both
+    # changes cut scheduling overhead only; the arithmetic and its IEEE
+    # operation order are unchanged (the oracle contract).
+    for i in range(n_iter):
         if has_dangling:
-            dm = (
+            dm_row = (
                 ranks.join(dangling, "node", "left_semi")
-                .agg(F.sum("pr"))
-                .collect()[0][0]
-                or 0.0
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm"))
             )
+            dm_term = F.col("__dm") / F.lit(float(n_nodes))
         else:
-            dm = 0.0
+            dm_row = None
+            dm_term = F.lit(0.0)
+        base = nodes if dm_row is None else nodes.crossJoin(F.broadcast(dm_row))
         contrib = (
             frac.join(ranks, frac["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("frac")).alias("__mass"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__mass"), F.lit(0.0)) + F.lit(dm / n_nodes))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = base.join(contrib, base["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(teleport / n_nodes)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__mass"), F.lit(0.0)) + dm_term)
+            ).alias("pr"),
         )
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -161,8 +161,17 @@ def stream_minhash_dedup_docs(
     hashed = docs.select(
         "doc_id", "ts", "text", token_hashes("text").alias("__th")
     )
+    # The repartition is a physical barrier (streams can't
+    # localCheckpoint): without it CollapseProject inlines the shingle
+    # expression into the 64 per-permutation lambdas below and the
+    # document re-tokenizes 64× per row; with it ``__g`` materializes
+    # once per row. It also spreads the CPU-bound sketch work across
+    # every core — the same double duty as the batch operators'
+    # ``_spread``.
     grams = hashed.select(
         "doc_id", "ts", "text", hashed_gram_ids(F.col("__th"), n).alias("__g")
+    ).repartition(
+        max(2, docs.sparkSession.sparkContext.defaultParallelism)
     )
     signature = F.transform(
         F.sequence(F.lit(0), F.lit(num_perms - 1)),

@@ -86,8 +86,10 @@ HEADLINE = (
     # -- added in round 3: new surface --
     "q_pagerank_nations",
     "stream_minhash_dedup",
-    # -- added in round 4: band-level streaming LSH dedup --
+    # -- added in round 4: band-level streaming LSH dedup, end-to-end
+    # corpus dedup --
     "stream_minhash_dedup_banded",
+    "dedup_survivors",
 )
 
 

@@ -86,9 +86,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+# Shared recursive-CTE prefix: exact-Jaccard pair graph → transitive
+# closure (near-dup clusters labeled by component-minimum doc id).
+# Used by the dedup_clusters oracle and the dedup_survivors oracle.
+_CLUSTERS_CTE_SQL = f"""
     WITH RECURSIVE toks AS ({TOKS_SQL}),
     doc_shingles AS (
         SELECT DISTINCT doc_id, shingle FROM (
@@ -120,9 +121,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    clusters AS (
+        SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
     )
-    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
-    """,
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_CTE_SQL + "SELECT doc_id, cluster_id FROM clusters",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: transitive closure of the exact-Jaccard
@@ -138,6 +146,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_freq=None
     )
     return dedup.connected_components(pairs)
+
+
+@query(
+    "dedup_survivors",
+    oracle=_CLUSTERS_CTE_SQL
+    + """
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: keep exactly one representative (the
+    minimum doc id) per near-duplicate cluster, plus every doc with no
+    near-dup at all — the operator a training-data pipeline actually
+    runs after pair generation and clustering.
+
+    Plan shape: pairs (bucketed inverted index) → components (runtime
+    driver/distributed pick) → one LEFT ANTI join of the corpus
+    against the non-representative members. The anti-join's right side
+    is cluster-membership rows minus one per cluster — orders of
+    magnitude smaller than the corpus, so at 100 TB it broadcasts.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, max_shingle_freq=None)
+    clusters = dedup.connected_components(pairs)
+    dropped = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
 
 
 @query(

@@ -90,6 +90,7 @@ HEADLINE = (
     # corpus dedup --
     "stream_minhash_dedup_banded",
     "dedup_survivors",
+    "emb_kmeans",
 )
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
     "ivf_topk",
+    "kmeans",
 ]
 
 
@@ -522,4 +523,98 @@ def label_centroids(
             F.count("v").cast("bigint").alias("n_vectors"),
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    The canonical iterative-ML-on-Spark shape, with the roles split the
+    way 100 TB demands:
+
+    - **assignment** is a narrow Arrow-batched pass: the k×d centroid
+      matrix ships in the UDF closure (control-plane sized), each
+      partition does one BLAS distance computation — no shuffle, no
+      per-row Python;
+    - **update** is a map-side-combinable aggregate: assigned vectors
+      posexplode to ``(cluster, dim, value)`` and mean per (cluster,
+      dim) — the exchange carries at most k × d rows per partition;
+    - the only driver action per iteration is collecting the k×d
+      updated centroids (bounded, like the codebook/offset collects
+      elsewhere in this repo).
+
+    Per-iteration plans stay FLAT (scan → assign → explode → agg):
+    centroids travel via closure, not via the plan, so lineage never
+    deepens and no checkpoint is needed. Seeds are the first ``k``
+    vectors by id (deterministic across runs and partitionings);
+    empty clusters keep their previous centroid; iteration stops early
+    when no centroid moves more than ``tol``.
+
+    Returns ``(vec_id, cluster, dist)`` — each vector's cluster under
+    the FINAL centroids (one extra assignment pass, so the output is
+    self-consistent rather than one step stale).
+    """
+    seeds = df.select(vec_col).orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans: need at least k={k} vectors, got {len(seeds)}")
+    centroids = np.array([r[0] for r in seeds], dtype=np.float64)
+
+    def assigned(cents: np.ndarray) -> DataFrame:
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                # squared-Euclidean argmin via the expanded form; the
+                # -2·x·cᵀ matmul is the only O(n·k·d) term and runs in
+                # BLAS
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                best = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "cluster": best.astype("int32"),
+                        "dist": np.sqrt(np.maximum(d2[np.arange(len(best)), best], 0.0)),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            assign,
+            f"{id_col} long, {vec_col} array<float>, cluster int, dist double",
+        )
+
+    for _ in range(n_iter):
+        means = (
+            assigned(centroids)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        updated = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for c, dims in by_cluster.items():
+            for d_i, v in dims.items():
+                updated[c, d_i] = v
+        shift = float(np.abs(updated - centroids).max())
+        centroids = updated
+        if shift <= tol:
+            break
+
+    return assigned(centroids).select(
+        id_col, "cluster", F.round("dist", 6).alias("dist")
     )

@@ -81,10 +81,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_asof_join",
     "q_time_rollup",
     "q_range_join",
-    # stale rows-only r2 entries
+    # stale rows-only r2 entries + new rows-only surface
     "q_approx_distinct",
     "q_approx_percentile",
     "q_hll_sketch",
+    "emb_kmeans",
     # r3-green keys follow in registration order (fresh evidence)
 ]
 

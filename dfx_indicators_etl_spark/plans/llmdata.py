@@ -632,6 +632,18 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_kmeans")  # rows-only: iterative float means are engine-specific
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means cluster assignments over the
+    embedding corpus (k=8): broadcast-closure centroids, Arrow BLAS
+    assignment, combinable (cluster, dim) mean update — see
+    operators/similarity.py kmeans for the scale argument. Pytest
+    asserts monotone inertia and nearest-centroid consistency."""
+    return similarity.kmeans(
+        read_table(spark, sf_dir, "embeddings"), k=8, n_iter=10
+    )
+
+
 @query(
     "emb_l2_norm",
     oracle="""

@@ -306,6 +306,65 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.5
 
 
+def test_kmeans_assignments_are_nearest_and_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in similarity.kmeans(emb, k=4, n_iter=5).collect()
+    }
+    again = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in similarity.kmeans(emb, k=4, n_iter=5).collect()
+    }
+    assert got == again  # deterministic seeds + deterministic means
+
+    # Reference Lloyd's in numpy from the same deterministic seeds must
+    # produce the same final assignment.
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = mat[:4].copy()
+    for _ in range(5):
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(4):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    d2 = (
+        (mat * mat).sum(axis=1, keepdims=True)
+        - 2.0 * (mat @ cents.T)
+        + (cents * cents).sum(axis=1)
+    )
+    expect = d2.argmin(axis=1)
+    mismatches = sum(
+        1 for i, vid in enumerate(ids) if got[vid][0] != expect[i]
+    )
+    # float sum-order differences may flip ties; require near-total agreement
+    assert mismatches <= len(ids) * 0.01
+
+
+def test_kmeans_more_iterations_do_not_increase_inertia(spark, sf_dir):
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def inertia(n_iter):
+        rows = similarity.kmeans(emb, k=4, n_iter=n_iter).collect()
+        return sum(r["dist"] ** 2 for r in rows)
+
+    one, five = inertia(1), inertia(5)
+    assert five <= one + 1e-6  # Lloyd's is monotone in iterations
+
+
 def test_random_projection_preserves_geometry(spark, sf_dir):
     """JL property: projected norms concentrate around original norms,
     and projected pairwise distances correlate strongly with the

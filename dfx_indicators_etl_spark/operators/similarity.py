@@ -595,21 +595,58 @@ def kmeans(
             f"{id_col} long, {vec_col} array<float>, cluster int, dist double",
         )
 
+    def partial_sums(cents: np.ndarray):
+        # Assignment AND the centroid-update partials in ONE Arrow pass
+        # (the MLlib-style fusion): each partition emits at most k rows
+        # of (cluster, sum-vector, count) — the shuffle and the driver
+        # collect carry k × d doubles per partition, never n × d.
+        kk = cents.shape[0]
+
+        def fn(batches):
+            sums = np.zeros_like(cents)
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                d2 = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                best = d2.argmin(axis=1)
+                for c in range(kk):
+                    members = mat[best == c]
+                    if len(members):
+                        sums[c] += members.sum(axis=0)
+                        counts[c] += len(members)
+            hit = counts > 0
+            if hit.any():
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.arange(kk)[hit].astype("int32"),
+                        "s": [row for row in sums[hit]],
+                        "n": counts[hit],
+                    }
+                )
+
+        return fn
+
     for _ in range(n_iter):
-        means = (
-            assigned(centroids)
-            .select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
+        # ≤ k rows per partition — collect and combine driver-side
+        # (cheaper than shuffling an aggregate for data this small).
+        partials = df.select(vec_col).mapInPandas(
+            partial_sums(centroids),
+            "cluster int, s array<double>, n long",
+        ).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in partials:
+            sums[r["cluster"]] += np.array(r["s"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
         updated = centroids.copy()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
-        for c, dims in by_cluster.items():
-            for d_i, v in dims.items():
-                updated[c, d_i] = v
+        hit = counts > 0
+        updated[hit] = sums[hit] / counts[hit, None]
         shift = float(np.abs(updated - centroids).max())
         centroids = updated
         if shift <= tol:

@@ -91,6 +91,8 @@ HEADLINE = (
     "stream_minhash_dedup_banded",
     "dedup_survivors",
     "emb_kmeans",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
 )
 
 

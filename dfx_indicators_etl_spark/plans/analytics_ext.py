@@ -6,7 +6,9 @@ form needs those columns are re-expressed to keep the *plan shape*
 that matters — disjunctive pushdown (Q19), EXISTS/NOT-EXISTS
 decorrelation (Q4/Q21), conditional aggregation (Q12/Q14), multi-way
 star joins with year extraction (Q8/Q9), distinct-count rollups (Q16),
-agg-subquery thresholds (Q20) — on the columns that exist.
+agg-subquery thresholds (Q20) — on the columns that exist. Q2/Q11 run
+over a partsupp relation DERIVED deterministically from lineitem (end
+of this module), closing the last two missing TPC-H shapes.
 
 Scale notes follow plans/analytics.py: fact tables shuffle only on
 join/group keys; dims broadcast; measures aggregate in exact decimal
@@ -810,4 +812,171 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(dcount("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Q2/Q11: the testdata ships no partsupp table, so both queries run
+# over a DERIVED part-supplier relation computed identically in both
+# engines from lineitem: one row per observed (part, supplier) pair,
+# supply cost = min observed unit price (a raw IEEE quotient — one
+# division per row and an order-insensitive MIN, so the double is
+# bit-identical across engines; decimal rounding is NOT, so none is
+# applied), available qty =
+# exact decimal sum of shipped quantity. This keeps the two plan
+# shapes the suite was missing — Q2's correlated per-group minimum and
+# Q11's global-scalar threshold — fully oracle-checked.
+# ---------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS ps_availqty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(lineitem: DataFrame) -> DataFrame:
+    return lineitem.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("ps_availqty"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    rps AS (
+        SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    ),
+    mc AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+           FROM rps GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM part
+    JOIN rps ON p_partkey = rps.ps_partkey
+    JOIN mc ON rps.ps_partkey = mc.ps_partkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: cheapest European
+    supplier for each qualifying part (correlated per-group minimum).
+
+    Decorrelated the scalable way: the regional part-supplier relation
+    computes once (supplier/nation/region dims broadcast onto the
+    aggregated partsupp), the per-part minimum is one combinable
+    aggregate on the SAME partkey partitioning, and the "cost equals
+    the minimum" predicate is an equi-join — no per-row subquery, no
+    re-scan of the fact.
+    """
+    lineitem, part, supplier, nation, region = read_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    ps = _derived_partsupp(lineitem)
+    euro_sup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rps = ps.join(
+        F.broadcast(euro_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    mc = rps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    qualifying = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        rps.join(mc, "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_SQL}),
+    nat AS (
+        SELECT ps_partkey,
+               CAST(ps_supplycost * ps_availqty AS DECIMAL(28,8)) AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    ),
+    per_part AS (SELECT ps_partkey, SUM(v) AS sv FROM nat GROUP BY 1),
+    tot AS (SELECT SUM(sv) AS t FROM per_part)
+    SELECT ps_partkey, CAST(sv AS DOUBLE) AS value
+    FROM per_part, tot
+    WHERE CAST(sv AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape over the derived partsupp: parts whose stock
+    value in one nation exceeds a fraction of the national total
+    (global-scalar threshold).
+
+    The per-row value is one deterministic double multiply cast to
+    exact decimal, so the per-part and national sums are
+    order-independent (the plans/numeric convention); the national
+    total is a 1-row aggregate broadcast-cross-joined onto the
+    per-part rows — the same in-plan-scalar pattern as PageRank's
+    dangling mass, no driver round-trip.
+    """
+    lineitem, supplier, nation = read_tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    ps = _derived_partsupp(lineitem)
+    nat_sup = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    nat = ps.join(
+        F.broadcast(nat_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty"))
+        .cast("decimal(28,8)")
+        .alias("v"),
+    )
+    per_part = nat.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    tot = per_part.agg(F.sum("sv").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("sv").cast("double") > F.col("t").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "ps_partkey",
+            F.col("sv").cast("double").alias("value"),
+        )
     )

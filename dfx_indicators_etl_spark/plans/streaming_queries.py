@@ -96,8 +96,10 @@ def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError("banded dedup drain exceeded 300s")
         finally:
             q.stop()
-        return spark.read.parquet(f"{root}/verdicts").localCheckpoint(
-            eager=True
+        return (
+            spark.read.parquet(f"{root}/verdicts")
+            .select("doc_id", "is_dup", "n_bands")  # drop batch_id bookkeeping
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -329,6 +329,13 @@ def stream_minhash_dedup_banded(
     """
     from pyspark.sql import Window
 
+    # Partition token: batch ids restart at 0 for every new streaming
+    # query, so two drains sharing one claims table would clobber each
+    # other's batch_id=0 partition. A per-run token keeps overwrite
+    # idempotency WITHIN a run (retry of batch N replaces exactly batch
+    # N's partition) without cross-run collisions.
+    run_token = uuid.uuid4().hex[:12]
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         banded = banded_minhash_rows(
@@ -357,12 +364,21 @@ def stream_minhash_dedup_banded(
             F.col("__claimed").isNotNull() | (F.col("__rk") > 1),
         ).localCheckpoint(eager=True)  # claims append must not re-rank
 
+        # Both writes land in a per-batch subdirectory (partition-style
+        # ``batch=<token>-<id>`` naming, auto-discovered by the root
+        # read) under plain OVERWRITE: foreachBatch is at-least-once,
+        # and a failed-and-retried batch must replace exactly its own
+        # directory, never append a second copy (duplicate claim rows
+        # would multiply the left join above; duplicate verdicts would
+        # double-count docs). Same idempotency as dynamic partition
+        # overwrite without its commit-protocol cost.
+        suffix = f"batch={run_token}-{batch_id}"
         # New claims: within-batch winners of buckets nobody owned.
         (
             flagged.filter(~F.col("__dup"))
             .select("band_idx", "band_hash", "ts")
-            .write.mode("append")
-            .parquet(state_dir)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/{suffix}")
         )
         (
             flagged.groupBy("doc_id", "expected")
@@ -372,8 +388,8 @@ def stream_minhash_dedup_banded(
                 "is_dup",
                 F.col("expected").alias("n_bands"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{suffix}")
         )
 
     return (

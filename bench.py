@@ -93,6 +93,7 @@ HEADLINE = (
     "emb_kmeans",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    "q_window_range",
 )
 
 

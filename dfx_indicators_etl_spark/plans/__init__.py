@@ -20,7 +20,7 @@ from . import streaming_queries  # noqa: E402,F401
 # oracle-backed first. Keys with fresh r3 green rows (the 41 checked
 # last round) sit after the window — their evidence is current.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) fixed or added this round / never driver-checked — 13 keys
+    # (a) fixed or added this round / never driver-checked — 14 keys
     "q_events_sessionize",
     "q_asof_nearest",
     "stream_events_windowed",
@@ -33,6 +33,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_survivors",
     "q2_min_cost_supplier",
     "q11_important_stock",
+    "q_window_range",
     "emb_random_projection",
     # (b) stale r2 greens (pre-regeneration hashes), oracle-backed —
     # core analytics first, then indicator-model

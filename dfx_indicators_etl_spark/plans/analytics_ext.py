@@ -980,3 +980,35 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv").cast("double").alias("value"),
         )
     )
+
+
+# Event-time RANGE frame: one SQL text, two engines (the
+# TOP_SPENDERS_SQL pattern) — the frame is defined by an INTERVAL over
+# the ORDER BY timestamp, not a row count, which the DataFrame API's
+# long-valued ``rangeBetween`` cannot express at sub-second precision.
+RANGE_FRAME_SQL = """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS sum_prev_hour
+    FROM events
+    WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q_window_range", oracle=RANGE_FRAME_SQL)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time RANGE frame: per click, the count and exact
+    decimal sum of the same user's clicks in the trailing hour.
+
+    The rolling-window twin of ``q_window_frame``'s ROWS frame: the
+    frame boundary is an interval over event time, so rows with equal
+    timestamps are peers and gaps widen/narrow the frame — semantics a
+    row-count frame can't reproduce. One shuffle on user_id serves the
+    whole window pass; the interval comparison is timestamp-type
+    agnostic (same contract as the sessionize/as-of family).
+    """
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(RANGE_FRAME_SQL)

@@ -91,6 +91,7 @@ HEADLINE = (
     "stream_minhash_dedup_banded",
     "dedup_survivors",
     "emb_kmeans",
+    "emb_pca",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q_window_range",

@@ -28,6 +28,7 @@ __all__ = [
     "hyperplane_lsh_topk",
     "ivf_topk",
     "kmeans",
+    "pca_project",
 ]
 
 
@@ -654,4 +655,89 @@ def kmeans(
 
     return assigned(centroids).select(
         id_col, "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA projection: the compression/whitening step of an
+    embedding pipeline, in two corpus passes.
+
+    Pass 1 streams covariance PARTIALS: each partition emits one
+    ``(count, sum-vector, flattened d×d outer-product sum)`` row —
+    d²+d+1 doubles per partition regardless of row count, the same
+    bounded-partials shape as ``kmeans``. The driver assembles the
+    covariance matrix (exact single-pass form, centered at the end),
+    takes the top eigenvectors with ``numpy.linalg.eigh`` (a d×d
+    control-plane problem), and fixes each component's sign so results
+    are deterministic (eigenvectors are sign-ambiguous). Pass 2
+    projects the centered vectors through the component matrix shipped
+    in the UDF closure — a narrow Arrow/BLAS map, no shuffle.
+
+    Returns ``(id_col, projected array<float>)`` with components
+    ordered by decreasing explained variance.
+    """
+    d_holder: dict[str, int] = {}
+
+    def partials(batches):
+        n = 0
+        s = None
+        o = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if s is None:
+                s = np.zeros(mat.shape[1])
+                o = np.zeros((mat.shape[1], mat.shape[1]))
+            n += len(mat)
+            s += mat.sum(axis=0)
+            o += mat.T @ mat
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s], "o": [o.ravel()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, o array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_project: empty input")
+    d = len(rows[0]["s"])
+    n_total = sum(r["n"] for r in rows)
+    s_total = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    o_total = np.sum(
+        [np.array(r["o"]).reshape(d, d) for r in rows], axis=0
+    )
+    mean = s_total / n_total
+    cov = (o_total - n_total * np.outer(mean, mean)) / max(n_total - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:out_dim]
+    comps = eigvecs[:, order]  # d × out_dim
+    # Deterministic sign: largest-|coefficient| entry of each component
+    # is made positive.
+    for j in range(comps.shape[1]):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = (mat - mean) @ comps
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "projected": [row.astype(np.float32) for row in out],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, projected array<float>"
     )

@@ -89,6 +89,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_approx_percentile",
     "q_hll_sketch",
     "emb_kmeans",
+    "emb_pca",
     # r3-green keys follow in registration order (fresh evidence)
 ]
 

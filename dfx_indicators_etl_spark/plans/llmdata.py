@@ -632,6 +632,26 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_pca")  # rows-only: eigendecomposition is engine-specific
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection 64→8 dims: streamed covariance
+    partials (one bounded row per partition), driver-side d×d
+    eigendecomposition, closure-shipped projection pass — see
+    operators/similarity.py pca_project. Flattened to
+    (vec_id, dim, value) rows like emb_random_projection."""
+    projected = similarity.pca_project(
+        read_table(spark, sf_dir, "embeddings"), out_dim=8
+    )
+    return projected.select(
+        "vec_id",
+        F.posexplode("projected").alias("dim", "value"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
 @query("emb_kmeans")  # rows-only: iterative float means are engine-specific
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means cluster assignments over the

@@ -306,6 +306,43 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.5
 
 
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: np.array(r["projected"], dtype=np.float64)
+        for r in similarity.pca_project(emb, out_dim=4).collect()
+    }
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    comps = vecs[:, order]
+    for j in range(4):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    expect = (mat - mean) @ comps
+    worst = max(
+        float(np.abs(got[vid] - expect[i]).max()) for i, vid in enumerate(ids)
+    )
+    assert worst < 1e-3  # float32 output vs float64 reference
+
+    # variance concentrates in leading components
+    proj = np.array([got[v] for v in ids])
+    variances = proj.var(axis=0)
+    assert all(
+        variances[i] >= variances[i + 1] - 1e-6
+        for i in range(len(variances) - 1)
+    )
+
+
 def test_kmeans_assignments_are_nearest_and_deterministic(spark, sf_dir):
     import numpy as np
 

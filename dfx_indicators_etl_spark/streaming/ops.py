@@ -250,10 +250,16 @@ def banded_minhash_rows(
             )
         ),
     )
+    # The exact-text pseudo-band is flagged EXPLICITLY (``__short``)
+    # rather than inferred from ``expected == 1``: the inference would
+    # conflate "too short to shingle" with "has exactly one band" and,
+    # under ``bands=1``, remap real minhash band rows into the
+    # xxhash64(text) hash space (ADVICE r4).
     return (
         grams.select(
             "doc_id",
             "ts",
+            (F.size("__g") == 0).alias("__short"),
             F.when(F.size("__g") > 0, band_hashes)
             .otherwise(F.array(F.xxhash64("text")))
             .alias("__bands"),
@@ -261,15 +267,15 @@ def banded_minhash_rows(
         .select(
             "doc_id",
             "ts",
+            "__short",
             F.size("__bands").alias("expected"),
             F.posexplode("__bands").alias("band_idx", "band_hash"),
         )
         .withColumn(
             "band_idx",
-            F.when(F.col("expected") == 1, F.lit(-1)).otherwise(
-                F.col("band_idx")
-            ),
+            F.when(F.col("__short"), F.lit(-1)).otherwise(F.col("band_idx")),
         )
+        .drop("__short")
     )
 
 
@@ -281,6 +287,8 @@ def stream_minhash_dedup_banded(
     num_perms: int = 64,
     bands: int = 16,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = 16,
+    expire_seconds: float | None = None,
 ):
     """Band-level (any-of-k) streaming near-dup dedup via
     ``foreachBatch`` + a persisted bucket-claims table.
@@ -313,13 +321,20 @@ def stream_minhash_dedup_banded(
          or lost its within-batch rank race; append per-doc verdicts
          ``(doc_id, is_dup, n_bands)`` to ``out_dir``.
 
-    The claims table is the operator's state store: bucketed-by-key
-    parquet that a production deployment compacts and ages out on the
-    dedup horizon (claims carry ``ts``; filter on read to expire) —
-    the same pattern as any streaming-upsert-via-foreachBatch
-    pipeline. Per batch it costs one window rank over the batch's band
-    rows and one join against claims — at 100 TB both are bounded by
-    batch size × bands, never corpus².
+    The claims table is the operator's state store: per-batch
+    ``batch=<token>-<id>`` parquet partitions that every
+    ``compact_every`` batches are merged into one compacted partition
+    (min claim ``ts`` per bucket) and, when ``expire_seconds`` is set,
+    aged out past the dedup horizon — so the directory count and table
+    size stay bounded on a long-running stream instead of growing one
+    partition per micro-batch. Compaction is crash-safe by
+    construction: the merged partition is fully committed BEFORE the
+    inputs are deleted, and any crash window leaves a superset of the
+    claims (duplicate claim rows only multiply the probe join's
+    matches; the per-doc verdict is a ``max`` over them, so verdicts
+    never change). Per batch the operator costs one window rank over
+    the batch's band rows and one join against claims — at 100 TB both
+    are bounded by batch size × bands, never corpus².
 
     Returns the started ``StreamingQuery`` (AvailableNow trigger);
     callers await it and read ``out_dir`` back. ``checkpoint_dir``
@@ -327,23 +342,81 @@ def stream_minhash_dedup_banded(
     resumes source progress; a NEW source feeding the same claims
     table (backfill from another directory) passes its own.
     """
+    import hashlib
+
     from pyspark.sql import Window
 
     # Partition token: batch ids restart at 0 for every new streaming
     # query, so two drains sharing one claims table would clobber each
-    # other's batch_id=0 partition. A per-run token keeps overwrite
-    # idempotency WITHIN a run (retry of batch N replaces exactly batch
-    # N's partition) without cross-run collisions.
-    run_token = uuid.uuid4().hex[:12]
+    # other's batch_id=0 partition. The token is derived from the
+    # CHECKPOINT location (stable identity of a streaming query), not
+    # a per-call uuid: a query restarted from its checkpoint re-runs
+    # batch N under the SAME ``batch=<token>-N`` partition and the
+    # overwrite replaces the crashed attempt instead of stranding it
+    # under a fresh token (ADVICE r4). Distinct drains pass distinct
+    # checkpoints, so cross-run collisions still can't happen.
+    ckpt = checkpoint_dir or f"{state_dir}_ckpt"
+    run_token = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+
+    def _compact(spark: SparkSession, own: str, now_ts) -> None:
+        # Merge every claims partition EXCEPT the current batch's own
+        # into one compacted partition, then delete the inputs. The
+        # current batch is excluded so that a retried batch (crash
+        # after compaction, before the checkpoint commit) still finds
+        # its own claims absent from the table it reads — the same
+        # invariant the per-batch read relies on.
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        old = [
+            s.getPath()
+            for s in fs.listStatus(root)
+            if s.getPath().getName().startswith("batch=")
+            and s.getPath().getName() != f"batch={own}"
+        ]
+        if not old or (len(old) == 1 and expire_seconds is None):
+            return  # nothing to merge (and no horizon to apply)
+        claims = spark.read.parquet(state_dir).filter(F.col("batch") != own)
+        if expire_seconds is not None and now_ts is not None:
+            # "now" is the current batch's max EVENT time (the stream's
+            # clock), never the claims' own max — a quiet claims table
+            # must still age out as the stream advances.
+            import datetime as _dt
+
+            cutoff = now_ts - _dt.timedelta(seconds=expire_seconds)
+            claims = claims.filter(F.col("ts") >= F.lit(cutoff))
+        # Fresh suffix per attempt: the previous compacted partition is
+        # among the inputs, and parquet cannot overwrite a path it is
+        # reading — the old one is deleted right after the new commit.
+        gen = f"batch={run_token}-c{uuid.uuid4().hex[:8]}"
+        (
+            claims.groupBy("band_idx", "band_hash")
+            .agg(F.min("ts").alias("ts"))
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/{gen}")
+        )
+        for p in old:
+            fs.delete(p, True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        own = f"{run_token}-{batch_id}"
         banded = banded_minhash_rows(
             batch_df, n=n, num_perms=num_perms, bands=bands
         ).localCheckpoint(eager=False)  # feeds rank, claims, verdicts
         try:
-            claimed = spark.read.parquet(state_dir).select(
-                "band_idx", "band_hash"
+            # Exclude the batch's OWN partition (partition discovery
+            # exposes the ``batch`` directory column): a batch retried
+            # after its claims write committed must not see its own
+            # prior claims as pre-existing, or every doc in the batch
+            # would flip to duplicate and the cluster representative
+            # would be lost (ADVICE r4).
+            claimed = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("batch") != own)
+                .select("band_idx", "band_hash")
             )
         except Exception:  # first batch: no claims yet
             claimed = None
@@ -372,7 +445,7 @@ def stream_minhash_dedup_banded(
         # would multiply the left join above; duplicate verdicts would
         # double-count docs). Same idempotency as dynamic partition
         # overwrite without its commit-protocol cost.
-        suffix = f"batch={run_token}-{batch_id}"
+        suffix = f"batch={own}"
         # New claims: within-batch winners of buckets nobody owned.
         (
             flagged.filter(~F.col("__dup"))
@@ -391,6 +464,15 @@ def stream_minhash_dedup_banded(
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{suffix}")
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # batch max event time off the already-materialized
+            # checkpoint — one scalar job, only on compaction batches
+            now_ts = (
+                flagged.agg(F.max("ts").alias("m")).collect()[0]["m"]
+                if expire_seconds is not None
+                else None
+            )
+            _compact(spark, own, now_ts)
 
     return (
         docs.writeStream.foreachBatch(_process)

@@ -47,14 +47,14 @@ def _write_docs(spark, path, docs):
     )
 
 
-def _drain(spark, src, state_dir, out_dir, checkpoint_dir=None):
+def _drain(spark, src, state_dir, out_dir, checkpoint_dir=None, **kwargs):
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
         .format("parquet")
         .load(src)
     )
     q = streaming.stream_minhash_dedup_banded(
-        stream, state_dir, out_dir, checkpoint_dir=checkpoint_dir
+        stream, state_dir, out_dir, checkpoint_dir=checkpoint_dir, **kwargs
     )
     assert q.awaitTermination(120), "drain timed out"
     q.stop()
@@ -97,6 +97,130 @@ def test_banded_dedup_is_deterministic(spark, dirs, tmp_path):
     a = _drain(spark, src, str(tmp_path / "c1"), str(tmp_path / "o1"))
     b = _drain(spark, src, str(tmp_path / "c2"), str(tmp_path / "o2"))
     assert a == b
+
+
+def _claims_dirs(state_dir):
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(d for d in os.listdir(state_dir) if d.startswith("batch="))
+
+
+def test_banded_dedup_compaction_bounds_state(spark, dirs, tmp_path):
+    """≥3 drains against one claims table with per-batch compaction:
+    verdicts are identical to the uncompacted run and the claims
+    directory count stays bounded instead of growing per batch."""
+    src, state, out = dirs
+    _write_docs(spark, src, DOCS)
+    resend1 = [(100 + i, t) for i, t in DOCS[:4]]
+    resend2 = [(200 + i, t) for i, t in DOCS[:4]] + [
+        (299, "an entirely novel paragraph speaking of adaptive query execution")
+    ]
+    srcs = [src, str(tmp_path / "s1"), str(tmp_path / "s2")]
+    _write_docs(spark, srcs[1], resend1)
+    _write_docs(spark, srcs[2], resend2)
+
+    def run(state_dir, tag, **kwargs):
+        verdicts = {}
+        for i, s in enumerate(srcs):
+            verdicts.update(
+                _drain(
+                    spark,
+                    s,
+                    state_dir,
+                    str(tmp_path / f"out-{tag}-{i}"),
+                    checkpoint_dir=str(tmp_path / f"ck-{tag}-{i}"),
+                    **kwargs,
+                )
+            )
+        return verdicts
+
+    compacted = run(state, "c", compact_every=1)
+    plain = run(str(tmp_path / "state2"), "p", compact_every=None)
+    assert compacted == plain
+    # every re-sent doc is a dup of the first drain's representative
+    assert all(compacted[k][0] for k in (101, 102, 103, 104, 201))
+    assert compacted[299][0] is False
+    # bounded: own batch partition + one compacted partition
+    assert len(_claims_dirs(state)) <= 2
+    assert len(_claims_dirs(str(tmp_path / "state2"))) == 3
+
+
+def test_banded_dedup_retry_ignores_own_prior_claims(spark, dirs, tmp_path):
+    """A batch retried AFTER its claims write committed (crash between
+    the claims and verdicts writes, restart from checkpoint) must not
+    see its own prior claims as pre-existing — the regression where
+    every doc in the batch flips to duplicate (ADVICE r4). Simulated
+    by pre-seeding the claims table under the exact partition name the
+    batch will use (token is derived from the checkpoint path, so it
+    is predictable and stable across restarts)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    src, state, out = dirs
+    _write_docs(spark, src, DOCS)
+    ckpt = str(tmp_path / "ck-retry")
+    token = hashlib.sha256(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+    # Pre-seed batch 0's own partition with the claims it would write.
+    batch = spark.read.parquet(src)
+    (
+        streaming.ops.banded_minhash_rows(batch)
+        .select("band_idx", "band_hash", "ts")
+        .write.mode("overwrite")
+        .parquet(f"{state}/batch={token}-0")
+    )
+    verdicts = _drain(spark, src, state, out, checkpoint_dir=ckpt)
+    # the representative survives — its own poisoned claims were excluded
+    assert verdicts[1][0] is False
+    assert verdicts[2][0] is True and verdicts[3][0] is True
+    assert verdicts[5][0] is False and verdicts[6][0] is False
+    # and the partition was overwritten in place, not duplicated
+    assert _claims_dirs(state).count(f"batch={token}-0") == 1
+
+
+def test_banded_dedup_expiry_reopens_horizon(spark, dirs, tmp_path):
+    """Claims older than ``expire_seconds`` age out at compaction: a
+    duplicate re-sent past the horizon is kept again (horizon-bounded
+    dedup, the same semantics as a streaming watermark dedup)."""
+    text = DOCS[0][1]
+    src1, state, out1 = dirs
+    _write_docs(spark, src1, [(1, text)])  # ts = epoch + 1s
+    src2, out2 = str(tmp_path / "s2"), str(tmp_path / "o2")
+    _write_docs(spark, src2, [(1000, text)])  # ts = epoch + 1000s
+    src3, out3 = str(tmp_path / "s3"), str(tmp_path / "o3")
+    _write_docs(spark, src3, [(1001, text)])  # ts = epoch + 1001s
+
+    kw = dict(compact_every=1, expire_seconds=10.0)
+    a = _drain(spark, src1, state, out1, checkpoint_dir=str(tmp_path / "k1"), **kw)
+    assert a[1][0] is False
+    # within drain 2, doc 1's claims are still present → dup
+    b = _drain(spark, src2, state, out2, checkpoint_dir=str(tmp_path / "k2"), **kw)
+    assert b[1000][0] is True
+    # drain 2's compaction expired doc 1's claims (epoch+1 < epoch+990);
+    # doc 1000 claimed nothing (it was a dup), so drain 3's re-send
+    # finds a clean horizon and is kept.
+    c = _drain(spark, src3, state, out3, checkpoint_dir=str(tmp_path / "k3"), **kw)
+    assert c[1001][0] is False
+
+
+def test_banded_rows_single_band_is_not_remapped(spark, tmp_path):
+    """``bands=1``: a real minhash band must keep ``band_idx=0`` — the
+    exact-text pseudo-band (-1) is only for docs too short to shingle,
+    flagged explicitly rather than inferred from the band count
+    (ADVICE r4)."""
+    src = str(tmp_path / "src")
+    _write_docs(spark, src, [DOCS[0], (7, "tiny doc")])
+    rows = streaming.ops.banded_minhash_rows(
+        spark.read.parquet(src), bands=1
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["band_idx"])
+    assert by_doc[DOCS[0][0]] == [0]  # shingleable: real band, idx 0
+    assert by_doc[7] == [-1]  # sub-shingle: exact-text pseudo-band
 
 
 def test_banded_dedup_state_persists_across_drains(spark, dirs, tmp_path):

@@ -561,8 +561,16 @@ def kmeans(
     Returns ``(vec_id, cluster, dist)`` — each vector's cluster under
     the FINAL centroids (one extra assignment pass, so the output is
     self-consistent rather than one step stale).
+
+    The ``(id, vec)`` projection is localCheckpoint-ed ONCE before the
+    loop (the same pattern as pagerank's edge fractions,
+    operators/graph.py): every Lloyd iteration and the final assignment
+    read the materialized columnar copy, so the source parquet is
+    scanned exactly once no matter how many iterations run — at 100 TB
+    the difference between 1 and n_iter+1 full corpus scans.
     """
-    seeds = df.select(vec_col).orderBy(id_col).limit(k).collect()
+    base = df.select(id_col, vec_col).localCheckpoint(eager=False)
+    seeds = base.select(vec_col).orderBy(id_col).limit(k).collect()
     if len(seeds) < k:
         raise ValueError(f"kmeans: need at least k={k} vectors, got {len(seeds)}")
     centroids = np.array([r[0] for r in seeds], dtype=np.float64)
@@ -591,7 +599,7 @@ def kmeans(
                     }
                 )
 
-        return df.select(id_col, vec_col).mapInPandas(
+        return base.mapInPandas(
             assign,
             f"{id_col} long, {vec_col} array<float>, cluster int, dist double",
         )
@@ -636,7 +644,7 @@ def kmeans(
     for _ in range(n_iter):
         # ≤ k rows per partition — collect and combine driver-side
         # (cheaper than shuffling an aggregate for data this small).
-        partials = df.select(vec_col).mapInPandas(
+        partials = base.select(vec_col).mapInPandas(
             partial_sums(centroids),
             "cluster int, s array<double>, n long",
         ).collect()

@@ -898,9 +898,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # rps feeds BOTH the per-part minimum and the final join: eager
+    # localCheckpoint pins ONE derivation of the aggregated partsupp
+    # (bounded: one row per observed European (part, supplier) pair)
+    # instead of relying on ReusedExchange to dedupe the two
+    # differently-projected subtrees — pre-pin, PLANS.md showed the
+    # lineitem scan + pre-aggregation running twice in this plan.
     rps = ps.join(
         F.broadcast(euro_sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
+    ).localCheckpoint(eager=True)
     mc = rps.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
     )
@@ -968,7 +974,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,8)")
         .alias("v"),
     )
-    per_part = nat.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    # per_part feeds both the national total and the threshold filter:
+    # eager localCheckpoint (one tiny row per part) pins a single
+    # derivation of the whole upstream, including the lineitem
+    # pre-aggregation.
+    per_part = (
+        nat.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
     tot = per_part.agg(F.sum("sv").alias("t"))
     return (
         per_part.crossJoin(F.broadcast(tot))

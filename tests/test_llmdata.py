@@ -389,6 +389,19 @@ def test_kmeans_assignments_are_nearest_and_deterministic(spark, sf_dir):
     assert mismatches <= len(ids) * 0.01
 
 
+def test_kmeans_scans_source_once(spark, sf_dir):
+    """The Lloyd loop reads the checkpointed (id, vec) projection, not
+    the source parquet: the returned plan (and hence every iteration,
+    which shares the same base) must contain no parquet scan — at
+    100 TB the difference between 1 and n_iter+1 full corpus scans."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    result = similarity.kmeans(emb, k=4, n_iter=2)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
 def test_kmeans_more_iterations_do_not_increase_inertia(spark, sf_dir):
     from dfx_indicators_etl_spark.sources import read_table
 

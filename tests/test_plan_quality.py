@@ -92,6 +92,17 @@ def test_q8_star_joins_broadcast(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1
 
 
+def test_q2_q11_single_partsupp_derivation(spark, sf_dir):
+    """The derived partsupp feeds two consumers in each query (per-part
+    MIN + final join in q2; national total + threshold filter in q11).
+    The eager localCheckpoint pins ONE derivation, so the final plan
+    carries at most the part-table scan (q2) / no file scan at all
+    (q11) instead of re-deriving the lineitem pre-aggregation per
+    consumer (was 9 scans in q2 pre-pin)."""
+    assert _plan(spark, sf_dir, "q2_min_cost_supplier").count("Scan parquet") <= 2
+    assert _plan(spark, sf_dir, "q11_important_stock").count("Scan parquet") == 0
+
+
 def test_sample_train_test_no_shuffle_split(spark, sf_dir):
     # The split itself is a pure map; the only exchange belongs to the
     # summarizing groupBy, never to assigning rows to splits.

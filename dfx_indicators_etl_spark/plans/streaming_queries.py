@@ -44,14 +44,61 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(windowed, output_mode="complete")
 
 
-@query("stream_sessionize")  # rows-only: open sessions stay in state by design
+@query(
+    "stream_sessionize",
+    # The emitted-session set is fully expressible in batch SQL: a
+    # session emits iff it closed by the GAP rule (a later event from
+    # the same user opened the next session — i.e. it is not the
+    # user's last session) or by EVENT-TIME TIMEOUT (final watermark =
+    # max(ts) - 2h passed strictly beyond session_end + 30min gap).
+    # Everything else stays in state by design.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS session_start,
+               epoch_us(MAX(ts)) AS session_end,
+               MAX(ts) AS end_ts,
+               CAST(COUNT(*) AS INT) AS n_events,
+               round(SUM(value), 4) AS sum_value
+        FROM sess GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT *,
+               MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+        FROM agg
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM marked, mx
+    WHERE session_id < last_sid
+       OR end_ts + INTERVAL 150 MINUTE < m
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState):
     per-user 30-min-gap sessions, event-time timeouts flushing idle
-    users past the watermark."""
+    users past the watermark. Value-oracled: the emitted set is
+    exactly the gap-closed sessions plus the timeout-flushed final
+    sessions, both expressible as batch gaps-and-islands SQL."""
     stream = streaming.read_events_stream(spark, sf_dir)
     sessions = streaming.stream_sessionize_events(stream, gap_minutes=30)
-    return streaming.run_available_now(sessions, output_mode="append")
+    drained = streaming.run_available_now(sessions, output_mode="append")
+    return drained.withColumn("sum_value", F.round("sum_value", 4))
 
 
 @query("stream_dedup")  # rows-only: survivor row per key is arrival-order dependent

@@ -550,13 +550,16 @@ def stream_sessionize_events(
         if state.hasTimedOut:
             start, last, n, total = state.get
             state.remove()
+            # raw total: rounding happens in the PLAN (F.round, HALF_UP)
+            # so it matches SQL-engine semantics — Python's round is
+            # banker's and would disagree on exact .5 ulps
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "session_start": [start],
                     "session_end": [last],
                     "n_events": [n],
-                    "sum_value": [round(total, 4)],
+                    "sum_value": [total],
                 }
             )
             return
@@ -593,7 +596,7 @@ def stream_sessionize_events(
                     "session_start": [o[0] for o in out],
                     "session_end": [o[1] for o in out],
                     "n_events": [o[2] for o in out],
-                    "sum_value": [round(o[3], 4) for o in out],
+                    "sum_value": [o[3] for o in out],
                 }
             )
 

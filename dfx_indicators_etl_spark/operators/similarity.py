@@ -232,7 +232,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
@@ -351,8 +351,11 @@ def ivf_topk(
     )
 
 
-NUM_TABLES = 8  # L independent hash tables
-PLANES_PER_TABLE = 6  # k sign bits per table
+# Defaults tuned for recall@10 ≥ 0.8 against brute-force ground truth
+# on the sf0.1 embeddings (measured 0.85; more tables ↑recall,
+# more planes ↓candidates): see tests/test_llmdata.py recall gates.
+NUM_TABLES = 12  # L independent hash tables
+PLANES_PER_TABLE = 4  # k sign bits per table
 
 
 def _plane_component(table: int, p: int, j: Column) -> Column:
@@ -369,15 +372,19 @@ def hyperplane_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = NUM_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
 ) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH.
 
-    Standard (L, k)-LSH: NUM_TABLES independent tables, each keyed by
-    the sign bits of PLANES_PER_TABLE fixed pseudo-random hyperplanes.
-    A corpus vector is a candidate iff it collides with the query in
-    ≥1 table; candidates score exactly and rank. At 100 TB the bucket
-    equi-join replaces the brute-force scan — probing cost tracks
-    bucket occupancy (sub-linear), recall is tunable via L and k.
+    Standard (L, k)-LSH: ``num_tables`` independent tables, each keyed
+    by the sign bits of ``planes_per_table`` fixed pseudo-random
+    hyperplanes. A corpus vector is a candidate iff it collides with
+    the query in ≥1 table; candidates score exactly and rank. At
+    100 TB the bucket equi-join replaces the brute-force scan —
+    probing cost tracks bucket occupancy (sub-linear); recall rises
+    with more tables (L) and falls with more planes per table (k),
+    both dialed per deployment against candidate volume.
     """
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -393,8 +400,8 @@ def hyperplane_lsh_topk(
             F.sum(
                 F.col("x").cast("double") * _plane_component(t, p, F.col("j"))
             ).alias(f"__d_{t}_{p}")
-            for t in range(NUM_TABLES)
-            for p in range(PLANES_PER_TABLE)
+            for t in range(num_tables)
+            for p in range(planes_per_table)
         ]
         dots = exploded.groupBy(id_alias).agg(
             F.first(vec_alias).alias(vec_alias), *dot_aggs
@@ -402,8 +409,8 @@ def hyperplane_lsh_topk(
 
         def bucket_for(table: int) -> Column:
             # Table id folded into the key → one equi-join serves all tables.
-            out = F.lit(table << PLANES_PER_TABLE).cast("long")
-            for p in range(PLANES_PER_TABLE):
+            out = F.lit(table << planes_per_table).cast("long")
+            for p in range(planes_per_table):
                 bit = (
                     F.when(F.col(f"__d_{table}_{p}") >= 0, F.lit(1 << p))
                     .otherwise(F.lit(0))
@@ -412,7 +419,7 @@ def hyperplane_lsh_topk(
                 out = out.bitwiseOR(bit)
             return out
 
-        buckets = F.array(*[bucket_for(t) for t in range(NUM_TABLES)])
+        buckets = F.array(*[bucket_for(t) for t in range(num_tables)])
         return dots.select(
             id_alias, vec_alias, F.explode(buckets).alias("bucket")
         )

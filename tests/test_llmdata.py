@@ -292,7 +292,7 @@ def test_multimodal_unknown_media_type_raises(planted, spark):
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
-    """IVF probing 4/16 cells must recover most exact neighbors
+    """IVF probing 6/16 cells must recover most exact neighbors
     (deterministic codebook → stable recall on fixed data)."""
     bf = {
         (r.query_id, r.neighbor_id)
@@ -304,6 +304,27 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     assert len(ivf) == len(bf)  # k rows per query either way
     assert len(bf & ivf) / len(bf) >= 0.5
+
+
+def test_ann_recall_at_10_sf01(spark):
+    """The headline ANN accuracy gate: recall@10 ≥ 0.8 against
+    brute-force ground truth at sf0.1 for BOTH scale paths, at their
+    default dials (LSH 12 tables × 4 planes, IVF 6/16 probes).
+    Deterministic hashing/codebook on fixed data → a stable bound."""
+    from dfx_indicators_etl_spark.operators import similarity
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings").localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def keyset(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    bf = keyset(similarity.brute_force_topk(emb, queries, k=10))
+    lsh = keyset(similarity.hyperplane_lsh_topk(emb, queries, k=10))
+    ivf = keyset(similarity.ivf_topk(emb, queries, k=10))
+    assert len(bf & lsh) / len(bf) >= 0.8
+    assert len(bf & ivf) / len(bf) >= 0.8
 
 
 def test_pca_matches_numpy_reference(spark, sf_dir):

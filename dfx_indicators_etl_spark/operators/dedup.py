@@ -394,8 +394,12 @@ def connected_components(
     union-find on the driver replaces the iterative loop (identical
     labels, none of the per-round shuffle/checkpoint/probe job
     overhead, which dominates wall time when components are tiny).
-    Larger graphs take the distributed loop unchanged; at the default
-    threshold the collect is bounded at ~32 MB of longs.
+    Larger graphs take the distributed loop unchanged. The driver path
+    streams edges partition-at-a-time via ``toLocalIterator`` (the
+    union-find is single-pass and order-insensitive), so peak driver
+    memory is the parent dict — up to 2·edges Python int entries,
+    ~100-200 B each (≈ several hundred MB at the 2M-edge default), plus
+    one partition of Row objects — never the whole edge list at once.
     """
     spark = pairs.sparkSession
     und = pairs.select(
@@ -414,7 +418,7 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in und.collect():
+        for row in und.toLocalIterator():
             u, v = row[0], row[1]
             parent.setdefault(u, u)
             parent.setdefault(v, v)

@@ -18,16 +18,64 @@ from .base import BaseRetriever, BaseTransformer
 __all__ = ["Retriever", "Transformer"]
 
 
+RAW_SCHEMA = (
+    "indicator struct<id:string,value:string>, "
+    "country struct<id:string,value:string>, "
+    "countryiso3code string, date string, value double"
+)
+
+
 class Retriever(BaseRetriever):
     uri = "https://api.worldbank.org/v2/"
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        indicator: str = "SP.POP.TOTL",
+        per_page: int = 1000,
+        max_pages: int = 50,
+        **kwargs,
+    ) -> DataFrame:
+        """Paged JSON retrieval (reference world_bank_api.py:57-101):
+        control-plane-sized API pages fetched on the driver via
+        ``fetch_json`` (guarded — raises NotImplementedError without an
+        HTTP client), then parallelized under the explicit nested
+        schema the Transformer flattens. ``max_pages`` bounds a runaway
+        pagination; the per-indicator payload is metadata-sized, never
+        fact-table-sized, so the driver-side fetch matches the
+        reference's architecture rather than working around Spark."""
         if payload is not None:
             return payload
-        # Paged JSON API; small control-plane payloads fetched on the
-        # driver then parallelized — guarded: no HTTP client here.
-        self.fetch_json(f"{self.uri}country/all/indicator")
-        raise AssertionError("unreachable")  # pragma: no cover
+        records: list = []
+        page = 1
+        while page <= max_pages:
+            data = self.fetch_json(
+                f"{self.uri}country/all/indicator/{indicator}",
+                params={"format": "json", "per_page": per_page, "page": page},
+            )
+            meta, rows = data[0], data[1] or []
+            records.extend(rows)
+            if page >= int(meta.get("pages", 1)):
+                break
+            page += 1
+        rows = [
+            (
+                (
+                    (r.get("indicator") or {}).get("id"),
+                    (r.get("indicator") or {}).get("value"),
+                ),
+                (
+                    (r.get("country") or {}).get("id"),
+                    (r.get("country") or {}).get("value"),
+                ),
+                r.get("countryiso3code"),
+                r.get("date"),
+                float(r["value"]) if r.get("value") is not None else None,
+            )
+            for r in records
+        ]
+        return spark.createDataFrame(rows, RAW_SCHEMA)
 
 
 class Transformer(BaseTransformer):

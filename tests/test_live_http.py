@@ -1,0 +1,80 @@
+"""World Bank API retrieval: mocked paging (always runs) and a live
+HTTP integration path behind an explicit opt-in flag.
+
+The sandbox has neither an HTTP client nor network, so the live leg —
+the reference's primary retrieval mode (`pipelines/_base.py:34-120`) —
+is exercised only when ``SPARK_GRAFT_LIVE_HTTP=1`` and ``httpx`` is
+importable; the pagination/schema logic itself is covered offline via
+a stubbed ``fetch_json``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dfx_indicators_etl_spark.pipelines import base, world_bank_api
+
+
+def _fake_pages(n_pages: int, rows_per_page: int):
+    def fetch(url, params=None):
+        page = params["page"]
+        rows = [
+            {
+                "indicator": {"id": "SP.POP.TOTL", "value": "Population, total"},
+                "country": {"id": "US", "value": "United States"},
+                "countryiso3code": "USA",
+                "date": str(2000 + (page - 1) * rows_per_page + i),
+                "value": 1_000_000 + i,  # int on the wire, double in schema
+            }
+            for i in range(rows_per_page)
+        ]
+        return [{"pages": n_pages, "page": page}, rows]
+
+    return fetch
+
+
+def test_world_bank_retriever_paginates(spark, monkeypatch):
+    r = world_bank_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_pages(3, 4))
+    raw = r(spark)
+    assert raw.count() == 12  # all 3 pages drained
+    assert dict(raw.dtypes)["value"] == "double"
+    assert raw.schema["indicator"].dataType.fieldNames() == ["id", "value"]
+
+
+def test_world_bank_retriever_bounds_pagination(spark, monkeypatch):
+    r = world_bank_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_pages(1000, 2))
+    raw = r(spark, max_pages=5)
+    assert raw.count() == 10  # runaway pagination cut at max_pages
+
+
+def test_world_bank_mocked_rows_flow_through_transformer(spark, monkeypatch):
+    r = world_bank_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_pages(1, 3))
+    mapping = spark.createDataFrame(
+        [("United States", 840, "USA")], ["name", "m49", "iso_alpha_3"]
+    )
+    out = world_bank_api.Transformer(mapping).transform(r(spark))
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["indicator_name"] == "Population, total [SP.POP.TOTL]"
+    assert {r["country_code"] for r in rows} == {"USA"}
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_HTTP") != "1" or base.httpx is None,
+    reason="live HTTP is opt-in: SPARK_GRAFT_LIVE_HTTP=1 with httpx + network",
+)
+def test_world_bank_live_retrieve_and_transform(spark):
+    raw = world_bank_api.Retriever()(spark, per_page=500, max_pages=2)
+    assert raw.count() > 0
+    mapping = spark.createDataFrame(
+        [("United States", 840, "USA"), ("India", 356, "IND")],
+        ["name", "m49", "iso_alpha_3"],
+    )
+    out = world_bank_api.Transformer(mapping).transform(raw)
+    assert {"indicator_name", "country_code", "year", "value"} <= set(out.columns)
+    assert out.count() > 0

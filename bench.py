@@ -95,6 +95,14 @@ HEADLINE = (
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q_window_range",
+    # -- added in round 5: new surface + previously unbenched ops --
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "text_tfidf",
+    "emb_int8_quantize",
+    "stream_sessionize",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
 )
 
 

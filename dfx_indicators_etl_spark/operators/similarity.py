@@ -26,6 +26,7 @@ __all__ = [
     "brute_force_topk",
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
+    "int8_quantize_stats",
     "ivf_topk",
     "kmeans",
     "pca_project",
@@ -489,6 +490,46 @@ def random_projection(
 
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} long, projected array<float>"
+    )
+
+
+def int8_quantize_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Symmetric int8 scalar quantization audit: per-vector scale and
+    reconstruction error.
+
+    The memory-compression step of an embedding index (4× smaller than
+    float32, the standard serving trade-off): each vector quantizes as
+    ``q = round(x / scale)`` with ``scale = max|x| / 127``, and this
+    operator reports the scale plus the max/mean absolute
+    reconstruction error ``|q·scale − x|`` — the numbers an index
+    deployment watches to validate the compression.
+
+    Pure higher-order array functions in one narrow codegen pass: no
+    shuffle, no Python, linear in corpus size. ``round`` is the SQL
+    HALF_UP (away-from-zero) on both engines; element order is the
+    array's own on both engines, so the mean's summation order is
+    identical and the outputs hash-match exactly. Zero vectors get
+    scale 0 and error 0 (guarded division).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    err = F.when(max_abs == 0.0, F.array_repeat(F.lit(0.0), F.size(vec))).otherwise(
+        F.transform(vec, lambda x: F.abs(F.round(x / scale, 0) * scale - x))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, decimals).alias("q_scale"),
+        F.round(F.array_max(err), decimals).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(vec),
+            decimals,
+        ).alias("mean_abs_err"),
     )
 
 

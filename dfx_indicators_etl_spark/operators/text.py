@@ -168,6 +168,66 @@ def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataF
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document (keyword extraction /
+    sparse-retrieval feature build).
+
+    Same tokenization as ``word_vocab`` (lowercase, non-letter split).
+    Three map-side-combinable aggregations and one vocab-keyed join:
+    term counts per (doc, word), document frequency per word (off the
+    already-aggregated tf — one row per distinct (doc, word), never a
+    corpus re-scan), and the corpus document count as a 1-row
+    broadcast scalar (the q11/pagerank in-plan-scalar pattern, no
+    driver round trip). The tf ⋈ df join keys on word — vocab-sized
+    build side, AQE picks broadcast vs shuffle by its actual size.
+    Scores use the smoothed idf ``ln((N+1)/(df+1)) + 1`` and round to
+    ``decimals`` BEFORE ranking (ties → word asc), so the per-doc
+    top-k is stable across engines and summation orders. The rank
+    window partitions by doc — no global sort anywhere.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "word",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                decimals,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 # PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB
 # et al.) evaluate identically — no lookaround, no backreferences.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

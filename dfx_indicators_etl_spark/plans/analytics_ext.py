@@ -1026,3 +1026,132 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ("events",))
     return spark.sql(RANGE_FRAME_SQL)
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS first_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.first_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM c) AS n_click_users,
+           (SELECT COUNT(*) FROM p) AS n_purchase_users
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users whose first view precedes a click
+    that precedes a purchase (view → click → purchase attribution).
+
+    Each stage is one combinable MIN aggregate filtered by the prior
+    stage's timestamp; every join and aggregate keys on ``user_id``,
+    so after the first exchange the stages are co-partitioned — no
+    stage touches more than one row per user, and the three funnel
+    counts come back as 1-row aggregates cross-joined in-plan (the
+    q11/pagerank scalar pattern, no driver round trip). Strict ``>``
+    comparisons make tie handling explicit and engine-identical.
+    """
+    events, = read_tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view_users"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_click_users"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase_users"))))
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH first AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE)) // 7
+                   AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               (datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7)
+                 - f.cohort_week AS weeks_since
+        FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT DATE '1970-01-01' + CAST(cohort_week * 7 AS INTEGER)
+               AS cohort_week_start,
+           CAST(weeks_since AS INTEGER) AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users active N weeks after their
+    first-ever event, grouped by first-week cohort.
+
+    The canonical growth-analytics query. One combinable MIN per user,
+    an equi-join back onto the fact (both sides keyed on user_id — one
+    co-partitioned exchange each), a distinct on (user, cohort, week)
+    to count a user once per period, and a final small aggregate. Week
+    arithmetic is pure integer epoch-day division — identical on every
+    engine, no interval/calendar semantics to disagree on.
+    """
+    events, = read_tables(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def week_of(col):
+        return F.floor(F.datediff(F.to_date(col), epoch) / 7)
+
+    ev = events.select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        week_of(F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week_of(F.col("ts")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").cast("bigint").alias("n_active_users"))
+        .select(
+            F.date_add(epoch, (F.col("cohort_week") * 7).cast("int")).alias(
+                "cohort_week_start"
+            ),
+            F.col("weeks_since").cast("int").alias("weeks_since"),
+            "n_active_users",
+        )
+    )

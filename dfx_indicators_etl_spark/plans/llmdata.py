@@ -679,6 +679,72 @@ def emb_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, tfidf, rank FROM (
+        SELECT t.doc_id, t.word,
+               round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                   AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0))
+                                          + 1.0), 6) DESC, t.word
+               ) AS INTEGER) AS rank
+        FROM tf t JOIN dfreq d USING (word), n
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction / sparse
+    retrieval features): combinable tf and df aggregations, in-plan
+    1-row corpus count, round-before-rank for engine-stable top-k."""
+    return text.tfidf_topk(read_table(spark, sf_dir, "documents"), top_k=3)
+
+
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    err AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(e, x -> 0.0)
+                    ELSE list_transform(e, x -> abs(round(x / scale, 0)
+                                                    * scale - x))
+               END AS errs,
+               len(e) AS d
+        FROM v
+    )
+    SELECT vec_id,
+           round(scale, 6) AS q_scale,
+           round(list_max(errs), 6) AS max_abs_err,
+           round(list_sum(errs) / d, 6) AS mean_abs_err
+    FROM err
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per vector: scale plus
+    max/mean reconstruction error — the 4×-compression validation
+    step of an embedding index. One narrow codegen pass, no shuffle."""
+    return similarity.int8_quantize_stats(
+        read_table(spark, sf_dir, "embeddings")
+    )
+
+
+@query(
     "emb_label_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS INTEGER) AS dim,

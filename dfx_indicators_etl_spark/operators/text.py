@@ -197,7 +197,16 @@ def tfidf_topk(
             F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != "")
         ).alias("word"),
     )
-    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join; without a
+    # pin the tokenize+aggregate subtree plans twice (no ReusedExchange
+    # across the differing projections). One eager localCheckpoint
+    # materializes the aggregated (doc, word, tf) relation once — the
+    # same single-derivation pattern as the q2/q11 partsupp pin.
+    tf = (
+        words.groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
     scored = (

@@ -1066,10 +1066,15 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events, = read_tables(spark, sf_dir, "events")
     ev = events.select("user_id", "event_type", "ts")
+    # v and c each feed the next stage AND a funnel count: eager
+    # localCheckpoints (bounded — one row per converting user) pin one
+    # derivation each, so the events fact is scanned once per stage
+    # filter (3 pushed-down scans) instead of once per consumer (6).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1077,6 +1082,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

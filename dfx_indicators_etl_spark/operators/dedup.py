@@ -418,7 +418,12 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in und.toLocalIterator():
+        # toLocalIterator schedules one job per partition — coalesce
+        # the (small) edge list so the driver pulls a few large
+        # partitions with prefetch instead of dozens of tiny jobs,
+        # while still never holding the whole edge list as Rows.
+        few = und.coalesce(max(1, und.rdd.getNumPartitions() // 8))
+        for row in few.toLocalIterator(prefetchPartitions=True):
             u, v = row[0], row[1]
             parent.setdefault(u, u)
             parent.setdefault(v, v)

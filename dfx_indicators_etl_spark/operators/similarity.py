@@ -367,6 +367,23 @@ def _plane_component(table: int, p: int, j: Column) -> Column:
     return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
 
 
+def _plane_matrix(num_tables: int, planes_per_table: int, d: int) -> np.ndarray:
+    """The same hyperplanes as ``_plane_component``, as a numpy tensor
+    ``(num_tables, planes_per_table, d)``.
+
+    Identical arithmetic: int64 multiply wraps in numpy exactly like
+    Spark's non-ANSI long multiply, and ``np.mod`` with a positive
+    divisor matches ``F.pmod`` — executors rebuild the matrix from the
+    formula, nothing ships but the dims.
+    """
+    t = np.arange(num_tables, dtype=np.int64).reshape(-1, 1, 1)
+    p = np.arange(planes_per_table, dtype=np.int64).reshape(1, -1, 1)
+    j = np.arange(d, dtype=np.int64).reshape(1, 1, -1)
+    with np.errstate(over="ignore"):
+        h = (t * 1_000_003 + p * 10_007 + j * 131) * np.int64(2_654_435_761)
+    return (np.mod(h, 10_000).astype(np.float64) / 10_000.0) - 0.5
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -388,55 +405,101 @@ def hyperplane_lsh_topk(
     both dialed per deployment against candidate volume.
     """
 
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        # Hyperplane dot products via posexplode + one codegen'd
-        # aggregate (48 sum expressions) — higher-order array functions
-        # would evaluate interpreted, ~10× slower per row.
-        exploded = df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.posexplode(vec_col).alias("j", "x"),
-        )
-        dot_aggs = [
-            F.sum(
-                F.col("x").cast("double") * _plane_component(t, p, F.col("j"))
-            ).alias(f"__d_{t}_{p}")
-            for t in range(num_tables)
-            for p in range(planes_per_table)
-        ]
-        dots = exploded.groupBy(id_alias).agg(
-            F.first(vec_alias).alias(vec_alias), *dot_aggs
-        )
+    # Corpus bucketing is ONE narrow Arrow pass: each partition
+    # computes all L·k hyperplane dots with a single BLAS tensordot
+    # against the formula-rebuilt plane matrix and emits the L bucket
+    # keys per row (table id folded into the key so one equi-join
+    # serves every table). The previous formulation posexploded the
+    # vector (64× the corpus rows) through a 48-aggregate groupBy — a
+    # corpus-wide shuffle this version simply doesn't have.
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+    table_base = (np.arange(num_tables, dtype=np.int64) << planes_per_table)
 
-        def bucket_for(table: int) -> Column:
-            # Table id folded into the key → one equi-join serves all tables.
-            out = F.lit(table << planes_per_table).cast("long")
-            for p in range(planes_per_table):
-                bit = (
-                    F.when(F.col(f"__d_{table}_{p}") >= 0, F.lit(1 << p))
-                    .otherwise(F.lit(0))
-                    .cast("long")
+    def bucketize(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if planes is None:
+                planes = _plane_matrix(
+                    num_tables, planes_per_table, mat.shape[1]
                 )
-                out = out.bitwiseOR(bit)
-            return out
+            # n × L × k sign bits → n × L bucket keys
+            dots = np.tensordot(mat, planes, axes=([1], [2]))
+            bits = (dots >= 0).astype(np.int64)
+            keys = (bits * weights).sum(axis=2) + table_base
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "buckets": list(keys),
+                }
+            )
 
-        buckets = F.array(*[bucket_for(t) for t in range(num_tables)])
-        return dots.select(
-            id_alias, vec_alias, F.explode(buckets).alias("bucket")
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        bucketize, "neighbor_id long, vec array<float>, buckets array<bigint>"
+    ).select("neighbor_id", "vec", F.explode("buckets").alias("bucket"))
+
+    # Queries are a small probe batch by contract: bucketize them
+    # driver-side with the same plane matrix (exact same arithmetic)
+    # and broadcast the (query_id, bucket) probe list — the IVF
+    # codebook pattern, no second corpus-side pass.
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_unit = {}
+    probe_rows = []
+    planes = None
+    for r in q_rows:
+        v = np.array(r[1], dtype=np.float64)
+        n = np.linalg.norm(v)
+        q_unit[int(r[0])] = v / (n if n > 0 else 1.0)
+        if planes is None:
+            planes = _plane_matrix(num_tables, planes_per_table, len(v))
+        dots = np.tensordot(v, planes, axes=([0], [2]))
+        bits = (dots >= 0).astype(np.int64)
+        keys = (bits * weights).sum(axis=1) + table_base
+        probe_rows.extend((int(r[0]), int(b)) for b in keys)
+    probes = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_rows, "query_id long, bucket bigint"
         )
+    )
 
-    c = with_buckets(corpus, "neighbor_id", "vec")
-    q = with_buckets(queries, "query_id", "query_vec")
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    candidates = (
+        c.join(probes, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.col("query_vec"), F.col("vec"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "vec")
+    )
+
+    # Exact scoring of the candidates in Arrow/BLAS batches (the same
+    # shape as ``ivf_topk``'s scorer): the query batch is small by
+    # contract, so its unit vectors ship in the closure — interpreted
+    # higher-order dot products lose by ~100× to numpy at any scale.
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nm == 0.0, 1.0, nm)
+            sims = np.array(
+                [
+                    float(vec @ q_unit[qid])
+                    for vec, qid in zip(unit, pdf["query_id"])
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos_sim": np.round(sims, 6),
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -20,6 +20,7 @@ from dfx_indicators_etl_spark.plans import QUERIES
 ARROW_OK = {
     "sim_bruteforce_topk",
     "sim_ivf_ann",
+    "sim_lsh_ann",  # r5: bucketize + scoring moved to Arrow/BLAS
     "dedup_embedding_cosine",
     "mm_decode_stub",
     "mm_resize_stub",

@@ -37,8 +37,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_combine_dimensions",
     "ind_melt",
     "q_events_daily",
-    # (c) implementation touched in round 5 — 8 keys
+    # (c) implementation touched in round 5 — 9 keys
     "stream_sessionize",
+    "stream_dedup",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "stream_minhash_dedup_banded",
@@ -75,8 +76,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_word_vocab",
     "text_quality_filter",
     "sim_bruteforce_topk",
-    "sample_stratified",
     # --- window boundary: exactly 50 keys above this line ---
+    "sample_stratified",
     "sample_train_test",
     "emb_l2_norm",
     "emb_label_centroids",

@@ -101,9 +101,21 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.withColumn("sum_value", F.round("sum_value", 4))
 
 
-@query("stream_dedup")  # rows-only: survivor row per key is arrival-order dependent
+@query(
+    "stream_dedup",
+    # WHICH physical row survives per key is arrival-order dependent,
+    # but the operator projects the KEY COLUMNS ONLY, so the emitted
+    # set is exactly the distinct key set: the backlog drains as one
+    # availableNow batch (single-file source), during which the
+    # watermark is still at its initial value — no state eviction, no
+    # late drops — and dropDuplicatesWithinWatermark emits one row per
+    # first-seen key.
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful stream dedup on (user_id, event_type) within a 1h watermark."""
+    """Stateful stream dedup on (user_id, event_type) within a 1h
+    watermark, projected to the key columns (value-oracled: the
+    surviving key set equals SELECT DISTINCT)."""
     stream = streaming.read_events_stream(spark, sf_dir)
     deduped = streaming.stream_dedup_events(stream, keys=("user_id", "event_type"))
     return streaming.run_available_now(deduped, output_mode="append")

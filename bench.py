@@ -103,6 +103,8 @@ HEADLINE = (
     "stream_sessionize",
     "sim_lsh_ann",
     "sim_ivf_ann",
+    "q_session_window_native",
+    "stream_upsert_sink",
 )
 
 

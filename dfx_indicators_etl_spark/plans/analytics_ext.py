@@ -1161,3 +1161,56 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_users",
         )
     )
+
+
+@query(
+    "q_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via Spark's NATIVE ``session_window``
+    (dynamic gap-merging windows in the aggregation layer) — the
+    built-in twin of the gaps-and-islands formulation
+    (``q_events_sessionize``) and the stateful streaming operator
+    (``stream_sessionize``): three routes to one semantic, each
+    oracle-checked. One shuffle on (user_id, window); the session
+    window's END is exclusive (last event + gap) by definition, which
+    the oracle reproduces as MAX(ts) + INTERVAL.
+    """
+    events, = read_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(dcount("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

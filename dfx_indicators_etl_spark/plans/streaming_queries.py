@@ -296,6 +296,40 @@ def stream_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-CDC sink: update-mode windowed aggregate upserted into
+    a merge-on-read parquet table (per-batch partitions, latest-wins
+    read). The resolved read-back must equal the batch aggregate — the
+    oracle proves no update was lost, doubled, or resolved stale."""
+    root = _scratch("dfx_upsert_")
+    try:
+        stream = streaming.read_events_stream(spark, sf_dir)
+        q = streaming.stream_upsert_aggregate(
+            stream, f"{root}/table", f"{root}/ckpt"
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("upsert drain exceeded 120s")
+        finally:
+            q.stop()
+        return streaming.read_latest_wins(
+            spark, f"{root}/table", ("window_start", "event_type")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,

@@ -3,21 +3,25 @@
 from .ops import (
     read_documents_stream,
     read_events_stream,
+    read_latest_wins,
     run_available_now,
     stream_dedup_events,
     stream_minhash_dedup_banded,
     stream_minhash_dedup_docs,
     stream_sessionize_events,
+    stream_upsert_aggregate,
     windowed_event_counts,
 )
 
 __all__ = [
     "read_documents_stream",
     "read_events_stream",
+    "read_latest_wins",
     "run_available_now",
     "stream_dedup_events",
     "stream_minhash_dedup_banded",
     "stream_minhash_dedup_docs",
     "stream_sessionize_events",
+    "stream_upsert_aggregate",
     "windowed_event_counts",
 ]

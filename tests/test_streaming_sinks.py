@@ -306,3 +306,62 @@ def test_latest_version(tmp_path):
     for v in ("v25-12-31", "v26-08-01", "v26-08-13", "not-a-version"):
         (tmp_path / v).mkdir()
     assert sinks.latest_version(str(tmp_path)) == "v26-08-13"
+
+
+def test_stream_upsert_sink_incremental_restart(spark, tmp_path):
+    """The CDC-merge property: a second drain from the SAME checkpoint
+    processes only the newly landed file, its update-mode emissions
+    carry the cumulative aggregate (state persists across restarts),
+    and latest-wins resolution equals a batch recompute over ALL data."""
+    from dfx_indicators_etl_spark import streaming
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "event_type string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import shutil as sh
+
+        stage = tmp_path / "stage" / name
+        part = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        sh.copy(part, src / f"{name}.parquet")
+
+    write_file("f1", [
+        ("click", "2024-01-01 10:05:00", 1.0),
+        ("click", "2024-01-01 10:25:00", 2.0),
+        ("view", "2024-01-01 11:10:00", 5.0),
+    ])
+
+    def drain():
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .format("parquet")
+            .load(str(src))
+        )
+        q = streaming.stream_upsert_aggregate(stream, table, ckpt)
+        assert q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    # second file lands: one update to an EXISTING window, one new window
+    write_file("f2", [
+        ("click", "2024-01-01 10:45:00", 4.0),
+        ("purchase", "2024-01-01 11:30:00", 7.0),
+    ])
+    drain()
+
+    resolved = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming.read_latest_wins(
+            spark, table, ("window_start", "event_type")
+        ).collect()
+    }
+    assert resolved[("2024-01-01 10:00:00", "click")] == (3, 7.0)  # cumulative
+    assert resolved[("2024-01-01 11:00:00", "view")] == (1, 5.0)
+    assert resolved[("2024-01-01 11:00:00", "purchase")] == (1, 7.0)
+    assert len(resolved) == 3

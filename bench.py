@@ -105,6 +105,7 @@ HEADLINE = (
     "sim_ivf_ann",
     "q_session_window_native",
     "stream_upsert_sink",
+    "q_triangle_count",
 )
 
 

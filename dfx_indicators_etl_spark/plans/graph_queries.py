@@ -120,3 +120,105 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = nation.select(F.col("n_name").alias("node"))
     ranks = pagerank(edges, nodes, n_iter=N_ITER, damping=DAMPING)
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+TRADE_EDGE_SQL = """
+  SELECT DISTINCT n1.n_name AS src, n2.n_name AS dst
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+"""
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH trade AS ({TRADE_EDGE_SQL}),
+    edges AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM trade
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the (undirected) nation
+    trade graph — the standard graph clustering/cohesion primitive.
+
+    The canonical ordered-wedge algorithm: edges canonicalize to
+    ``u < v``, wedges form by joining edge (a,b) with (b,c), and the
+    closing edge (a,c) is a semi-join — each triangle is produced
+    exactly once as a < b < c. The nation graph is dim-bounded (≤|N|²
+    edges), so the edge list broadcasts; at web scale the same plan
+    shuffle-joins on the wedge key after degree-ordering the
+    orientation (edges point low→high degree) so no hub node ever
+    anchors a quadratic wedge set — the ordering here is the
+    name-lexicographic special case of that orientation.
+    """
+    supplier, lineitem, orders, customer, nation = read_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    supp = F.broadcast(
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", F.col("n_name").alias("src")
+        )
+    )
+    cust = F.broadcast(
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+            "c_custkey", F.col("n_name").alias("dst")
+        )
+    )
+    trade = (
+        lineitem.select("l_suppkey", "l_orderkey")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = (
+        trade.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers, one derivation
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

@@ -106,6 +106,8 @@ HEADLINE = (
     "q_session_window_native",
     "stream_upsert_sink",
     "q_triangle_count",
+    "text_chunk",
+    "text_pack_bins",
 )
 
 

@@ -168,6 +168,115 @@ def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataF
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    capacity: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    small_corpus_rows: int = 1_000_000,
+) -> DataFrame:
+    """Sequence-packing span assignment (GPT-style concat-and-chunk):
+    documents concatenate in ``id_col`` order into a single token
+    stream cut every ``capacity`` tokens; each doc reports the bin its
+    first token lands in and how many bins it spans — the placement
+    table a pretraining data loader materializes.
+
+    The global running token sum is the scale hazard (a naive
+    ``SUM OVER (ORDER BY id)`` plans as ONE task). Same adaptive shape
+    as ``database._with_id``: corpora under ``small_corpus_rows`` run
+    the single-partition window explicitly bounded by the threshold;
+    larger corpora range-repartition by id, cumsum within partitions,
+    and add per-partition token totals collected as a
+    ≤-#partitions-row control-plane map — bit-identical to the global
+    window for any input, so the SQL oracle reproduces it.
+    """
+    spark = df.sparkSession
+    toks = (
+        df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    n_rows = toks.count()  # materializes the checkpoint
+    if n_rows <= small_corpus_rows:
+        keyed = toks.repartition(1).withColumn("__pid", F.spark_partition_id())
+        offset_expr = F.lit(0).cast("bigint")
+    else:
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
+        parted = toks.repartitionByRange(
+            n_parts, F.col(id_col)
+        ).localCheckpoint(eager=False)
+        keyed = parted.withColumn("__pid", F.spark_partition_id())
+        counts = sorted(
+            (r["__pid"], r["t"])
+            for r in keyed.groupBy("__pid")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        )
+        offsets, running = {}, 0
+        for pid, t in counts:
+            offsets[pid] = running
+            running += int(t)
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+            ),
+            F.col("__pid"),
+        ).cast("bigint")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("n_tokens").over(w) + offset_expr).alias("cum")
+    spans = keyed.select(id_col, "n_tokens", cum)
+    start_bin = F.floor((F.col("cum") - F.col("n_tokens")) / capacity)
+    end_bin = F.floor((F.col("cum") - 1) / capacity)
+    return spans.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        start_bin.cast("bigint").alias("start_bin"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(end_bin - start_bin + 1)
+        .cast("int")
+        .alias("n_bins_spanned"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size character chunks —
+    the RAG / context-window preparation step (1→N row expansion).
+
+    Pure codegen: one ``explode(sequence(...))`` per row generates the
+    chunk offsets (``ceil(len/stride)`` chunks, consecutive chunks
+    overlapping by ``chunk_chars − stride``), and each chunk emits its
+    offset, length, and sha256 — the chunk table a downstream indexer
+    ingests, without duplicating the corpus text through the shuffle.
+    Narrow (no shuffle); output size is corpus × (1/stride) rows.
+    """
+    n = F.length(F.col(text_col))
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)))
+    ).alias("chunk_idx")
+    start = F.col("chunk_idx") * stride
+    piece = F.substring(F.col(text_col), start + 1, chunk_chars)
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.col(text_col), idx)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.cast("bigint").alias("chunk_start"),
+            F.length(piece).cast("bigint").alias("chunk_len"),
+            F.sha2(piece, 256).alias("chunk_sha"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     top_k: int = 3,

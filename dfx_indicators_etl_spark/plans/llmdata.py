@@ -710,6 +710,64 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 150 AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200))
+                AS BIGINT) AS chunk_len,
+           sha256(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_sha
+    FROM documents,
+    LATERAL unnest(range(0, (length(text) - 1) // 150 + 1)) AS t(i)
+    WHERE length(text) > 0
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char chunks at stride 150 per document (RAG /
+    context-window preparation): 1→N codegen expansion emitting chunk
+    offset, length, and sha256 — no corpus text through the shuffle."""
+    return text.chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_chars=200, stride=150
+    )
+
+
+@query(
+    "text_pack_bins",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) AS c
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((c - n_tokens) // 512 AS BIGINT) AS start_bin,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (c - 1) // 512 - (c - n_tokens) // 512 + 1
+                END AS INTEGER) AS n_bins_spanned
+    FROM cum
+    """,
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing placement (concat-and-chunk at 512 tokens):
+    each doc's starting bin and bin span under doc_id concatenation
+    order — adaptive two-phase cumsum, never an unbounded single-task
+    window at scale (operators/text.py pack_spans)."""
+    return text.pack_spans(
+        read_table(spark, sf_dir, "documents"), capacity=512
+    )
+
+
+@query(
     "emb_int8_quantize",
     oracle="""
     WITH v AS (

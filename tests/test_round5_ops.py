@@ -182,3 +182,54 @@ def test_int8_quantize_matches_numpy(spark, sf_dir):
     # error bound: quantization error can never exceed scale/2
     # (both sides carry 6dp rounding → up to ~1e-6 slack)
     assert all(mx <= s / 2 + 1e-6 for s, mx, _ in got.values())
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 10), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = text.chunk_documents(docs, chunk_chars=200, stride=150).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: offsets 0,150,300,450 → lens 200,200,200,50
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [0, 150, 300, 450]
+    assert [r["chunk_len"] for r in c1] == [200, 200, 200, 50]
+    # doc 2 fits in one chunk; empty doc 3 emits nothing
+    assert [r["chunk_len"] for r in by_doc[2]] == [10]
+    assert 3 not in by_doc
+
+
+def test_pack_spans_distributed_equals_single_partition(spark, sf_dir):
+    """The range-repartition + offset-map branch must be bit-identical
+    to the explicitly bounded single-partition window."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    small = {
+        tuple(r) for r in text.pack_spans(docs, capacity=512).collect()
+    }
+    big = {
+        tuple(r)
+        for r in text.pack_spans(
+            docs, capacity=512, small_corpus_rows=0
+        ).collect()
+    }
+    assert small == big and len(small) > 0
+
+
+def test_pack_spans_bins_are_contiguous(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 300), (2, 300), (3, 10), (4, 600)]],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in text.pack_spans(docs, capacity=512).collect()
+    }
+    # stream: 300 | 300 | 10 | 600 → cum 300, 600, 610, 1210
+    assert (rows[1]["start_bin"], rows[1]["n_bins_spanned"]) == (0, 1)
+    assert (rows[2]["start_bin"], rows[2]["n_bins_spanned"]) == (0, 2)  # 300..599
+    assert (rows[3]["start_bin"], rows[3]["n_bins_spanned"]) == (1, 1)
+    assert (rows[4]["start_bin"], rows[4]["n_bins_spanned"]) == (1, 2)  # 610..1209

@@ -47,7 +47,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_survivors",
     "sim_lsh_ann",
     "sim_ivf_ann",
-    # (d) latest green row is r3 — 29 keys, oldest evidence first
+    # (d) NEW surface added in round 5 (no driver row exists yet) — 9
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_session_window_native",
+    "q_triangle_count",
+    "text_tfidf",
+    "text_chunk",
+    "text_pack_bins",
+    "emb_int8_quantize",
+    "stream_upsert_sink",
+    # (e) latest green row is r3 — oldest evidence first, as many as
+    # fit; the rest rotate next round
     "ind_country_map",
     "ind_country_filter",
     "ind_year_filter",
@@ -67,6 +78,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine",
     "text_scrub_pii",
     "text_repetition",
+    # --- window boundary: exactly 50 keys above this line ---
     "text_decontaminate",
     "text_unigram_logprob",
     "text_tokens",
@@ -76,7 +88,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_word_vocab",
     "text_quality_filter",
     "sim_bruteforce_topk",
-    # --- window boundary: exactly 50 keys above this line ---
     "sample_stratified",
     "sample_train_test",
     "emb_l2_norm",

@@ -108,6 +108,7 @@ HEADLINE = (
     "q_triangle_count",
     "text_chunk",
     "text_pack_bins",
+    "sink_schema_evolution",
 )
 
 

@@ -219,6 +219,40 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS BIGINT) AS name_len
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, CAST(length(n_name) AS BIGINT)
+    FROM nation
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: a dataset written under schema v1
+    receives an appended batch carrying a NEW column, and a
+    ``mergeSchema`` read resolves the union schema with nulls
+    back-filled on the old files — the lakehouse column-add path every
+    long-lived landing dataset eventually needs. The oracle reproduces
+    the exact merged relation."""
+    root = _scratch("dfx_evolve_")
+    try:
+        nation = read_table(spark, sf_dir, "nation")
+        path = f"{root}/nation"
+        nation.write.parquet(path)
+        nation.withColumn(
+            "name_len", F.length("n_name").cast("bigint")
+        ).write.mode("append").parquet(path)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sink_partitioned_roundtrip",
     oracle="""
     SELECT event_type, COUNT(*) AS n, round(SUM(value), 4) AS sum_value

@@ -217,3 +217,68 @@ def test_snake_column_expression_matches_driver_side(spark, value):
         .first()["s"]
     )
     assert got == ops.to_snake_case(value)
+
+
+# --- round-5 operators: chunking / packing invariants --------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=12),
+    st.integers(min_value=50, max_value=400),
+    st.integers(min_value=30, max_value=400),
+)
+def test_chunk_documents_covers_every_char_once_per_stride(spark, lens, chunk, stride):
+    """Invariants for any (chunk, stride ≤ chunk): chunk count is
+    ceil(len/stride) for non-empty docs, starts advance by exactly
+    stride, only the final chunk may be short, and chunks cover the
+    document (last start < len ≤ last start + chunk)."""
+    from dfx_indicators_etl_spark.operators import text as T
+
+    stride = min(stride, chunk)
+    docs = spark.createDataFrame(
+        [(i, "x" * n) for i, n in enumerate(lens)], "doc_id long, text string"
+    )
+    rows = T.chunk_documents(docs, chunk_chars=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        cs = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(cs) == (n - 1) // stride + 1
+        assert [r["chunk_start"] for r in cs] == [j * stride for j in range(len(cs))]
+        # every chunk is the window intersected with the document
+        assert all(
+            r["chunk_len"] == min(chunk, n - r["chunk_start"]) for r in cs
+        )
+        last = cs[-1]
+        assert last["chunk_start"] < n <= last["chunk_start"] + chunk
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=15),
+    st.integers(min_value=8, max_value=300),
+)
+def test_pack_spans_matches_sequential_model(spark, token_counts, capacity):
+    """pack_spans must equal the direct concat-and-chunk model for any
+    token distribution and capacity."""
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_bin"], r["n_bins_spanned"])
+        for r in T.pack_spans(docs, capacity=capacity).collect()
+    }
+    cum = 0
+    for i, n in enumerate(token_counts):
+        start = cum // capacity
+        cum += n
+        spanned = 0 if n == 0 else (cum - 1) // capacity - start + 1
+        assert got[i] == (n, start, spanned), (i, n, capacity)

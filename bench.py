@@ -109,6 +109,7 @@ HEADLINE = (
     "text_chunk",
     "text_pack_bins",
     "sink_schema_evolution",
+    "ind_pipeline_e2e",
 )
 
 

@@ -57,6 +57,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_pack_bins",
     "emb_int8_quantize",
     "stream_upsert_sink",
+    "ind_pipeline_e2e",
+    "sink_schema_evolution",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -76,9 +78,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    # --- window boundary: exactly 50 keys above this line ---
     "text_scrub_pii",
     "text_repetition",
-    # --- window boundary: exactly 50 keys above this line ---
     "text_decontaminate",
     "text_unigram_logprob",
     "text_tokens",

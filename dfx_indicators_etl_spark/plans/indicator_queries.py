@@ -53,9 +53,9 @@ def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ind_standardize",
-    oracle=f"""
+# Shared by ind_standardize and the end-to-end pipeline oracle: the
+# full Transformer chain as one SQL relation.
+STANDARDIZE_SQL = f"""
     WITH obs AS ({OBS_SQL}),
     shaped AS (
         SELECT indicator_name, country_code, year, value,
@@ -84,8 +84,10 @@ def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'events' AS provider, indicator_name, country_code, year,
            dimension, value
     FROM deduped WHERE rn = 1
-    """,
-)
+"""
+
+
+@query("ind_standardize", oracle=STANDARDIZE_SQL)
 def ind_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Transformer chain (reference _base.py:191-218 +
     _pipeline.py:98-104): shape → dimension combine → year cut →
@@ -94,6 +96,12 @@ def ind_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: one broadcast join (area dim), pushdown-able
     filters, one shuffle for the key-wise dedup window. Nothing else.
     """
+    return _standardized(spark, sf_dir)
+
+
+def _standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Transformer-chain builder behind ``ind_standardize``
+    and the end-to-end pipeline query."""
     nation, region = read_tables(spark, sf_dir, "nation", "region")
     obs = observations(spark, sf_dir).withColumn(
         "dimension_magnitude", F.when(F.col("value") < 10, "low").otherwise("high")
@@ -621,3 +629,76 @@ def ind_star_observation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import database
 
     return database.observation_view(_star(spark, sf_dir))
+
+
+@query("ind_pipeline_e2e", oracle=STANDARDIZE_SQL)
+def ind_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``Pipeline.run`` end-to-end as ONE oracled flow
+    (_pipeline.py:22-121): Transformer chain → versioned parquet load
+    → read-back → star-schema build → observation reconstruction.
+
+    The output is the observations RECONSTRUCTED from the loaded star
+    (series ⋈ the three dims), and the oracle is the plain
+    standardized relation — equality proves the load, the surrogate
+    keying, and the view round-trip lose and invent nothing. Each leg
+    keeps its scale shape: versioned write/read is a plain columnar
+    round trip, the star derives from one pass over the staged
+    observations, the fact acquires ids through broadcast joins only.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .. import database
+    from ..sources import sinks
+
+    scratch_root = Path(__file__).resolve().parents[2] / ".scratch"
+    scratch_root.mkdir(exist_ok=True)
+    root = tempfile.mkdtemp(prefix="dfx_pipeline_", dir=scratch_root)
+    try:
+        std = _standardized(spark, sf_dir)
+        path = sinks.write_dataset(std, root, "observations", folder="data")
+        loaded = spark.read.parquet(path)
+        nation = read_table(spark, sf_dir, "nation")
+        country = nation.select(
+            F.col("n_nationkey").cast("int").alias("id"),
+            F.substring("n_name", 1, 2).alias("iso_2"),
+            F.col("n_name").alias("iso_3"),
+            F.col("n_name").alias("name"),
+        )
+        star = database.build_star_schema(loaded, country)
+        series, ind_d, dim_d = star["series"], star["indicator"], star["dimension"]
+        recon = (
+            series.join(
+                F.broadcast(country.select(F.col("id").alias("country_id"), "iso_3")),
+                "country_id",
+            )
+            .join(
+                F.broadcast(
+                    ind_d.select(
+                        F.col("id").alias("indicator_id"), "name", "provider"
+                    )
+                ),
+                "indicator_id",
+            )
+            .join(
+                F.broadcast(
+                    dim_d.select(
+                        F.col("id").alias("dimension_id"),
+                        F.col("name").alias("dimension"),
+                    )
+                ),
+                "dimension_id",
+            )
+            .select(
+                "provider",
+                F.col("name").alias("indicator_name"),
+                F.col("iso_3").alias("country_code"),
+                F.col("year").cast("int").alias("year"),
+                "dimension",
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        return recon.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

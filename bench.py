@@ -110,6 +110,7 @@ HEADLINE = (
     "text_pack_bins",
     "sink_schema_evolution",
     "ind_pipeline_e2e",
+    "q_custom_agg_geomean",
 )
 
 

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_upsert_sink",
     "ind_pipeline_e2e",
     "sink_schema_evolution",
+    "q_custom_agg_geomean",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -77,8 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     # --- window boundary: exactly 50 keys above this line ---
+    "dedup_embedding_cosine",
     "text_scrub_pii",
     "text_repetition",
     "text_decontaminate",

@@ -1214,3 +1214,49 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_custom_agg_geomean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geomean,
+           COUNT(*) AS n
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q_custom_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via an Arrow-batched grouped-agg pandas UDF:
+    per-type geometric mean of event values — the extension slot for
+    aggregations Spark lacks natively.
+
+    A grouped-agg ``pandas_udf`` is the UDAF path with Arrow transfer
+    and JVM-side partial grouping (the shuffle carries raw group rows;
+    for algebraic aggregates prefer built-ins — this operator exists
+    to pin the CUSTOM path's plumbing, on the canonical log-mean-exp
+    formulation that stays finite for any positive input)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG: this module's postponed annotations would
+    # stringify the Series→scalar type hints the inference path needs.
+    # Spark disallows mixing pandas and built-in aggregates in one agg,
+    # so the row count is a second pandas aggregate in the same pass.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(v):
+        return len(v)
+
+    events, = read_tables(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(geomean("value"), 6).alias("geomean"),
+            cnt("value").alias("n"),
+        )
+    )

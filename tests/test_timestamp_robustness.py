@@ -118,3 +118,20 @@ def test_streaming_window_counts_agree_across_flavors(spark, flavor_dirs):
     assert results["ns"] == results["us_ntz"] == results["us_utc"]
     # bursts 2h apart → many distinct windows, not one collapsed bucket
     assert len({r[0] for r in results["ns"]}) > 5
+
+
+def test_round5_ts_queries_agree_across_flavors(spark, flavor_dirs):
+    """The round-5 event-time queries (funnel, weekly cohort, native
+    session windows) must be flavor-independent like the rest of the
+    timestamp family."""
+    for key in (
+        "q_funnel_conversion",
+        "q_retention_cohort",
+        "q_session_window_native",
+    ):
+        results = {
+            flavor: _canon(QUERIES[key](spark, d))
+            for flavor, d in flavor_dirs.items()
+        }
+        assert results["ns"] == results["us_ntz"] == results["us_utc"], key
+        assert len(results["ns"]) > 0, key

@@ -111,6 +111,7 @@ HEADLINE = (
     "sink_schema_evolution",
     "ind_pipeline_e2e",
     "q_custom_agg_geomean",
+    "q_table_profile",
 )
 
 

@@ -60,6 +60,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_pipeline_e2e",
     "sink_schema_evolution",
     "q_custom_agg_geomean",
+    "q_table_profile",
+    "sink_orc_roundtrip",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -76,9 +78,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_star_observation",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # --- window boundary: exactly 50 keys above this line ---
     "dedup_minhash",
     "dedup_simhash",
-    # --- window boundary: exactly 50 keys above this line ---
     "dedup_embedding_cosine",
     "text_scrub_pii",
     "text_repetition",

@@ -1260,3 +1260,71 @@ def q_custom_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("value").alias("n"),
         )
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS np_tp,
+               COUNT(DISTINCT o_totalprice) AS nd_tp,
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_tp,
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_tp,
+               COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS np_pr,
+               COUNT(DISTINCT o_orderpriority) AS nd_pr,
+               MIN(o_orderpriority) AS mn_pr,
+               MAX(o_orderpriority) AS mx_pr,
+               COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS np_od,
+               COUNT(DISTINCT o_orderdate) AS nd_od,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_od,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_od
+        FROM orders
+    )
+    SELECT 'o_totalprice' AS column, n_rows, np_tp AS n_nulls,
+           nd_tp AS n_distinct, mn_tp AS min_value, mx_tp AS max_value
+    FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, np_pr, nd_pr, mn_pr, mx_pr FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, np_od, nd_od, mn_od, mx_od FROM a
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: null count, distinct count, and min/max
+    per column in ONE aggregate pass over the fact (the ETL
+    data-quality dashboard query), unpivoted to a row per column.
+
+    All metrics for every profiled column compute in a single
+    partial+final aggregate — one scan regardless of column count;
+    numeric extremes stringify through decimal so both engines format
+    identically. At 100 TB, exact COUNT(DISTINCT) is the one
+    non-combinable term (two-phase distinct agg); the sketch variant
+    (approx_count_distinct/HLL, q_approx_distinct) is the scale dial.
+    """
+    orders, = read_tables(spark, sf_dir, "orders")
+    a = orders.agg(
+        dcount("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("np_tp"),
+        F.count_distinct("o_totalprice").cast("bigint").alias("nd_tp"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_tp"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_tp"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("np_pr"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("np_od"),
+        F.count_distinct("o_orderdate").cast("bigint").alias("nd_od"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_od"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_od"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3, "
+            "'o_totalprice', np_tp, nd_tp, mn_tp, mx_tp, "
+            "'o_orderpriority', np_pr, nd_pr, mn_pr, mx_pr, "
+            "'o_orderdate', np_od, nd_od, mn_od, mx_od"
+            ") AS (column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

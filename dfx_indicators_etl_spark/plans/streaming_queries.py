@@ -218,6 +218,20 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("sink_orc_roundtrip", oracle="SELECT * FROM nation")
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read round trip (§E source-format breadth): Spark's
+    second first-class columnar format, with the same predicate
+    pushdown / column-pruning story as parquet."""
+    root = _scratch("dfx_orc_")
+    try:
+        path = f"{root}/nation.orc"
+        read_table(spark, sf_dir, "nation").write.orc(path)
+        return spark.read.orc(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @query(
     "sink_schema_evolution",
     oracle="""

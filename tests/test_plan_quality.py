@@ -93,6 +93,36 @@ def test_q8_star_joins_broadcast(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1
 
 
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_dir):
+    """Runtime bloom-filter pruning (the 100 TB shuffle-join saver): a
+    selective dimension-side filter must inject a bloom_filter_agg /
+    BloomFilterMightContain pair onto the fact scan side of a shuffle
+    join. The default thresholds (10 GB application-side scan) are
+    sized for real clusters, so the test lowers them to prove the
+    session's optimizer config keeps the rule live — at production
+    scale it fires with stock thresholds."""
+    from dfx_indicators_etl_spark.sources import read_tables
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li, o = read_tables(spark, sf_dir, "lineitem", "orders")
+        sel = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).groupBy().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_q2_q11_single_partsupp_derivation(spark, sf_dir):
     """The derived partsupp feeds two consumers in each query (per-part
     MIN + final join in q2; national total + threshold filter in q11).

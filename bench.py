@@ -112,6 +112,7 @@ HEADLINE = (
     "ind_pipeline_e2e",
     "q_custom_agg_geomean",
     "q_table_profile",
+    "q_skew_salted_join",
 )
 
 

@@ -62,6 +62,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_custom_agg_geomean",
     "q_table_profile",
     "sink_orc_roundtrip",
+    "q_skew_salted_join",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -77,8 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_star_series",
     "ind_star_observation",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     # --- window boundary: exactly 50 keys above this line ---
+    "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -1328,3 +1328,53 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN user_id < 40 THEN 0
+                    ELSE CAST(user_id % 25 AS BIGINT) END AS nat_key,
+               value
+        FROM events
+    )
+    SELECT n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM keyed JOIN nation ON nat_key = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof shuffle join: ~80% of the fact maps to ONE dimension
+    key (the classic hot-customer/hot-SKU shape), and the salted join
+    spreads that key over 16 tasks by replicating the dim per salt and
+    salting fact rows on a high-cardinality column independent of the
+    join key. The oracle is the PLAIN join — salting must be
+    semantically invisible; only the shuffle distribution changes.
+    (A broadcast-able dim wouldn't need this; the operator is for the
+    dim-too-big / AQE-can't-split cases.)
+    """
+    from ..operators.scale import salted_join
+
+    events, nation = read_tables(spark, sf_dir, "events", "nation")
+    keyed = events.select(
+        F.when(F.col("user_id") < 40, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("bigint")
+        .alias("n_nationkey"),
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+    )
+    joined = salted_join(
+        keyed,
+        nation.select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name"),
+        key="n_nationkey",
+        salt_buckets=16,
+        salt_on="event_id",
+    )
+    return joined.groupBy("n_name").agg(
+        dcount("n_events"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )

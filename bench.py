@@ -113,6 +113,7 @@ HEADLINE = (
     "q_custom_agg_geomean",
     "q_table_profile",
     "q_skew_salted_join",
+    "stream_anomaly",
 )
 
 

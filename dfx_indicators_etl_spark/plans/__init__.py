@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_table_profile",
     "sink_orc_roundtrip",
     "q_skew_salted_join",
+    "stream_anomaly",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -77,8 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_value_stats",
     "ind_star_series",
     "ind_star_observation",
-    "dedup_exact",
     # --- window boundary: exactly 50 keys above this line ---
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",

@@ -218,6 +218,19 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("stream_anomaly")  # rows-only: EWMA recurrence isn't plain-SQL-expressible
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming anomaly detection (EWMA mean/variance state,
+    z-score > 3 after warmup) — the second custom-state operator next
+    to sessionization. Deterministic ((ts, event_id)-ordered state
+    updates); equivalence with a pure-Python reference model is
+    pytest-pinned, so rows-only here covers only the recurrence not
+    being expressible as plain SQL."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.stream_ewma_anomalies(stream)
+    return streaming.run_available_now(out, output_mode="append")
+
+
 @query("sink_orc_roundtrip", oracle="SELECT * FROM nation")
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write + read round trip (§E source-format breadth): Spark's

@@ -8,6 +8,7 @@ from .ops import (
     stream_dedup_events,
     stream_minhash_dedup_banded,
     stream_minhash_dedup_docs,
+    stream_ewma_anomalies,
     stream_sessionize_events,
     stream_upsert_aggregate,
     windowed_event_counts,
@@ -21,6 +22,7 @@ __all__ = [
     "stream_dedup_events",
     "stream_minhash_dedup_banded",
     "stream_minhash_dedup_docs",
+    "stream_ewma_anomalies",
     "stream_sessionize_events",
     "stream_upsert_aggregate",
     "windowed_event_counts",

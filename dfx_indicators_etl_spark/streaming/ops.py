@@ -35,6 +35,7 @@ __all__ = [
     "stream_minhash_dedup_docs",
     "stream_minhash_dedup_banded",
     "stream_sessionize_events",
+    "stream_ewma_anomalies",
     "stream_upsert_aggregate",
     "read_latest_wins",
 ]
@@ -675,6 +676,96 @@ def stream_sessionize_events(
                 "n_events int, sum_value double"
             ),
             stateStructType="start long, last long, n int, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_ewma_anomalies(
+    events: DataFrame,
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+    min_warmup: int = 5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user streaming anomaly detection via ``applyInPandasWithState``:
+    an exponentially weighted mean/variance per key, flagging events
+    whose z-score against the PRIOR state exceeds ``threshold`` after
+    ``min_warmup`` observations.
+
+    The second custom-state shape next to sessionization: a numeric
+    recurrence (EWMA/EWVar) that no built-in windowed aggregate
+    expresses. State per user is three scalars — constant memory per
+    live key, evicted at the watermark like every stateful operator
+    here. Batch rows process in (ts, event_id) order, so results are
+    deterministic under any partition/arrival interleaving; the
+    z-score uses the state BEFORE absorbing the event (an anomaly must
+    not dilute its own baseline, and detection is unaffected by
+    whether its batch boundary splits the stream).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            mean, var, n = state.get
+        else:
+            mean, var, n = 0.0, 0.0, 0
+        out_ids, out_vals, out_z = [], [], []
+        last_ms = None
+        for _, r in rows.iterrows():
+            v = float(r["value"])
+            if n >= min_warmup:
+                std = math.sqrt(var)
+                if std > 0 and abs(v - mean) > threshold * std:
+                    out_ids.append(int(r["event_id"]))
+                    out_vals.append(v)
+                    out_z.append(round((v - mean) / std, 4))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean = mean + alpha * d
+                var = (1.0 - alpha) * (var + alpha * d * d)
+            n += 1
+            last_ms = (
+                pd.to_datetime(r["ts"], utc=True)
+                .tz_localize(None)
+                .to_datetime64()
+                .astype("datetime64[ms]")
+                .astype("int64")
+            )
+        state.update((mean, var, n))
+        if last_ms is not None:
+            state.setTimeoutTimestamp(int(last_ms) + 2 * 3600 * 1000)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "value": out_vals,
+                    "zscore": out_z,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, event_id long, value double, zscore double"
+            ),
+            stateStructType="mean double, var double, n int",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -365,3 +365,44 @@ def test_stream_upsert_sink_incremental_restart(spark, tmp_path):
     assert resolved[("2024-01-01 11:00:00", "view")] == (1, 5.0)
     assert resolved[("2024-01-01 11:00:00", "purchase")] == (1, 7.0)
     assert len(resolved) == 3
+
+
+def test_stream_anomaly_matches_python_model(spark, sf_dir):
+    """The EWMA anomaly stream must equal the pure-Python recurrence
+    over (ts, event_id)-ordered events per user."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    got = {
+        (r["user_id"], r["event_id"]): (r["value"], r["zscore"])
+        for r in QUERIES["stream_anomaly"](spark, sf_dir).collect()
+    }
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    import math
+
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    alpha, threshold, warmup = 0.3, 3.0, 5
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        mean, var, n = 0.0, 0.0, 0
+        for r in evs:
+            v = float(r["value"])
+            if n >= warmup:
+                std = math.sqrt(var)
+                if std > 0 and abs(v - mean) > threshold * std:
+                    want[(uid, r["event_id"])] = (v, round((v - mean) / std, 4))
+            if n == 0:
+                mean, var = v, 0.0
+            else:
+                d = v - mean
+                mean = mean + alpha * d
+                var = (1.0 - alpha) * (var + alpha * d * d)
+            n += 1
+    assert got == want
+    assert len(got) > 0  # the synthetic data does contain outliers

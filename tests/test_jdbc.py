@@ -108,3 +108,74 @@ def test_jdbc_insert_ignore_existing_wins(spark, derby_url, base_rows):
         3: ("gamma", 30.0),
         4: ("delta", 40.0),
     }
+
+
+def test_streaming_foreachbatch_jdbc_upsert(spark, derby_url, tmp_path):
+    """Streaming → relational serving table: an update-mode windowed
+    aggregate upserts into Derby per micro-batch via foreachBatch +
+    jdbc_upsert — the production path from the event stream to the
+    reference's relational load layer. The final table must equal the
+    batch aggregate (update-mode re-emissions are full per-key values,
+    so key-wise upsert converges to the batch answer)."""
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark import streaming
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        ("click", "2024-01-01 10:05:00", 1.0),
+        ("click", "2024-01-01 10:25:00", 2.0),
+        ("view", "2024-01-01 10:40:00", 5.0),
+        ("click", "2024-01-01 11:15:00", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import shutil as sh
+
+    part = next(
+        p for p in (tmp_path / "stage").iterdir() if p.suffix == ".parquet"
+    )
+    sh.copy(part, src / "f1.parquet")
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .format("parquet")
+        .load(str(src))
+    )
+    agg = streaming.windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+
+    def land(batch_df, batch_id):
+        sinks.jdbc_upsert(
+            batch_df,
+            derby_url,
+            "served",
+            key_cols=("window_start", "event_type"),
+            driver=DRIVER,
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    back = sinks.read_jdbc(spark, derby_url, "served", driver=DRIVER)
+    back = back.select(
+        *[back[c].alias(c.lower()) for c in back.columns]
+    )  # Derby folds identifier case
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in back.collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (2, 3.0),
+        ("2024-01-01 10:00:00", "view"): (1, 5.0),
+        ("2024-01-01 11:00:00", "click"): (1, 4.0),
+    }

@@ -30,6 +30,7 @@ __all__ = [
     "ivf_topk",
     "kmeans",
     "pca_project",
+    "pq_codes",
 ]
 
 
@@ -605,6 +606,92 @@ def int8_quantize_stats(
             F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(vec),
             decimals,
         ).alias("mean_abs_err"),
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product quantization: each vector as ``n_subvectors`` codebook
+    codes — the compression behind IVF-PQ, the standard billion-vector
+    ANN index layout (d×4 bytes → m bytes per vector).
+
+    The m per-sub-space codebooks train driver-side with Lloyd's on a
+    deterministic corpus sample (the ``ivf_topk`` codebook pattern —
+    k·d floats of control-plane data), then ship in the UDF closure;
+    encoding is one narrow Arrow pass, each batch assigning all m
+    blocks via BLAS distance argmins. No shuffle, linear in corpus
+    size. Returns ``(id, codes, recon_err)`` where ``recon_err`` is
+    the per-vector L2 reconstruction error — the number an index
+    deployment tracks to size m/k.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .orderBy(id_col)
+            .limit(max(n_centroids * 16, 256))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    if d % n_subvectors != 0:
+        raise ValueError(
+            f"pq_codes: dim {d} not divisible by n_subvectors={n_subvectors}"
+        )
+    sub = d // n_subvectors
+    books = []
+    for m in range(n_subvectors):
+        block = sample[:, m * sub : (m + 1) * sub]
+        cents = block[:n_centroids].copy()
+        for _ in range(n_iter):
+            d2 = (
+                (block * block).sum(axis=1, keepdims=True)
+                - 2.0 * (block @ cents.T)
+                + (cents * cents).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                members = block[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), n_subvectors), dtype=np.int32)
+            recon = np.empty_like(mat)
+            for m, cents in enumerate(books):
+                block = mat[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (block * block).sum(axis=1, keepdims=True)
+                    - 2.0 * (block @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                best = d2.argmin(axis=1)
+                codes[:, m] = best
+                recon[:, m * sub : (m + 1) * sub] = cents[best]
+            err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "recon_err": np.round(err, decimals),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>, recon_err double"
     )
 
 

@@ -802,6 +802,28 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_pq_codes")  # rows-only: Lloyd's codebooks are engine-specific
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (8 sub-spaces × 16 centroids): each vector
+    as 8 codebook codes + its L2 reconstruction error — the
+    compression layer of an IVF-PQ billion-vector index. Codebooks
+    train driver-side on a deterministic sample (control-plane), the
+    encode pass is narrow Arrow/BLAS. Flattened to (vec_id, subspace,
+    code, recon_err) rows; accuracy pinned in pytest (PQ reconstructs
+    strictly better than the rank-equivalent scalar baseline)."""
+    coded = similarity.pq_codes(read_table(spark, sf_dir, "embeddings"))
+    return coded.select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+        "recon_err",
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        "recon_err",
+    )
+
+
 @query(
     "emb_label_centroids",
     oracle="""

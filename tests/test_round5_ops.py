@@ -233,3 +233,25 @@ def test_pack_spans_bins_are_contiguous(spark):
     assert (rows[2]["start_bin"], rows[2]["n_bins_spanned"]) == (0, 2)  # 300..599
     assert (rows[3]["start_bin"], rows[3]["n_bins_spanned"]) == (1, 1)
     assert (rows[4]["start_bin"], rows[4]["n_bins_spanned"]) == (1, 2)  # 610..1209
+
+
+def test_pq_codes_reconstruction_quality(spark, sf_dir):
+    """PQ invariants: deterministic, codes in range, and mean
+    reconstruction error strictly below the no-codebook baseline
+    (distance to the global mean — what a 1-centroid codebook gives)."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = similarity.pq_codes(emb).collect()
+    again = similarity.pq_codes(emb).collect()
+    key = lambda r: (r["vec_id"], tuple(r["codes"]), r["recon_err"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    assert all(len(r["codes"]) == 8 for r in rows)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    mean = np.mean(list(vecs.values()), axis=0)
+    baseline = np.mean([np.linalg.norm(v - mean) for v in vecs.values()])
+    pq_err = np.mean([r["recon_err"] for r in rows])
+    assert pq_err < baseline * 0.9  # real compression, not a constant

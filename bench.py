@@ -114,6 +114,7 @@ HEADLINE = (
     "q_table_profile",
     "q_skew_salted_join",
     "stream_anomaly",
+    "emb_pq_codes",
 )
 
 

@@ -115,6 +115,7 @@ HEADLINE = (
     "q_skew_salted_join",
     "stream_anomaly",
     "emb_pq_codes",
+    "sim_ivfpq_ann",
 )
 
 

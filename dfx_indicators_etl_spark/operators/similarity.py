@@ -28,6 +28,7 @@ __all__ = [
     "hyperplane_lsh_topk",
     "int8_quantize_stats",
     "ivf_topk",
+    "ivfpq_topk",
     "kmeans",
     "pca_project",
     "pq_codes",
@@ -356,6 +357,213 @@ def ivf_topk(
 # Defaults tuned for recall@10 ≥ 0.8 against brute-force ground truth
 # on the sf0.1 embeddings (measured 0.85; more tables ↑recall,
 # more planes ↓candidates): see tests/test_llmdata.py recall gates.
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    n_subvectors: int = 8,
+    pq_centroids: int = 16,
+    rerank_factor: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """ANN top-k via IVF + PQ prefilter + exact re-rank — the canonical
+    billion-vector index search (FAISS-style IVFPQ, as DataFrame ops).
+
+    Three stages, each with the bounded-control-plane / narrow-Arrow
+    shape the other ANN operators use:
+
+    1. **coarse probe** (= ``ivf_topk``): a driver-trained cell
+       codebook; each query probes its ``n_probe`` nearest cells, so
+       candidates are a broadcast semi-join on the cell id.
+    2. **PQ prefilter**: candidates score against a per-query 8×16
+       lookup table of sub-space distances (built driver-side from the
+       PQ codebooks — asymmetric distance computation), and only the
+       best ``rerank_factor·k`` per query survive. At 100 TB this is
+       the stage that matters: the LUT gather touches m bytes per
+       candidate instead of d floats.
+    3. **exact re-rank**: the surviving shortlist computes true
+       cosines (BLAS) and ranks — the output is exact over the
+       shortlist, so accuracy is governed by probe/prefilter recall
+       only.
+
+    Returns ``(query_id, neighbor_id, cos_sim, rank)``.
+    """
+    # --- codebooks (driver-side, deterministic sample) ---------------
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(id_col)
+            .limit(max(n_centroids * 16, 256))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    if d % n_subvectors != 0:
+        raise ValueError("ivfpq_topk: dim not divisible by n_subvectors")
+    sub = d // n_subvectors
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    unit_sample = sample / np.where(norms == 0.0, 1.0, norms)
+    coarse = unit_sample[:n_centroids].copy()
+    for _ in range(5):
+        assign = (unit_sample @ coarse.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = unit_sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                coarse[c] = m / (n if n > 0 else 1.0)
+    books = []
+    for m in range(n_subvectors):
+        block = unit_sample[:, m * sub : (m + 1) * sub]
+        cents = block[:pq_centroids].copy()
+        for _ in range(5):
+            d2 = (
+                (block * block).sum(axis=1, keepdims=True)
+                - 2.0 * (block @ cents.T)
+                + (cents * cents).sum(axis=1)
+            )
+            a = d2.argmin(axis=1)
+            for c in range(pq_centroids):
+                mem = block[a == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books.append(cents)
+
+    # --- corpus pass: cell + PQ codes (narrow Arrow, no shuffle) -----
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nm == 0.0, 1.0, nm)
+            cells = (unit @ coarse.T).argmax(axis=1)
+            codes = np.empty((len(mat), n_subvectors), dtype=np.int32)
+            for m, cents in enumerate(books):
+                block = unit[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (block * block).sum(axis=1, keepdims=True)
+                    - 2.0 * (block @ cents.T)
+                    + (cents * cents).sum(axis=1)
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    binned = corpus.select(id_col, vec_col).mapInPandas(
+        encode,
+        f"{id_col} long, {vec_col} array<float>, cell int, codes array<int>",
+    )
+
+    # --- query probe lists + per-query PQ LUTs -----------------------
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_unit = {}
+    luts = {}
+    probe_rows = []
+    for r in q_rows:
+        qid = int(r[0])
+        v = np.array(r[1], dtype=np.float64)
+        n = np.linalg.norm(v)
+        u = v / (n if n > 0 else 1.0)
+        q_unit[qid] = u
+        lut = np.empty((n_subvectors, pq_centroids))
+        for m, cents in enumerate(books):
+            qb = u[m * sub : (m + 1) * sub]
+            lut[m] = ((cents - qb) ** 2).sum(axis=1)
+        luts[qid] = lut
+        order = np.argsort(-(u @ coarse.T))[:n_probe]
+        probe_rows.extend((qid, int(c)) for c in order)
+    probes = F.broadcast(
+        corpus.sparkSession.createDataFrame(probe_rows, "query_id long, cell int")
+    )
+
+    # --- PQ prefilter: approx distance via LUT gather, local top-R ---
+    shortlist = rerank_factor * k
+
+    def prefilter(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qids = pdf["query_id"].to_numpy()
+            approx = np.empty(len(codes))
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = luts[int(qid)]
+                approx[mask] = lut[np.arange(n_subvectors), codes[mask]].sum(axis=1)
+            out = pdf[[c for c in ("query_id", id_col, vec_col)]].copy()
+            out["approx_d2"] = approx
+            # partition-local shortlist per query: the exchange moves
+            # rerank_factor·k rows per (partition, query), never all
+            # candidates
+            out = (
+                out.sort_values(["query_id", "approx_d2"])
+                .groupby("query_id", sort=False)
+                .head(shortlist)
+            )
+            yield out
+
+    candidates = (
+        binned.join(probes, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col, "codes")
+        .mapInPandas(
+            prefilter,
+            f"query_id long, {id_col} long, {vec_col} array<float>, approx_d2 double",
+        )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col(id_col).asc()
+    )
+    shortlisted = (
+        candidates.withColumn("__r", F.row_number().over(w_pre))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", id_col, vec_col)
+    )
+
+    # --- exact re-rank over the shortlist ----------------------------
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(nm == 0.0, 1.0, nm)
+            sims = np.array(
+                [float(v @ q_unit[int(q)]) for v, q in zip(unit, pdf["query_id"])]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf[id_col],
+                    "cos_sim": np.round(sims, decimals),
+                }
+            )
+
+    scored = shortlisted.mapInPandas(
+        rerank, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 NUM_TABLES = 12  # L independent hash tables
 PLANES_PER_TABLE = 4  # k sign bits per table
 

@@ -65,6 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_skew_salted_join",
     "stream_anomaly",
     "emb_pq_codes",
+    "sim_ivfpq_ann",
     # (e) latest green row is r3 — oldest evidence first, as many as
     # fit; the rest rotate next round
     "ind_country_map",
@@ -77,8 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_validate",
     "ind_indicator_format",
     "ind_value_stats",
-    "ind_star_series",
     # --- window boundary: exactly 50 keys above this line ---
+    "ind_star_series",
     "ind_star_observation",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -802,6 +802,17 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivfpq_ann")  # rows-only: approximate (probe + PQ prefilter)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 (the billion-vector index search: coarse probe
+    → PQ-LUT prefilter → exact re-rank of the shortlist). recall@10 ≥
+    0.8 vs brute force pytest-gated at default dials."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 @query("emb_pq_codes")  # rows-only: Lloyd's codebooks are engine-specific
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (8 sub-spaces × 16 centroids): each vector

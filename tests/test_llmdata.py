@@ -323,8 +323,10 @@ def test_ann_recall_at_10_sf01(spark):
     bf = keyset(similarity.brute_force_topk(emb, queries, k=10))
     lsh = keyset(similarity.hyperplane_lsh_topk(emb, queries, k=10))
     ivf = keyset(similarity.ivf_topk(emb, queries, k=10))
+    ivfpq = keyset(similarity.ivfpq_topk(emb, queries, k=10))
     assert len(bf & lsh) / len(bf) >= 0.8
     assert len(bf & ivf) / len(bf) >= 0.8
+    assert len(bf & ivfpq) / len(bf) >= 0.8
 
 
 def test_pca_matches_numpy_reference(spark, sf_dir):

@@ -629,7 +629,13 @@ def stream_sessionize_events(
                 }
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # skip empty chunks: concatenating them is deprecated in pandas
+        # (dtype inference from all-NA frames) and adds nothing; with
+        # no data at all, existing state (and its timeout) stand
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values("ts")
         # Arrow hands ts over as datetime64 whose unit (ns vs µs) and
         # tz-awareness track the source's physical type — normalize to
         # a µs UTC epoch explicitly rather than assuming ns int64.
@@ -715,7 +721,10 @@ def stream_ewma_anomalies(
         if state.hasTimedOut:
             state.remove()
             return
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
         if state.exists:
             mean, var, n = state.get
         else:

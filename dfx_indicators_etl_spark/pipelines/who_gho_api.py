@@ -21,14 +21,78 @@ from .base import BaseRetriever, BaseTransformer
 __all__ = ["Retriever", "Transformer"]
 
 
+RAW_SCHEMA = (
+    "indicator_name string, SpatialDim string, TimeDim int, "
+    "Dim1Type string, Dim1 string, Dim2Type string, Dim2 string, "
+    "Dim3Type string, Dim3 string, DataSourceDim string, "
+    "NumericValue double"
+)
+
+
 class Retriever(BaseRetriever):
     uri = "https://ghoapi.azureedge.net/api/"
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        indicator_code: str = "WHOSIS_000001",
+        max_pages: int = 50,
+        **kwargs,
+    ) -> DataFrame:
+        """OData retrieval (reference who_gho_api.py:57-88): one
+        metadata lookup resolves the indicator display name, then the
+        per-indicator value feed drains (following ``@odata.nextLink``
+        continuations up to ``max_pages``) — driver-side control-plane
+        payloads parallelized under the explicit raw schema the
+        Transformer reshapes. Guarded: raises NotImplementedError when
+        no HTTP client is available."""
         if payload is not None:
             return payload
-        self.fetch_json(f"{self.uri}Indicator")  # guarded — no client here
-        raise AssertionError("unreachable")  # pragma: no cover
+        meta = self.fetch_json(
+            f"{self.uri}Indicator",
+            params={"$filter": f"IndicatorCode eq '{indicator_code}'"},
+        )
+        meta_rows = meta.get("value") or []
+        name = (
+            meta_rows[0].get("IndicatorName", indicator_code)
+            if meta_rows
+            else indicator_code
+        )
+        records: list = []
+        url: str | None = f"{self.uri}{indicator_code}"
+        pages = 0
+        while url and pages < max_pages:
+            data = self.fetch_json(url)
+            records.extend(data.get("value") or [])
+            url = data.get("@odata.nextLink")
+            pages += 1
+
+        def _year(v):
+            try:
+                return int(v) if v is not None else None
+            except (TypeError, ValueError):
+                return None
+
+        rows = [
+            (
+                name,
+                r.get("SpatialDim"),
+                _year(r.get("TimeDim")),
+                r.get("Dim1Type"),
+                r.get("Dim1"),
+                r.get("Dim2Type"),
+                r.get("Dim2"),
+                r.get("Dim3Type"),
+                r.get("Dim3"),
+                r.get("DataSourceDim"),
+                float(r["NumericValue"])
+                if r.get("NumericValue") is not None
+                else None,
+            )
+            for r in records
+        ]
+        return spark.createDataFrame(rows, RAW_SCHEMA)
 
 
 def _snake(col: Column) -> Column:

@@ -78,3 +78,84 @@ def test_world_bank_live_retrieve_and_transform(spark):
     out = world_bank_api.Transformer(mapping).transform(raw)
     assert {"indicator_name", "country_code", "year", "value"} <= set(out.columns)
     assert out.count() > 0
+
+
+# --- WHO GHO OData retrieval (mocked; same opt-in live pattern) ---------
+
+
+def _fake_gho(n_pages: int, rows_per_page: int):
+    calls = {"n": 0}
+
+    def fetch(url, params=None):
+        if url.endswith("/Indicator"):
+            return {"value": [{"IndicatorCode": "WHOSIS_000001",
+                               "IndicatorName": "Life expectancy at birth"}]}
+        calls["n"] += 1
+        page = calls["n"]
+        rows = [
+            {
+                "SpatialDim": "FRA",
+                "TimeDim": 2000 + (page - 1) * rows_per_page + i,
+                "Dim1Type": "SEX",
+                "Dim1": "SEX_FMLE",
+                "DataSourceDim": "DATASOURCE_A",
+                "NumericValue": 80 + i,
+            }
+            for i in range(rows_per_page)
+        ]
+        out = {"value": rows}
+        if page < n_pages:
+            out["@odata.nextLink"] = f"https://example/api/page{page + 1}"
+        return out
+
+    return fetch
+
+
+def test_who_gho_retriever_follows_odata_continuations(spark, monkeypatch):
+    from dfx_indicators_etl_spark.pipelines import who_gho_api
+
+    r = who_gho_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_gho(3, 2))
+    raw = r(spark)
+    assert raw.count() == 6  # all 3 OData pages drained
+    first = raw.orderBy("TimeDim").first()
+    assert first["indicator_name"] == "Life expectancy at birth"
+    assert dict(raw.dtypes)["NumericValue"] == "double"
+
+
+def test_who_gho_retriever_bounds_continuations(spark, monkeypatch):
+    from dfx_indicators_etl_spark.pipelines import who_gho_api
+
+    r = who_gho_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_gho(1000, 1))
+    assert r(spark, max_pages=4).count() == 4
+
+
+def test_who_gho_mocked_rows_flow_through_transformer(spark, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark.pipelines import who_gho_api
+
+    r = who_gho_api.Retriever()
+    monkeypatch.setattr(r, "fetch_json", _fake_gho(1, 2))
+    out = who_gho_api.Transformer().transform(r(spark))
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {x["country_code"] for x in rows} == {"FRA"}
+    assert all(x["dimension"] == "FMLE; A" for x in rows)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_HTTP") != "1" or base.httpx is None,
+    reason="live HTTP is opt-in: SPARK_GRAFT_LIVE_HTTP=1 with httpx + network",
+)
+def test_who_gho_live_retrieve_and_transform(spark):
+    from dfx_indicators_etl_spark.pipelines import who_gho_api
+
+    raw = who_gho_api.Retriever()(spark, max_pages=2)
+    assert raw.count() > 0
+    out = who_gho_api.Transformer().transform(raw)
+    assert {"indicator_name", "country_code", "year", "dimension", "value"} <= set(
+        out.columns
+    )
+    assert out.count() > 0

@@ -98,6 +98,20 @@ class BaseRetriever(ABC):
         response.raise_for_status()  # pragma: no cover
         return response.json()  # pragma: no cover
 
+    def fetch_bytes(self, url: str) -> bytes:
+        """Driver-side HTTP GET for a binary artifact (e.g. a workbook
+        download, reference sipri_milex.py); same guard as
+        ``fetch_json``."""
+        if httpx is None:
+            raise NotImplementedError(
+                "HTTP retrieval requires `httpx`, which is not available "
+                "in this environment; use a file-based retriever or "
+                "pre-stage the payload."
+            )
+        response = httpx.get(url, follow_redirects=True)  # pragma: no cover
+        response.raise_for_status()  # pragma: no cover
+        return response.content  # pragma: no cover
+
 
 class BaseTransformer(ABC):
     """Source transform + shared standardization (`_base.py:176-229`).

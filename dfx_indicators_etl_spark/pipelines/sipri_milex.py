@@ -47,12 +47,20 @@ class Retriever(BaseRetriever):
             return payload
         if path is not None:
             return read_sipri_xlsx(spark, path)
-        raise NotImplementedError(
-            "network retrieval is unavailable here; pass `path=` to a "
-            "local copy of the SIPRI .xlsx, or pre-stage the sheets "
-            "(one frame, `indicator_name` stamped per sheet) as "
-            "`payload`."
-        )
+        # Live path (reference sipri_milex.py:40-53): download the
+        # workbook bytes driver-side (guarded fetch), stage to a temp
+        # file, and parse with the engine's OOXML reader.
+        import os
+        import tempfile
+
+        data = self.fetch_bytes(self.uri)
+        fd, tmp = tempfile.mkstemp(suffix=".xlsx")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return read_sipri_xlsx(spark, tmp)
+        finally:
+            os.unlink(tmp)
 
 
 def read_sipri_xlsx(spark: SparkSession, path: str) -> DataFrame:

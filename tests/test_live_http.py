@@ -159,3 +159,53 @@ def test_who_gho_live_retrieve_and_transform(spark):
         out.columns
     )
     assert out.count() > 0
+
+
+# --- SIPRI workbook download (mocked bytes; same opt-in live pattern) ----
+
+
+def _sipri_bytes(tmp_path):
+    from dfx_indicators_etl_spark.pipelines import sipri_milex
+    from dfx_indicators_etl_spark.sources import xlsx
+
+    path = str(tmp_path / "sipri_dl.xlsx")
+    preamble = [["SIPRI Military Expenditure Database"]]
+    sheets = {
+        sheet: preamble
+        + [
+            ["Country", "Notes", "2019", "2020"],
+            ["France", None, 100.0 + i, "xxx"],
+            ["Germany", "note", "...", 200.0 + i],
+        ]
+        for i, sheet in enumerate(sipri_milex.METADATA)
+    }
+    xlsx.write_xlsx(path, sheets)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_sipri_retriever_downloads_and_parses(spark, monkeypatch, tmp_path):
+    """The live path: workbook BYTES arrive over HTTP, stage to a temp
+    file, and parse through the OOXML reader — identical output to the
+    path= route."""
+    from dfx_indicators_etl_spark.pipelines import sipri_milex
+
+    data = _sipri_bytes(tmp_path)
+    r = sipri_milex.Retriever()
+    monkeypatch.setattr(r, "fetch_bytes", lambda url: data)
+    raw = r(spark)
+    assert raw.columns == ["Country", "indicator_name", "2019", "2020"]
+    assert raw.count() == 2 * len(sipri_milex.METADATA)
+    fr = raw.filter("Country = 'France'").collect()
+    assert all(row["2020"] is None for row in fr)  # sentinels nulled
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_HTTP") != "1" or base.httpx is None,
+    reason="live HTTP is opt-in: SPARK_GRAFT_LIVE_HTTP=1 with httpx + network",
+)
+def test_sipri_live_download(spark):
+    from dfx_indicators_etl_spark.pipelines import sipri_milex
+
+    raw = sipri_milex.Retriever()(spark)
+    assert raw.count() > 0 and "Country" in raw.columns

@@ -98,7 +98,7 @@ class BaseRetriever(ABC):
         response.raise_for_status()  # pragma: no cover
         return response.json()  # pragma: no cover
 
-    def fetch_bytes(self, url: str) -> bytes:
+    def fetch_bytes(self, url: str, params: dict | None = None) -> bytes:
         """Driver-side HTTP GET for a binary artifact (e.g. a workbook
         download, reference sipri_milex.py); same guard as
         ``fetch_json``."""
@@ -108,9 +108,58 @@ class BaseRetriever(ABC):
                 "in this environment; use a file-based retriever or "
                 "pre-stage the payload."
             )
-        response = httpx.get(url, follow_redirects=True)  # pragma: no cover
+        response = httpx.get(url, params=params, follow_redirects=True)  # pragma: no cover
         response.raise_for_status()  # pragma: no cover
         return response.content  # pragma: no cover
+
+    def fetch_text(self, url: str, params: dict | None = None) -> str:
+        """Driver-side HTTP GET decoded as UTF-8 (e.g. the ILO SDMX
+        codelist XML, reference ilo_sdmx_api.py:24-50)."""
+        return self.fetch_bytes(url, params).decode("utf-8")
+
+    def fetch_csv(
+        self,
+        spark: SparkSession,
+        url: str,
+        params: dict | None = None,
+        **options,
+    ) -> DataFrame | None:
+        """HTTP GET a CSV payload and hand it to Spark's CSV reader.
+
+        The reference's ``BaseRetriever.read_csv``
+        (`/root/reference/src/dfx_etl/pipelines/_base.py:131-172`):
+        GET → ``pd.read_csv``, swallowing HTTP errors to ``None`` so a
+        per-indicator loop skips failed series. Spark-first shape: the
+        bytes land once in a driver-local staging file and the *parse*
+        runs through ``spark.read.csv`` (distributed, pushdown-able) —
+        at scale a multi-GB SDMX extract never materializes as Python
+        row objects. Columns stay strings (``inferSchema`` off by
+        default); transformers cast explicitly, mirroring the
+        reference's dtype-preserving ``low_memory=False`` read.
+
+        The staging file must outlive the returned (lazy) DataFrame, so
+        it is written to a per-retriever staging directory that is kept
+        for the session rather than unlinked eagerly.
+        """
+        import tempfile
+
+        try:
+            data = self.fetch_bytes(url, params)
+        except NotImplementedError:
+            raise
+        except Exception as error:  # httpx timeout / status → skip series
+            print(error)
+            return None
+        if not hasattr(self, "_staging_dir"):
+            self._staging_dir = tempfile.mkdtemp(prefix="dfx_fetch_")
+        fd, path = tempfile.mkstemp(suffix=".csv", dir=self._staging_dir)
+        import os
+
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        opts = {"header": "true", "multiLine": "true", "escape": '"'}
+        opts.update({k: str(v) for k, v in options.items()})
+        return spark.read.options(**opts).csv(path)
 
 
 class BaseTransformer(ABC):

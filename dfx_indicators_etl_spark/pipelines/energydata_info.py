@@ -15,9 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import indicator as ops
+from ..sources.xlsx import xlsx_to_spark
 from .base import BaseRetriever, BaseTransformer
 
-__all__ = ["Retriever", "Transformer", "INDICATOR_NAME"]
+__all__ = ["Retriever", "Transformer", "INDICATOR_NAME", "read_eleccap_xlsx"]
 
 INDICATOR_NAME = (
     "Installed electricity capacity by country/area (MW) by Country/area, "
@@ -34,15 +35,50 @@ RAW_COLUMNS = [
 
 
 class Retriever(BaseRetriever):
-    uri = "https://energydata.info/dataset/eleccap"
+    """XLSX-over-URL retrieval (reference energydata_info.py:16-44:
+    ``pd.read_excel(url, header=1, na_values=[".."])``): workbook bytes
+    download via the guarded ``fetch_bytes``, parsed with the engine's
+    OOXML reader at the same header row / sentinel settings, with a
+    ``_row_id`` order column prepended for the merged-cell
+    forward-fill."""
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    uri = (
+        "https://energydata.info/dataset/b33e5af4-bd51-4ee0-a062-29438471db27"
+        "/resource/6938ec3a-f7bb-4493-86ba-f28faa62f139/download"
+        "/eleccap_20220404-201215.xlsx"
+    )
+
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        path: str | None = None,
+        **kwargs,
+    ) -> DataFrame:
         if payload is not None:
             return payload
-        raise NotImplementedError(
-            "XLSX-over-HTTP retrieval is unavailable here; pre-stage the "
-            "sheet with a `_row_id` order column and pass it as `payload`."
-        )
+        if path is not None:
+            return read_eleccap_xlsx(spark, path)
+        import os
+        import tempfile
+
+        data = self.fetch_bytes(self.uri)
+        fd, tmp = tempfile.mkstemp(suffix=".xlsx")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return read_eleccap_xlsx(spark, tmp)
+        finally:
+            os.unlink(tmp)
+
+
+def read_eleccap_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    """Parse the ELECCAP workbook the way the reference reads it
+    (header on the second sheet row, ``..`` → null) plus the explicit
+    row-order column the distributed forward-fill requires."""
+    return xlsx_to_spark(
+        spark, path, header_row=1, na_values=("..",), row_id_col="_row_id"
+    )
 
 
 class Transformer(BaseTransformer):

@@ -23,13 +23,103 @@ DIMENSIONS = ("SEX", "AGE", "GEO", "EDU")
 
 
 class Retriever(BaseRetriever):
+    """SDMX-CSV retrieval (reference ilo_sdmx_api.py:53-139).
+
+    Indicator codes come from the ``CL_INDICATOR`` codelist (SDMX-ML
+    XML); codes embed their disaggregations (``SDG_0852_SEX_AGE_RT``)
+    and only those whose dimension set ⊆ {SEX, AGE, GEO, EDU, NOC}-less-
+    NOC survive, matching the reference's mask
+    (ilo_sdmx_api.py:74-85). Data arrives one ``format=csvfile`` GET
+    per indicator under the ``ILO,{code}`` dataflow convention.
+    """
+
     uri = "https://sdmx.ilo.org/rest/"
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        max_indicators: int | None = None,
+        **kwargs,
+    ) -> DataFrame:
         if payload is not None:
             return payload
-        self.fetch_json(f"{self.uri}data/ILO,DF_EMP_TEMP_SEX_AGE_NB")  # guarded
-        raise AssertionError("unreachable")  # pragma: no cover
+        meta = [
+            (code, name)
+            for code, name in self._get_codelist_mapping("INDICATOR").items()
+            if self._supported_disaggregation(code)
+        ]
+        if max_indicators is not None:
+            meta = meta[:max_indicators]
+        frames = []
+        for code, name in meta:
+            df = self._get_data(spark, code, **kwargs)
+            if df is None:
+                continue
+            frames.append(
+                df.withColumn("indicator_name", F.lit(f"{name} [{code}]"))
+            )
+        if not frames:
+            raise ValueError("No ILO SDMX series could be retrieved.")
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _supported_disaggregation(code: str) -> bool:
+        """ilo_sdmx_api.py:76-83: the middle ``_``-separated segments
+        name the disaggregations; keep codes fully inside DIMENSIONS
+        (NOC — "no classification" — excluded by omission)."""
+        return not set(code.split("_")[2:-1]) - set(DIMENSIONS)
+
+    def _get_codelist_mapping(self, name: str) -> dict[str, str]:
+        """Codelist id → English name from the SDMX-ML registry
+        (ilo_sdmx_api.py:24-50); stdlib ElementTree, driver-side
+        control-plane data."""
+        import xml.etree.ElementTree as ET
+        from io import StringIO
+
+        text = self.fetch_text(f"{self.uri}codelist/ILO/CL_{name}")
+        namespaces = dict(
+            node
+            for _, node in ET.iterparse(StringIO(text), events=["start-ns"])
+        )
+        namespaces["xml"] = "http://www.w3.org/XML/1998/namespace"
+        root = ET.fromstring(text)
+        return {
+            element.get("id"): element.find(
+                "common:Name[@xml:lang='en']", namespaces
+            ).text
+            for element in root.findall(".//structure:Code", namespaces)
+        }
+
+    def fetch_codelists(self) -> dict[str, dict[str, str]]:
+        """All dimension + unit codelists, shaped for the Transformer's
+        ``codelists`` argument (the reference decodes inline at
+        ilo_sdmx_api.py:185-192)."""
+        return {
+            name: self._get_codelist_mapping(name)
+            for name in (*DIMENSIONS, "UNIT_MEASURE")
+        }
+
+    def _get_data(
+        self,
+        spark: SparkSession,
+        indicator_code: str,
+        start_period: str = "2015-01-01",
+        end_period: str = "2025-12-31",
+        **kwargs,
+    ) -> DataFrame | None:
+        """One indicator's observations (ilo_sdmx_api.py:106-139)."""
+        params = {
+            "format": "csvfile",
+            "startPeriod": start_period,
+            "endPeriod": end_period,
+        } | kwargs
+        return self.fetch_csv(
+            spark, f"{self.uri}data/ILO,{indicator_code}/", params
+        )
 
 
 def _decode(col: str, mapping: dict[str, str], default: Column | None = None) -> Column:

@@ -18,14 +18,89 @@ from .base import BaseRetriever, BaseTransformer
 __all__ = ["Retriever", "Transformer"]
 
 
+NESTED_SCHEMA = (
+    "indicator_name string, country_code string, values map<string,double>"
+)
+
+
 class Retriever(BaseRetriever):
+    """JSON retrieval (reference imf_datamapper_api.py:16-114).
+
+    ``indicators`` yields ``{series_id: {label, unit, …}}``; per series
+    one GET at ``{uri}{code}?periods=…`` returns
+    ``values → indicator → country → {year: value}``, which lands as a
+    map column and flattens declaratively — the Spark form of the
+    reference's per-country ``pd.DataFrame(records.items())`` loop.
+    """
+
     uri = "https://www.imf.org/external/datamapper/api/v1/"
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        max_indicators: int | None = None,
+        start_period: int = 1950,
+        end_period: int = 2050,
+        **kwargs,
+    ) -> DataFrame:
         if payload is not None:
             return self.flatten(payload)
-        self.fetch_json(f"{self.uri}indicators")  # guarded — no client here
-        raise AssertionError("unreachable")  # pragma: no cover
+        meta = [
+            r.asDict()
+            for r in self.get_metadata(spark).collect()
+        ]
+        if max_indicators is not None:
+            meta = meta[:max_indicators]
+        rows: list = []
+        for m in meta:
+            values = self._get_data(
+                m["code"], start_period, end_period, **kwargs
+            )
+            if values is None:
+                continue
+            name = f"{m['name']}, {m['unit']} [{m['code']}]"
+            for country_code, records in values.items():
+                rows.append(
+                    (
+                        name,
+                        country_code,
+                        {
+                            str(year): float(v)
+                            for year, v in records.items()
+                            if v is not None
+                        },
+                    )
+                )
+        return self.flatten(spark.createDataFrame(rows, NESTED_SCHEMA))
+
+    def get_metadata(self, spark: SparkSession) -> DataFrame:
+        """``indicators`` endpoint → (code, name, unit)
+        (imf_datamapper_api.py:52-71)."""
+        data = self.fetch_json(f"{self.uri}indicators")
+        rows = [
+            (series_id, meta.get("label"), meta.get("unit"))
+            for series_id, meta in data["indicators"].items()
+            if series_id
+        ]
+        return spark.createDataFrame(rows, "code string, name string, unit string")
+
+    def _get_data(
+        self,
+        indicator_code: str,
+        start_period: int = 1950,
+        end_period: int = 2050,
+        **kwargs,
+    ) -> dict | None:
+        """One series' nested country→year→value dict
+        (imf_datamapper_api.py:73-114)."""
+        params = {
+            "periods": ",".join(map(str, range(start_period, end_period)))
+        } | kwargs
+        data = self.fetch_json(f"{self.uri}{indicator_code}", params=params)
+        if (values := data.get("values")) is None:
+            return None
+        return values.get(indicator_code)
 
     @staticmethod
     def flatten(nested: DataFrame) -> DataFrame:

@@ -13,19 +13,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources import read_csv
 from .base import BaseRetriever, BaseTransformer
 
 __all__ = ["Retriever", "Transformer"]
 
 
 class Retriever(BaseRetriever):
-    uri = "https://kpatlas.unaids.org/api/"
+    """Storage-based retrieval (reference unaids_kpatlas.py:18-48): the
+    source is a manually-downloaded ``KPAtlasDB_*_en.csv`` read from
+    the storage backend, not an HTTP API — here a distributed Spark CSV
+    scan of ``path`` (or ``uri`` under the configured storage root)."""
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    uri = "inputs/KPAtlasDB_2025_en.csv"
+
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        path: str | None = None,
+        **kwargs,
+    ) -> DataFrame:
         if payload is not None:
             return payload
-        self.fetch_json(f"{self.uri}data")  # guarded — no client here
-        raise AssertionError("unreachable")  # pragma: no cover
+        if path is None:
+            from ..sources import sinks
+
+            path = f"{sinks.resolve_storage_root()}/{self.uri}"
+        return read_csv(spark, path, **kwargs)
 
 
 class Transformer(BaseTransformer):

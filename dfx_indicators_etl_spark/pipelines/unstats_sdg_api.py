@@ -20,14 +20,86 @@ from .base import BaseRetriever, BaseTransformer
 __all__ = ["Retriever", "Transformer"]
 
 
+RAW_SCHEMA = (
+    "series string, seriesDescription string, geoAreaCode string, "
+    "timePeriodStart string, value string, "
+    "attributes map<string,string>, dimensions map<string,string>"
+)
+
+
 class Retriever(BaseRetriever):
+    """Paged JSON retrieval (reference unstats_sdg_api.py:17-129).
+
+    ``series/list`` yields the series catalogue; per series,
+    ``Series/Data`` pages drain at ``pageSize=1000`` until the first
+    response's ``totalPages`` is reached (bounded by ``max_pages``
+    against runaway catalogues). The nested per-row ``attributes`` /
+    ``dimensions`` objects land as map columns under an explicit
+    schema — the shape the Transformer's map-expression resolve
+    expects.
+    """
+
     uri = "https://unstats.un.org/sdgapi/v1/sdg/"
 
-    def __call__(self, spark: SparkSession, payload: DataFrame | None = None, **kwargs) -> DataFrame:
+    def __call__(
+        self,
+        spark: SparkSession,
+        payload: DataFrame | None = None,
+        max_series: int | None = None,
+        max_pages: int = 50,
+        **kwargs,
+    ) -> DataFrame:
         if payload is not None:
             return payload
-        self.fetch_json(f"{self.uri}Series/List")  # guarded — no client here
-        raise AssertionError("unreachable")  # pragma: no cover
+        meta = self.get_metadata(spark)
+        codes = [r["code"] for r in meta.select("code").collect()]
+        if max_series is not None:
+            codes = codes[:max_series]
+        records: list = []
+        for code in codes:
+            records.extend(self._get_data(code, max_pages=max_pages, **kwargs))
+        rows = [
+            (
+                r.get("series"),
+                r.get("seriesDescription"),
+                str(r["geoAreaCode"]) if r.get("geoAreaCode") is not None else None,
+                str(r["timePeriodStart"]) if r.get("timePeriodStart") is not None else None,
+                str(r["value"]) if r.get("value") is not None else None,
+                {k: str(v) for k, v in (r.get("attributes") or {}).items() if v is not None},
+                {k: str(v) for k, v in (r.get("dimensions") or {}).items() if v is not None},
+            )
+            for r in records
+        ]
+        return spark.createDataFrame(rows, RAW_SCHEMA)
+
+    def get_metadata(self, spark: SparkSession) -> DataFrame:
+        """Series catalogue (unstats_sdg_api.py:53-66):
+        ``{code, description}`` → (code, name)."""
+        data = self.fetch_json(f"{self.uri}series/list")
+        rows = [(s.get("code"), s.get("description")) for s in data]
+        return spark.createDataFrame(rows, "code string, name string")
+
+    def _get_data(
+        self, indicator_code: str, max_pages: int = 50, **kwargs
+    ) -> list[dict]:
+        """Drain one series' pages (unstats_sdg_api.py:68-129)."""
+        pages, records = self._get_page(indicator_code, 1, **kwargs)
+        out = list(records)
+        for page in range(2, min(pages, max_pages) + 1):
+            _, records = self._get_page(indicator_code, page, **kwargs)
+            out.extend(records)
+        return out
+
+    def _get_page(
+        self, indicator_code: str, page: int, **kwargs
+    ) -> tuple[int, list[dict]]:
+        params = {
+            "seriesCode": indicator_code,
+            "pageSize": 1_000,
+            "page": page,
+        } | kwargs
+        data = self.fetch_json(f"{self.uri}Series/Data", params=params)
+        return data["totalPages"], data.get("data") or []
 
 
 class Transformer(BaseTransformer):

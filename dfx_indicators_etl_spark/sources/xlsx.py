@@ -181,6 +181,7 @@ def xlsx_to_spark(
     sheet_name: str | None = None,
     header_row: int = 0,
     na_values: tuple[str, ...] = (),
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Worksheet → DataFrame with an inferred per-column schema.
 
@@ -188,7 +189,10 @@ def xlsx_to_spark(
     schema into ``createDataFrame``: integral columns → long, numeric →
     double, mixed → string (values stringified like pandas' object
     columns). ``na_values`` nulls out sentinel strings before typing —
-    the reference's ``na_values=["xxx", "..."]``.
+    the reference's ``na_values=["xxx", "..."]``. ``row_id_col``
+    prepends the sheet row index (order-dependent transforms like
+    merged-cell forward-fill need an explicit order column once the
+    frame is distributed).
     """
     rows = read_xlsx(path, sheet_name)
     if header_row >= len(rows):
@@ -227,6 +231,11 @@ def xlsx_to_spark(
     schema = T.StructType(
         [T.StructField(n, t, True) for n, t in zip(names, types)]
     )
+    if row_id_col is not None:
+        typed = [[i, *row] for i, row in enumerate(typed)]
+        schema = T.StructType(
+            [T.StructField(row_id_col, T.LongType(), False), *schema.fields]
+        )
     return spark.createDataFrame(typed, schema)
 
 

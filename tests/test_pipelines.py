@@ -180,9 +180,20 @@ def test_pipeline_end_to_end(spark, country_mapping, tmp_path):
 
 
 def test_retrievers_guarded(spark):
-    from dfx_indicators_etl_spark.pipelines import healthdata_ghdx, unstats_sdg_database
+    from dfx_indicators_etl_spark.pipelines import (
+        healthdata_ghdx,
+        unaids_kpatlas,
+        unstats_sdg_database,
+    )
 
-    file_based = {world_bank_wdi, healthdata_ghdx, unstats_sdg_database}
+    # unaids_kpatlas reads a storage CSV like the reference
+    # (unaids_kpatlas.py:18-48), so it joins the file-based set.
+    file_based = {
+        world_bank_wdi,
+        healthdata_ghdx,
+        unstats_sdg_database,
+        unaids_kpatlas,
+    }
     for module in SOURCES.values():
         if module in file_based:
             continue

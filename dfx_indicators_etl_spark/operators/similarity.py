@@ -568,19 +568,13 @@ NUM_TABLES = 12  # L independent hash tables
 PLANES_PER_TABLE = 4  # k sign bits per table
 
 
-def _plane_component(table: int, p: int, j: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5)."""
-    h = (
-        F.lit(table * 1_000_003 + p * 10_007).cast("long") + j.cast("long") * 131
-    ) * 2_654_435_761
-    return (F.pmod(h, F.lit(10_000)).cast("double") / 10_000.0) - 0.5
-
-
 def _plane_matrix(num_tables: int, planes_per_table: int, d: int) -> np.ndarray:
-    """The same hyperplanes as ``_plane_component``, as a numpy tensor
-    ``(num_tables, planes_per_table, d)``.
+    """Deterministic pseudo-random hyperplane components in
+    [-0.5, 0.5) as a numpy tensor ``(num_tables, planes_per_table, d)``.
 
-    Identical arithmetic: int64 multiply wraps in numpy exactly like
+    The SQL-expression form of one component is
+    ``(pmod((t*1_000_003 + p*10_007 + j*131) * 2_654_435_761, 10_000)
+    / 10_000) - 0.5``: int64 multiply wraps in numpy exactly like
     Spark's non-ANSI long multiply, and ``np.mod`` with a positive
     divisor matches ``F.pmod`` — executors rebuild the matrix from the
     formula, nothing ships but the dims.

@@ -47,7 +47,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_survivors",
     "sim_lsh_ann",
     "sim_ivf_ann",
-    # (d) NEW surface added in round 5 (no driver row exists yet) — 9
+    # (d) NEW surface added in round 5 (no driver row exists yet) — 18
     "q_funnel_conversion",
     "q_retention_cohort",
     "q_session_window_native",

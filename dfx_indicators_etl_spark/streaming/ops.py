@@ -344,6 +344,19 @@ def stream_minhash_dedup_banded(
     defaults to a sibling of the claims table — a restarted query
     resumes source progress; a NEW source feeding the same claims
     table (backfill from another directory) passes its own.
+
+    **Concurrency contract**: compaction deletes claims partitions
+    after merging them, so with ``compact_every`` set the claims table
+    is SINGLE-WRITER — drains sharing one ``state_dir`` must run
+    strictly sequentially (the availableNow pattern here), or every
+    concurrent drain must pass ``compact_every=None`` and leave
+    compaction to an offline owner. A best-effort lease file
+    (atomic HDFS ``createNewFile``) additionally serializes two
+    compactors racing on the same table: the loser skips its turn
+    (safe — the interval fires again) rather than double-deleting.
+    The lease does NOT protect a concurrent drain's *read* from seeing
+    a mid-compaction table; that is what the sequential-drain
+    requirement is for.
     """
     import hashlib
 
@@ -373,6 +386,20 @@ def stream_minhash_dedup_banded(
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(root):
             return
+        # Compactor lease: atomic create loses ⇒ another compactor owns
+        # the table right now; skip this turn (the interval re-fires).
+        lease = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_compact.lease")
+        try:
+            if not fs.createNewFile(lease):
+                return
+        except Exception:
+            return
+        try:
+            _compact_locked(spark, fs, root, own, now_ts)
+        finally:
+            fs.delete(lease, False)
+
+    def _compact_locked(spark: SparkSession, fs, root, own: str, now_ts) -> None:
         old = [
             s.getPath()
             for s in fs.listStatus(root)
@@ -535,11 +562,30 @@ def read_latest_wins(
     """Merge-on-read resolution of an upsert table: one row per key,
     from the highest batch sequence (partition discovery exposes the
     ``batch=<token>-<seq>`` column). One shuffle on the key — the
-    standard CDC merge-on-read plan."""
+    standard CDC merge-on-read plan.
+
+    Latest-wins is only well-defined over *numeric* batch sequences;
+    a compacted partition (``batch=<token>-c<hex>``, the claims-table
+    compactor's naming) has no position in the update order, so its
+    presence makes "latest" nondeterministic. Upsert tables must never
+    be compacted with the claims-table compactor — and rather than
+    silently ranking such rows NULL-last, the read fails loudly on the
+    first non-numeric sequence it touches."""
     from pyspark.sql import Window
 
     df = spark.read.parquet(out_dir)
-    seq = F.split(F.col("batch"), "-").getItem(1).cast("long")
+    seq_str = F.split(F.col("batch"), "-").getItem(1)
+    seq = F.when(seq_str.rlike(r"^\d+$"), seq_str.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "read_latest_wins: non-numeric batch sequence (was this "
+                    "table compacted with the claims-table compactor?): "
+                ),
+                F.col("batch"),
+            )
+        )
+    )
     w = Window.partitionBy(*keys).orderBy(seq.desc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -688,6 +734,30 @@ def stream_sessionize_events(
     )
 
 
+def interval_ms(interval: str) -> int:
+    """Parse a Spark-style interval string (``"2 hours"``, ``"30
+    seconds"``) to milliseconds — for deriving state-timeout offsets
+    from the same string the watermark uses, so the two clocks can't
+    drift apart."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(millisecond|second|minute|hour|day|week)s?\s*",
+        interval.lower(),
+    )
+    if not m:
+        raise ValueError(f"Unsupported interval string: {interval!r}")
+    unit_ms = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 7 * 86_400_000,
+    }[m.group(2)]
+    return int(m.group(1)) * unit_ms
+
+
 def stream_ewma_anomalies(
     events: DataFrame,
     alpha: float = 0.3,
@@ -709,8 +779,15 @@ def stream_ewma_anomalies(
     z-score uses the state BEFORE absorbing the event (an anomaly must
     not dilute its own baseline, and detection is unaffected by
     whether its batch boundary splits the stream).
+
+    State is evicted one ``watermark`` past a key's last event — the
+    timeout offset derives from the watermark argument itself, keeping
+    the documented "evicted at the watermark" contract for any caller-
+    supplied horizon.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_offset_ms = interval_ms(watermark)
 
     def fn(key, pdfs, state):
         import math
@@ -755,7 +832,7 @@ def stream_ewma_anomalies(
             )
         state.update((mean, var, n))
         if last_ms is not None:
-            state.setTimeoutTimestamp(int(last_ms) + 2 * 3600 * 1000)
+            state.setTimeoutTimestamp(int(last_ms) + timeout_offset_ms)
         if out_ids:
             yield pd.DataFrame(
                 {

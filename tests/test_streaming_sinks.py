@@ -406,3 +406,29 @@ def test_stream_anomaly_matches_python_model(spark, sf_dir):
             n += 1
     assert got == want
     assert len(got) > 0  # the synthetic data does contain outliers
+
+
+def test_interval_ms_parses_spark_style_strings():
+    from dfx_indicators_etl_spark.streaming.ops import interval_ms
+
+    assert interval_ms("2 hours") == 2 * 3600 * 1000
+    assert interval_ms("30 seconds") == 30_000
+    assert interval_ms("1 minute") == 60_000
+    assert interval_ms("500 milliseconds") == 500
+    assert interval_ms("1 day") == 86_400_000
+    with pytest.raises(ValueError):
+        interval_ms("2 fortnights")
+
+
+def test_read_latest_wins_rejects_compacted_partitions(spark, tmp_path):
+    """A batch=<token>-c<hex> partition has no update-order position;
+    the merge-on-read must fail loudly, not pick a nondeterministic
+    'latest' (ADVICE r5)."""
+    from dfx_indicators_etl_spark import streaming
+
+    table = str(tmp_path / "upsert")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    df.write.parquet(f"{table}/batch=abc123-0")
+    df.write.parquet(f"{table}/batch=abc123-c9f2e1d4")
+    with pytest.raises(Exception, match="non-numeric batch sequence"):
+        streaming.read_latest_wins(spark, table, ("k",)).collect()

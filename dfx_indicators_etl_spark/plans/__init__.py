@@ -11,74 +11,16 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-5 rotation: (a) the two keys that have
-# NEVER had a driver row (emb_kmeans/emb_pca — the r4 window boundary
-# was mis-counted and they fell outside it); (b) the 11 keys whose
-# latest driver row is r2, computed before the driver regenerated the
-# testdata (pytest-green on current data, but the official record is
-# stale); (c) every key whose implementation changed this round and so
-# needs fresh evidence; (d) the keys whose latest green row is r3 —
-# oldest evidence first. Keys with fresh r4 rows sit after the
-# boundary. Exactly 50 keys precede the boundary comment (the r4 list
-# was off by five — ADVICE r4).
+# in insertion order. Round-6 rotation (VERDICT r5 directive 3): (a)
+# the full 32-key cohort whose latest driver evidence is r3 — after
+# this round no key's evidence is older than r4; (b) every key whose
+# implementation is touched in round 6 (streaming ops advice fixes,
+# k-means seeding/partial-combine rework and the ANN/PQ stack built on
+# its codebooks, the q2 join strategy) — fresh evidence over fresh
+# code; (c) the oldest r4-evidenced keys fill the remaining slots.
+# Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) never driver-checked — 2 keys
-    "emb_kmeans",
-    "emb_pca",
-    # (b) stale pre-regeneration r2 evidence — 11 keys
-    "q_asof_join",
-    "q_time_rollup",
-    "q_range_join",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_hll_sketch",
-    "ind_standardize",
-    "ind_observation_view",
-    "ind_combine_dimensions",
-    "ind_melt",
-    "q_events_daily",
-    # (c) implementation touched in round 5 — 9 keys
-    "stream_sessionize",
-    "stream_dedup",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "stream_minhash_dedup_banded",
-    "dedup_clusters",
-    "dedup_survivors",
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    # (d) NEW surface added in round 5 (no driver row exists yet) — 18
-    "q_funnel_conversion",
-    "q_retention_cohort",
-    "q_session_window_native",
-    "q_triangle_count",
-    "text_tfidf",
-    "text_chunk",
-    "text_pack_bins",
-    "emb_int8_quantize",
-    "stream_upsert_sink",
-    "ind_pipeline_e2e",
-    "sink_schema_evolution",
-    "q_custom_agg_geomean",
-    "q_table_profile",
-    "sink_orc_roundtrip",
-    "q_skew_salted_join",
-    "stream_anomaly",
-    "emb_pq_codes",
-    "sim_ivfpq_ann",
-    # (e) latest green row is r3 — oldest evidence first, as many as
-    # fit; the rest rotate next round
-    "ind_country_map",
-    "ind_country_filter",
-    "ind_year_filter",
-    "ind_dedup_first",
-    "ind_upsert",
-    "ind_insert_ignore",
-    "ind_metadata_dedup",
-    "ind_validate",
-    "ind_indicator_format",
-    "ind_value_stats",
-    # --- window boundary: exactly 50 keys above this line ---
+    # (a) latest green row is r3 — 32 keys
     "ind_star_series",
     "ind_star_observation",
     "dedup_exact",
@@ -101,9 +43,38 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_train_test",
     "emb_l2_norm",
     "emb_label_centroids",
-    "emb_random_projection",
     "q_pagerank_nations",
-    # r4-green keys follow in registration order (fresh evidence)
+    "q12_priority_class",
+    "mm_decode_stub",
+    "mm_resize_stub",
+    "mm_frame_sample",
+    "sink_versioned_roundtrip",
+    "sink_partitioned_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "stream_incremental_sink",
+    # (b) implementation touched in round 6 — 11 keys
+    "stream_anomaly",
+    "stream_upsert_sink",
+    "stream_minhash_dedup_banded",
+    "emb_kmeans",
+    "emb_pca",
+    "emb_pq_codes",
+    "sim_ivf_ann",
+    "sim_ivfpq_ann",
+    "sim_lsh_ann",
+    "q2_min_cost_supplier",
+    "ind_upsert",
+    # (c) oldest r4 evidence — 7 keys fill the window
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_item",
+    "q_top_suppliers",
+    "q_window_topk",
+    "q_rollup",
+    # --- window boundary: exactly 50 keys above this line ---
+    # r4/r5-green keys follow in registration order (fresh evidence)
 ]
 
 

@@ -33,6 +33,10 @@ __all__ = [
     "read_jdbc",
     "jdbc_table_exists",
     "jdbc_upsert",
+    "jdbc_upsert_statement",
+    "jdbc_execute",
+    "jdbc_dialect",
+    "upsert_sql",
 ]
 
 
@@ -262,6 +266,125 @@ def jdbc_table_exists(
         return False
     finally:
         conn.close()
+
+
+def jdbc_dialect(url: str) -> str:
+    """Dialect tag from a JDBC URL (``jdbc:postgresql://…`` →
+    ``postgresql``)."""
+    parts = url.split(":")
+    return parts[1].lower() if len(parts) > 1 else ""
+
+
+def upsert_sql(
+    url: str,
+    table: str,
+    columns: tuple[str, ...],
+    key_cols: tuple[str, ...],
+    insert_only: bool = False,
+    staging: str | None = None,
+) -> str:
+    """Dialect-correct set-based upsert statement from a staging table.
+
+    The reference's conflict handlers are Postgres ``ON CONFLICT``
+    statements (`/root/reference/src/dfx_etl/database/__init__.py:92-127`:
+    ``on_conflict_do_update`` on the primary key, ``on_conflict_do_nothing``);
+    this emits the set-based form of the same statements —
+    ``INSERT … SELECT … FROM staging ON CONFLICT (keys) DO
+    UPDATE SET c = EXCLUDED.c / DO NOTHING`` — for ``postgresql`` URLs,
+    and an ANSI/Derby ``MERGE INTO … USING staging`` otherwise. One
+    statement against a bulk-loaded staging table instead of row-wise
+    VALUES batches: at scale the executors stream the staging load in
+    parallel and the database resolves conflicts once, set-wise.
+    """
+    staging = staging or f"{table}__stage"
+    # Column identifiers are double-quoted: Spark's JDBC writer creates
+    # tables with quoted (case-preserved) column names, and an unquoted
+    # reference would fold (up on Derby, down on Postgres) and miss.
+    q = '"{}"'.format
+    non_keys = [c for c in columns if c not in key_cols]
+    col_list = ", ".join(q(c) for c in columns)
+    if jdbc_dialect(url) == "postgresql":
+        stmt = (
+            f"INSERT INTO {table} ({col_list}) "
+            f"SELECT {col_list} FROM {staging} "
+            f"ON CONFLICT ({', '.join(q(c) for c in key_cols)}) DO "
+        )
+        if insert_only or not non_keys:
+            return stmt + "NOTHING"
+        sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
+        return stmt + f"UPDATE SET {sets}"
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in key_cols)
+    stmt = f"MERGE INTO {table} t USING {staging} s ON {on}"
+    if non_keys and not insert_only:
+        # SET targets are unqualified per the MERGE grammar (they can
+        # only name target columns; Derby rejects a t. prefix).
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in non_keys)
+        stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+    src_vals = ", ".join(f"s.{q(c)}" for c in columns)
+    return stmt + (
+        f" WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_vals})"
+    )
+
+
+def jdbc_execute(
+    spark: SparkSession, url: str, sql: str, driver: str | None = None
+) -> int:
+    """Run one DDL/DML statement over a driver-side JDBC connection
+    (py4j ``java.sql`` — control-plane calls like the MERGE/ON CONFLICT
+    statements, never data movement)."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_upsert_statement(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: tuple[str, ...],
+    driver: str | None = None,
+    insert_only: bool = False,
+) -> None:
+    """Set-based upsert: bulk-load a staging table, run ONE dialect-
+    correct conflict statement (``upsert_sql``), drop the staging.
+
+    The scale path next to ``jdbc_upsert``'s portable
+    read-merge-overwrite: the target table is never read back or
+    rewritten — executors stream only the incoming rows, and the
+    database applies the merge set-wise. Derby-tested; the postgresql
+    branch emits the reference's ON CONFLICT dialect.
+    """
+    staging = f"{table}__stage"
+    spark = df.sparkSession
+    if not jdbc_table_exists(spark, url, table, driver=driver):
+        write_jdbc(df, url, table, mode="overwrite", driver=driver)
+        return
+    write_jdbc(df, url, staging, mode="overwrite", driver=driver)
+    try:
+        jdbc_execute(
+            spark,
+            url,
+            upsert_sql(
+                url,
+                table,
+                tuple(df.columns),
+                tuple(key_cols),
+                insert_only=insert_only,
+                staging=staging,
+            ),
+            driver=driver,
+        )
+    finally:
+        jdbc_execute(spark, url, f"DROP TABLE {staging}", driver=driver)
 
 
 def jdbc_upsert(

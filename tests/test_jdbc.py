@@ -179,3 +179,103 @@ def test_streaming_foreachbatch_jdbc_upsert(spark, derby_url, tmp_path):
         ("2024-01-01 10:00:00", "view"): (1, 5.0),
         ("2024-01-01 11:00:00", "click"): (1, 4.0),
     }
+
+
+# --- dialect-correct upsert SQL (VERDICT r5 directive 6) -----------------
+
+
+def test_upsert_sql_postgres_dialect():
+    stmt = sinks.upsert_sql(
+        "jdbc:postgresql://db:5432/etl",
+        "observation",
+        ("id", "name", "value"),
+        ("id",),
+    )
+    assert stmt == (
+        'INSERT INTO observation ("id", "name", "value") '
+        'SELECT "id", "name", "value" FROM observation__stage '
+        'ON CONFLICT ("id") DO UPDATE SET '
+        '"name" = EXCLUDED."name", "value" = EXCLUDED."value"'
+    )
+
+
+def test_upsert_sql_postgres_insert_only():
+    stmt = sinks.upsert_sql(
+        "jdbc:postgresql://db/etl",
+        "indicator",
+        ("code", "name"),
+        ("code",),
+        insert_only=True,
+    )
+    assert stmt == (
+        'INSERT INTO indicator ("code", "name") '
+        'SELECT "code", "name" FROM indicator__stage '
+        'ON CONFLICT ("code") DO NOTHING'
+    )
+
+
+def test_upsert_sql_merge_dialect():
+    stmt = sinks.upsert_sql(
+        "jdbc:derby:/tmp/db",
+        "obs",
+        ("id", "name", "value"),
+        ("id",),
+    )
+    assert stmt == (
+        'MERGE INTO obs t USING obs__stage s ON t."id" = s."id" '
+        'WHEN MATCHED THEN UPDATE SET "name" = s."name", "value" = s."value" '
+        'WHEN NOT MATCHED THEN INSERT ("id", "name", "value") '
+        'VALUES (s."id", s."name", s."value")'
+    )
+
+
+def test_upsert_sql_merge_insert_only_has_no_update_clause():
+    stmt = sinks.upsert_sql(
+        "jdbc:derby:/tmp/db", "obs", ("id", "name"), ("id",), insert_only=True
+    )
+    assert "WHEN MATCHED" not in stmt and "WHEN NOT MATCHED" in stmt
+
+
+def test_jdbc_upsert_statement_merges_on_derby(spark, derby_url, base_rows):
+    """The staging-statement path executes end-to-end on Derby: the
+    target is never read back or rewritten, the MERGE resolves
+    conflicts set-wise in the database."""
+    sinks.jdbc_upsert_statement(
+        base_rows, derby_url, "mobs", ("id",), driver=DRIVER
+    )
+    incoming = spark.createDataFrame(
+        [(2, "BETA", 99.0), (4, "delta", 40.0)],
+        "id bigint, name string, value double",
+    )
+    sinks.jdbc_upsert_statement(
+        incoming, derby_url, "mobs", ("id",), driver=DRIVER
+    )
+    back = sinks.read_jdbc(spark, derby_url, "mobs", driver=DRIVER)
+    assert sorted((r.id, r.name, r.value) for r in back.collect()) == [
+        (1, "alpha", 10.0),
+        (2, "BETA", 99.0),
+        (3, "gamma", 30.0),
+        (4, "delta", 40.0),
+    ]
+    # staging table cleaned up
+    assert not sinks.jdbc_table_exists(spark, derby_url, "mobs__stage", driver=DRIVER)
+
+
+def test_jdbc_upsert_statement_insert_only_on_derby(spark, derby_url, base_rows):
+    sinks.jdbc_upsert_statement(
+        base_rows, derby_url, "iobs", ("id",), driver=DRIVER
+    )
+    incoming = spark.createDataFrame(
+        [(2, "BETA", 99.0), (4, "delta", 40.0)],
+        "id bigint, name string, value double",
+    )
+    sinks.jdbc_upsert_statement(
+        incoming, derby_url, "iobs", ("id",), driver=DRIVER, insert_only=True
+    )
+    back = sinks.read_jdbc(spark, derby_url, "iobs", driver=DRIVER)
+    assert sorted((r.id, r.name) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),  # existing wins
+        (3, "gamma"),
+        (4, "delta"),  # new key inserted
+    ]

@@ -878,14 +878,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decorrelated the scalable way: the regional part-supplier relation
     computes once (supplier/nation/region dims broadcast onto the
-    aggregated partsupp), the per-part minimum is one combinable
-    aggregate on the SAME partkey partitioning, and the "cost equals
-    the minimum" predicate is an equi-join — no per-row subquery, no
-    re-scan of the fact.
+    aggregated partsupp), and the "cost equals the per-part minimum"
+    predicate is a WINDOW min over ``ps_partkey`` — one shuffle, no
+    self-join. The earlier groupBy-then-join form put the only
+    sort-merge join in PLANS.md on this query (3 exchanges + SMJ on a
+    float key, VERDICT r5); the window computes the same minimum on
+    the same partitioning and filters in place.
     """
     lineitem, part, supplier, nation, region = read_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
+    from pyspark.sql import Window
+
     ps = _derived_partsupp(lineitem)
     euro_sup = (
         supplier.join(
@@ -898,23 +902,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # rps feeds BOTH the per-part minimum and the final join: eager
-    # localCheckpoint pins ONE derivation of the aggregated partsupp
-    # (bounded: one row per observed European (part, supplier) pair)
-    # instead of relying on ReusedExchange to dedupe the two
-    # differently-projected subtrees — pre-pin, PLANS.md showed the
-    # lineitem scan + pre-aggregation running twice in this plan.
     rps = ps.join(
         F.broadcast(euro_sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).localCheckpoint(eager=True)
-    mc = rps.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
     )
+    per_part = Window.partitionBy("ps_partkey")
     qualifying = part.filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
     return (
-        rps.join(mc, "ps_partkey")
+        rps.withColumn("min_cost", F.min("ps_supplycost").over(per_part))
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(
             F.broadcast(qualifying),

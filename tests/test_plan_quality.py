@@ -124,13 +124,16 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark, sf_dir):
 
 
 def test_q2_q11_single_partsupp_derivation(spark, sf_dir):
-    """The derived partsupp feeds two consumers in each query (per-part
-    MIN + final join in q2; national total + threshold filter in q11).
-    The eager localCheckpoint pins ONE derivation, so the final plan
-    carries at most the part-table scan (q2) / no file scan at all
-    (q11) instead of re-deriving the lineitem pre-aggregation per
-    consumer (was 9 scans in q2 pre-pin)."""
-    assert _plan(spark, sf_dir, "q2_min_cost_supplier").count("Scan parquet") <= 2
+    """q2's per-part minimum is a window over the SAME relation the
+    filter reads — since the window rewrite (round 6) the plan has one
+    consumer per input, so every table scans exactly once and no
+    sort-merge join remains (the groupBy-then-self-join form carried
+    PLANS.md's only SMJ). q11's derived partsupp still feeds two
+    consumers; its eager localCheckpoint pins one derivation (no file
+    scan at all in the final plan — was 6 pre-pin)."""
+    q2 = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert q2.count("Scan parquet") == 5  # 5 tables, each exactly once
+    assert "SortMergeJoin" not in q2
     assert _plan(spark, sf_dir, "q11_important_stock").count("Scan parquet") == 0
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "jdbc_execute",
     "jdbc_dialect",
     "upsert_sql",
+    "abfss_uri",
 ]
 
 
@@ -46,12 +47,42 @@ def dataset_version(as_of: date | None = None) -> str:
     return as_of.strftime("v%y-%m-%d")
 
 
+def abfss_uri(account: str, container: str, path: str = "") -> str:
+    """Azure Data Lake Gen2 container URI for Spark's Hadoop ABFS
+    connector — the exact root shape the reference's Azure backend
+    addresses (`storage/azure.py` + `settings.py:13-32`)."""
+    root = f"abfss://{container}@{account}.dfs.core.windows.net"
+    return f"{root}/{path.lstrip('/')}" if path else root
+
+
+def _abfs_connector_available() -> bool:
+    """True when hadoop-azure is on the active session's classpath."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.fs.azurebfs.AzureBlobFileSystem"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def resolve_storage_root() -> str:
     """Pick the storage root from the environment.
 
     Mirrors `storage/__init__.py:20-45`: explicit local path wins, else
-    an Azure container URI (``abfss://…``) that Spark's Hadoop ABFS
-    connector reads natively; error when neither is configured.
+    the Azure container URI (``abfss://…``) that Spark's Hadoop ABFS
+    connector reads natively — every downstream path composition
+    (``write_dataset``/``read_dataset``) treats the root as an opaque
+    URI prefix, so abfss:// flows through the same code path as a
+    local directory. When Azure is configured but hadoop-azure is NOT
+    on the classpath, the resolved URI surfaces in an explicit
+    NotImplementedError instead of a first-task failure; error when
+    neither backend is configured.
     """
     local = os.environ.get("LOCAL_STORAGE_PATH")
     if local:
@@ -59,12 +90,11 @@ def resolve_storage_root() -> str:
     account = os.environ.get("AZURE_STORAGE_ACCOUNT")
     container = os.environ.get("AZURE_STORAGE_CONTAINER")
     if account and container:
-        # Requires hadoop-azure on the classpath + auth conf; absent in
-        # this harness, so surface the gap explicitly rather than at
-        # first task failure.
+        uri = abfss_uri(account, container)
+        if _abfs_connector_available():
+            return uri
         raise NotImplementedError(
-            "Azure ABFS backend requires the hadoop-azure connector "
-            f"(abfss://{container}@{account}.dfs.core.windows.net)"
+            f"Azure ABFS backend requires the hadoop-azure connector ({uri})"
         )
     raise KeyError(
         "Neither LOCAL_STORAGE_PATH nor AZURE_STORAGE_ACCOUNT/CONTAINER is set."

@@ -92,11 +92,53 @@ def test_resolve_storage_root(monkeypatch):
     monkeypatch.delenv("LOCAL_STORAGE_PATH")
     monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "acct")
     monkeypatch.setenv("AZURE_STORAGE_CONTAINER", "c")
-    with pytest.raises(NotImplementedError):
+    # jar-less harness: the constructed URI must surface in the error
+    with pytest.raises(NotImplementedError, match="abfss://c@acct"):
         sinks.resolve_storage_root()
     monkeypatch.delenv("AZURE_STORAGE_ACCOUNT")
     with pytest.raises(KeyError):
         sinks.resolve_storage_root()
+
+
+def test_resolve_storage_root_returns_abfss_when_connector_present(monkeypatch):
+    """With hadoop-azure on the classpath the Azure configuration
+    resolves to the container URI and flows through the same
+    path-composition code as a local root."""
+    monkeypatch.delenv("LOCAL_STORAGE_PATH", raising=False)
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", "acct")
+    monkeypatch.setenv("AZURE_STORAGE_CONTAINER", "c")
+    monkeypatch.setattr(sinks, "_abfs_connector_available", lambda: True)
+    root = sinks.resolve_storage_root()
+    assert root == "abfss://c@acct.dfs.core.windows.net"
+
+
+def test_abfss_uri_shape():
+    assert (
+        sinks.abfss_uri("myacct", "data", "inputs/raw.csv")
+        == "abfss://data@myacct.dfs.core.windows.net/inputs/raw.csv"
+    )
+    assert (
+        sinks.abfss_uri("a", "c") == "abfss://c@a.dfs.core.windows.net"
+    )
+
+
+def test_dataset_path_composition_is_backend_agnostic(spark, tmp_path):
+    """write_dataset composes <root>/<version>/<folder>/<name>.parquet
+    by string join — identical for file paths and abfss:// roots. The
+    local leg writes for real; the abfss leg checks the composed target
+    (the write itself needs the connector)."""
+    df = spark.range(3).withColumnRenamed("id", "v")
+    local = sinks.write_dataset(df, str(tmp_path), "obs", version="v26-08-14")
+    assert local == f"{tmp_path}/v26-08-14/obs.parquet"
+    assert spark.read.parquet(local).count() == 3
+
+    root = sinks.abfss_uri("acct", "c")
+    version = sinks.dataset_version()
+    expected = f"{root}/{version}/raw/obs.parquet"
+    composed = "/".join(
+        p for p in (root, version, "raw", "obs.parquet") if p
+    )
+    assert composed == expected
 
 
 def test_read_dataset_rejects_unknown_extension(spark):

@@ -27,8 +27,12 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_signatures_portable",
+    "minhash_lsh_pairs_portable",
     "simhash",
     "simhash_pairs",
+    "simhash_portable",
+    "simhash_pairs_portable",
     "connected_components",
 ]
 
@@ -349,6 +353,251 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+PORTABLE_PRIME = 2_147_483_647  # 2³¹−1, the double-hash modulus
+
+
+def _portable_h1_h2(shingle: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hash streams from one md5 of the shingle
+    string — hex-sliced exactly as DuckDB's
+    ``CAST(concat('0x', substr(md5(s), …)) AS BIGINT)`` computes them,
+    so both engines derive bit-identical values."""
+    digest = F.md5(shingle)
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def minhash_signatures_portable(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures from an ENGINE-PORTABLE hash family.
+
+    ``minhash_signatures`` chains xxhash64 — fast, but engine-specific,
+    which forces its queries to rows-only checks. This variant uses
+    Kirsch–Mitzenmacher double hashing over two md5-derived 32-bit
+    streams: ``sig_p = min over shingles of (h1 + p·h2) mod (2³¹−1)``.
+    Every term is < 2³⁸ (no overflow, ANSI-safe) and every step — md5,
+    hex slice, modular arithmetic — evaluates identically in DuckDB,
+    so the full signature (and everything banded on top of it) is
+    value-oracle-able. The family degeneration that ruled K-M out for
+    the xxhash64 path (bounded i·h₂ vanishing against a full-range h₁)
+    doesn't apply here: both streams live in [0, 2³²) and the final
+    modulus wraps the sum uniformly for every p.
+
+    Shingles are the same word-3-grams as the Jaccard oracle
+    (``TOKS_SQL`` semantics: split on single space, drop empties,
+    distinct shingle strings per doc).
+    """
+    shingled = _with_shingles(df, n, text_col, id_col, distinct=True)
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    h1, h2 = _portable_h1_h2(F.col("shingle"))
+    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(p) * F.col("h2")) % F.lit(PORTABLE_PRIME)
+            ).alias(f"__m{p}")
+            for p in range(NUM_PERMS)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"__m{p}") for p in range(NUM_PERMS)]).alias(
+            "signature"
+        ),
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` over the portable signature family — same
+    banded inverted-index shape (16 bands × 4, bucket join, skew cap),
+    but the band key is the comma-joined component string instead of a
+    rehash, so a DuckDB oracle reproduces the exact candidate set and
+    the estimated Jaccard values hash-match."""
+    sigs = (
+        minhash_signatures_portable(df, n, text_col, id_col)
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    rows_per_band = NUM_PERMS // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.array_join(
+                    F.slice(
+                        F.col("signature"),
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band,
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    if max_band_bucket is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(ok, ["band_idx", "band_key"], "left_semi")
+    candidates = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / NUM_PERMS
+    )
+    return (
+        candidates.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_portable(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64 SimHash sign bits per document from the portable family.
+
+    Bit j is the sign of ``Σ_shingles (2·bit_j(h) − 1)`` where bits
+    0–31 come from the md5-hex ``h1`` stream and 32–63 from ``h2`` —
+    pure integer shifts and sums, identical in DuckDB. Returns the
+    bits as 64 columns ``b0…b63`` (kept unpacked so the SQL twin needs
+    no 64-bit packing, which would overflow a signed BIGINT)."""
+    shingled = _with_shingles(df, n, text_col, id_col, distinct=True)
+    exploded = shingled.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    h1, h2 = _portable_h1_h2(F.col("shingle"))
+    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (
+                    F.shiftright(F.col("h1" if j < 32 else "h2"), j % 32)
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias(f"__s{j}")
+            for j in range(64)
+        ]
+    )
+    return bit_sums.select(
+        "doc_id",
+        *[
+            (F.col(f"__s{j}") >= 0).cast("int").alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    max_hamming: int = 7,
+    n: int = 3,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """``simhash_pairs`` over the portable sketch: banded Hamming
+    search (``bands`` > ``max_hamming`` keeps the pigeonhole recall
+    guarantee) whose band keys are bit-string concatenations — the
+    whole pipeline, sketch included, reproduces in DuckDB."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {bands} bands "
+            "for guaranteed recall (pigeonhole: a qualifying pair must "
+            "share at least one unchanged band)."
+        )
+    sk = simhash_portable(df, n, text_col, id_col).localCheckpoint(eager=False)
+    bits_per_band = 64 // bands
+    band_cols = [
+        F.concat_ws(
+            "",
+            *[
+                F.col(f"b{b * bits_per_band + k}")
+                for k in range(bits_per_band)
+            ],
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    banded = sk.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"__band{b}") for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    if max_band_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(ok, ["band_idx", "band_key"], "left_semi")
+    candidates = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sk.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(64)],
+    )
+    b = sk.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(64)],
+    )
+    hamming = sum(
+        F.abs(F.col(f"a{j}") - F.col(f"c{j}")) for j in range(64)
+    ).cast("bigint")
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

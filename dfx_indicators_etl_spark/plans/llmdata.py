@@ -3,10 +3,13 @@ analysis, similarity search, multimodal plumbing — over the
 ``documents`` and ``embeddings`` tables.
 
 Oracle notes: token/shingle semantics are defined identically in both
-engines (split on single space, drop empties); hashes (xxhash64) are
-engine-specific, so MinHash/SimHash/LSH register rows-only while their
-exact counterparts (sha2 exact dedup, n-gram Jaccard) carry full
-oracles.
+engines (split on single space, drop empties). MinHash and SimHash run
+on the engine-portable md5 double-hash family (operators/dedup.py
+``*_portable``) so they carry FULL value oracles next to the exact
+counterparts (sha2 exact dedup, n-gram Jaccard); only the
+embedding-space ANN approximations and the rolling-hash fingerprint
+remain rows-only (xxhash64 stays in the streaming dedup path, where
+speed matters and a batch-equivalence pytest covers it).
 """
 
 from __future__ import annotations
@@ -75,13 +78,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # rows-only: xxhash64 is engine-specific
+# Engine-portable hash streams (operators/dedup.py _portable_h1_h2):
+# md5 hex slices cast through 0x-prefixed BIGINTs — bit-identical to
+# Spark's conv(substring(md5(s), …), 16, 10).
+_PORTABLE_HASHES_SQL = f"""
+    toks AS ({TOKS_SQL}),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+        FROM doc_shingles
+    )
+"""
+
+_MH_MINS = ", ".join(
+    f"MIN((h1 + {p} * h2) % 2147483647) AS m{p}" for p in range(64)
+)
+_MH_BANDS = "\n    UNION ALL\n    ".join(
+    "SELECT doc_id, {b} AS band_idx, concat({key}) AS band_key FROM sigs".format(
+        b=b,
+        key=", ',', ".join(f"m{4 * b + k}" for k in range(4)),
+    )
+    for b in range(16)
+)
+_MH_MATCHES = " + ".join(f"CAST(sa.m{p} = sb.m{p} AS INT)" for p in range(64))
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_PORTABLE_HASHES_SQL},
+    sigs AS (
+        SELECT doc_id, {_MH_MINS}
+        FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM (
+        SELECT doc_a, doc_b, ({_MH_MATCHES}) / 64.0 AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON doc_a = sa.doc_id
+        JOIN sigs sb ON doc_b = sb.doc_id
+    ) WHERE est_jaccard >= 0.4
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (banded bucket join).
 
-    ``max_band_bucket=None``: exhaustive candidates so the rows-only
-    check is deterministic; the library default caps hot buckets."""
-    return dedup.minhash_lsh_pairs(
+    Value-oracled (VERDICT r5 stretch): the signature family is the
+    engine-portable md5 double hash, so DuckDB reproduces signatures,
+    band buckets, candidate set, and estimated Jaccard exactly.
+    ``max_band_bucket=None``: exhaustive candidates match the
+    uncapped oracle; the library default caps hot buckets."""
+    return dedup.minhash_lsh_pairs_portable(
         read_table(spark, sf_dir, "documents"), threshold=0.4, max_band_bucket=None
     )
 
@@ -287,13 +352,58 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 is engine-specific
+_SH_SUMS = ", ".join(
+    f"SUM((({'h1' if j < 32 else 'h2'} >> {j % 32}) % 2) * 2 - 1) AS s{j}"
+    for j in range(64)
+)
+_SH_BITS = ", ".join(f"CAST(s{j} >= 0 AS INT) AS b{j}" for j in range(64))
+_SH_BANDS = "\n    UNION ALL\n    ".join(
+    "SELECT doc_id, {b} AS band_idx, concat({key}) AS band_key FROM bits".format(
+        b=b,
+        key=", ".join(f"b{8 * b + k}" for k in range(8)),
+    )
+    for b in range(8)
+)
+_SH_HAMMING = " + ".join(f"ABS(sa.b{j} - sb.b{j})" for j in range(64))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_PORTABLE_HASHES_SQL},
+    bitsums AS (
+        SELECT doc_id, {_SH_SUMS}
+        FROM hashes GROUP BY doc_id
+    ),
+    bits AS (SELECT doc_id, {_SH_BITS} FROM bitsums),
+    bands AS (
+    {_SH_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, CAST({_SH_HAMMING} AS BIGINT) AS hamming
+        FROM cand
+        JOIN bits sa ON doc_a = sa.doc_id
+        JOIN bits sb ON doc_b = sb.doc_id
+    ) WHERE hamming <= 7
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded Hamming ≤ 7, guaranteed recall:
-    8 bands > max_hamming, so every qualifying pair shares a band;
-    ``max_band_bucket=None`` keeps the guarantee unconditional for the
-    deterministic rows-only check — the library default caps buckets)."""
-    return dedup.simhash_pairs(
+    8 bands > max_hamming, so every qualifying pair shares a band).
+
+    Value-oracled (VERDICT r5 stretch): the sketch derives from the
+    portable md5 bit streams, so DuckDB reproduces the sign bits, band
+    buckets, and Hamming distances exactly. ``max_band_bucket=None``
+    keeps the recall guarantee unconditional to match the uncapped
+    oracle; the library default caps buckets."""
+    return dedup.simhash_pairs_portable(
         read_table(spark, sf_dir, "documents"), max_hamming=7, max_band_bucket=None
     )
 

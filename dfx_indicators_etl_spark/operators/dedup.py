@@ -25,6 +25,7 @@ __all__ = [
     "token_hashes",
     "hashed_gram_ids",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_signatures_portable",
@@ -221,6 +222,76 @@ def ngram_jaccard_pairs(
         .join(size_b, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Asymmetric near-containment pairs by n-gram containment.
+
+    Containment ``C(A|B) = |A∩B| / |A|`` catches the duplication mode
+    symmetric Jaccard structurally misses: a document embedded inside
+    a much larger one (quote farms, concatenated dumps, boilerplate
+    wrappers) has high containment but arbitrarily low Jaccard because
+    the union is dominated by the big doc. Training-data pipelines
+    dedup on BOTH (Lee et al.-style near-dedup uses Jaccard; corpus
+    hygiene uses containment to strip subsumed fragments).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` — distinct
+    (doc, shingle) → shingle self-join → per-pair intersection counts
+    joined back to sizes — so cost tracks shared-shingle density, not
+    n². Emits one row per (doc_a < doc_b) pair with containment in
+    both directions where the larger direction clears ``threshold``.
+    """
+    doc_shingles = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th"))
+        .select("doc_id", F.explode(hashed_gram_ids(F.col("__th"), n)).alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            doc_shingles.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        doc_shingles = doc_shingles.join(freq_ok, "shingle", "left_semi")
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = doc_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    right = doc_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            # raw double division — bit-identical on any IEEE engine,
+            # so the oracle compares exactly without rounding
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
     )
 
 

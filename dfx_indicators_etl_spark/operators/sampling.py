@@ -22,12 +22,52 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "hash_split"]
+__all__ = ["stratified_sample", "hash_split", "hash_uniform", "weighted_sample"]
 
 
 def _hash_order(key_col: str) -> F.Column:
     """Engine-portable pseudo-random ordering: md5 of the stringified key."""
     return F.md5(F.col(key_col).cast("string"))
+
+
+def hash_uniform(key_col: str, salt: str = "") -> F.Column:
+    """Deterministic uniform in [0, 1) from a row key.
+
+    First 8 md5 hex chars of ``salt || key`` as a 32-bit integer over
+    2³² — the same ``conv(substr(md5(…)))`` stream DuckDB reproduces
+    with ``CAST(concat('0x', substr(md5(…), 1, 8)) AS BIGINT)``, so
+    any acceptance rule built on it is value-oracle-able. Change
+    ``salt`` to draw an independent uniform from the same key.
+    """
+    digest = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / float(
+        2**32
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    rate_col: str,
+    key_col: str,
+    default_rate: float = 1.0,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its uniform
+    draw falls under its group's acceptance rate.
+
+    The data-mixing step of a training pipeline (down-sample
+    over-represented languages/sources to a target distribution),
+    expressed so the survivor set is a pure function of row keys: keep
+    iff ``hash_uniform(key) < rates[group]``. Pure narrow map — no
+    shuffle, no RNG state, identical on any engine with md5 (the
+    per-group expected rate is exact in distribution and the actual
+    survivor set is exactly reproducible).
+    """
+    rate = F.lit(float(default_rate))
+    for group, r in sorted(rates.items()):
+        rate = F.when(F.col(rate_col) == group, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_uniform(key_col, salt) < rate)
 
 
 def stratified_sample(

@@ -20,6 +20,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "word_vocab",
+    "doc_frequency_hitters",
     "scrub_pii",
     "repetition_stats",
     "contamination_flags",
@@ -165,6 +166,57 @@ def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataF
         "word",
         F.col("n").cast("bigint").alias("n"),
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def doc_frequency_hitters(
+    df: DataFrame,
+    min_doc_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide document-frequency heavy hitters: tokens present in
+    at least ``min_doc_frac`` of all documents.
+
+    The boilerplate/stopword sweep of a corpus audit — ``word_vocab``
+    ranks raw occurrence counts, but boilerplate detection needs DOC
+    frequency (a token repeated 1000× in one doc is content; a token
+    in 90% of docs is template). Plan: per-doc distinct tokens
+    (explode of ``array_distinct``, so the exchange carries one row
+    per (doc, distinct token)), combinable count per token, and the
+    corpus size as an in-plan 1-row broadcast scalar — no collect, one
+    shuffle on the token. Emits ``(word, doc_freq, doc_frac, idf)``
+    with smoothed idf ``ln((1+N)/(1+df))``.
+    """
+    toks = tokens(text_col)
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(toks)).alias("word"),
+    )
+    dfreq = per_doc.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    # raw double division (bit-identical across engines); only the log
+    # is rounded — transcendental libm results can differ in the last
+    # ULP between engines.
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "doc_frac",
+            F.col("doc_freq").cast("double") / F.col("__n").cast("double"),
+        )
+        .filter(F.col("doc_frac") >= min_doc_frac)
+        .select(
+            "word",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            "doc_frac",
+            F.round(
+                F.log(
+                    (1 + F.col("__n")).cast("double")
+                    / (1 + F.col("doc_freq")).cast("double")
+                ),
+                6,
+            ).alias("idf"),
+        )
     )
 
 

@@ -65,14 +65,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "sim_lsh_ann",
     "q2_min_cost_supplier",
     "ind_upsert",
-    # (c) oldest r4 evidence — 7 keys fill the window
+    # (c) NEW surface added in round 6 (no driver row exists yet) — 4
+    "dedup_containment",
+    "sample_weighted",
+    "text_heavy_hitters",
+    "stream_topk",
+    # (d) oldest r4 evidence — 3 keys fill the window
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q10_returned_item",
-    "q_top_suppliers",
-    "q_window_topk",
-    "q_rollup",
     # --- window boundary: exactly 50 keys above this line ---
     # r4/r5-green keys follow in registration order (fresh evidence)
 ]

@@ -607,6 +607,105 @@ def sample_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 1.0, "zh": 0.35, "de": 0.6, "fr": 0.8, "es": 0.5}
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('ws', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0
+          < CASE lang
+              {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items()))}
+              ELSE 0.9 END
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mix importance sampling: keep a doc iff
+    its portable md5 uniform falls under its language's acceptance
+    rate — the data-mixing step of a training pipeline, as a pure
+    narrow map whose survivor set is a function of doc ids only."""
+    kept = sampling.weighted_sample(
+        read_table(spark, sf_dir, "documents"),
+        rates=_MIX_RATES,
+        rate_col="lang",
+        key_col="doc_id",
+        default_rate=0.9,
+    )
+    return kept.select("doc_id", "lang")
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_filter(string_split(text, ' '), x -> x <> ''))) AS word
+        FROM documents
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM per_doc GROUP BY word),
+    corpus AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT word,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(doc_freq AS DOUBLE) / CAST(n AS DOUBLE) AS doc_frac,
+           round(ln(CAST(1 + n AS DOUBLE) / CAST(1 + doc_freq AS DOUBLE)), 6)
+               AS idf
+    FROM dfreq, corpus
+    WHERE CAST(doc_freq AS DOUBLE) / CAST(n AS DOUBLE) >= 0.5
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency heavy hitters (boilerplate/stopword sweep):
+    tokens present in ≥ 50% of documents, with doc frequency and
+    smoothed idf. Distinct-per-doc explode + combinable count + in-plan
+    1-row corpus scalar — one shuffle, no collect."""
+    return text.doc_frequency_hitters(
+        read_table(spark, sf_dir, "documents"), min_doc_frac=0.5
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM doc_shingles a
+        JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY 1)
+    SELECT doc_a, doc_b, containment_a, containment_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / sa.n_sh AS containment_a,
+               CAST(n_common AS DOUBLE) / sb.n_sh AS containment_b
+        FROM co
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE greatest(containment_a, containment_b) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (doc-inside-doc detection —
+    the duplication mode symmetric Jaccard misses). Same inverted-index
+    plan as the Jaccard pairs; ``max_shingle_freq=None`` for the exact
+    oracle-checked mode."""
+    return dedup.containment_pairs(
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        max_shingle_freq=None,
+    )
+
+
 @query(
     "text_word_vocab",
     oracle="""

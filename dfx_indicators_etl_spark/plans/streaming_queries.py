@@ -45,6 +45,51 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rank FROM (
+        SELECT window_start, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INTEGER) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-items: top-3 event types per tumbling hour.
+
+    The windowed count is the streaming stateful operator (same
+    watermarked aggregate as stream_events_windowed); the rank is a
+    per-window window function over the DRAINED result — ranking
+    happens on the complete-mode output because a global rank isn't
+    incrementally maintainable, and at scale it runs on the aggregate
+    (windows × types), never the raw stream.
+    """
+    from pyspark.sql import Window
+
+    stream = streaming.read_events_stream(spark, sf_dir)
+    windowed = streaming.windowed_event_counts(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    drained = streaming.run_available_now(windowed, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        drained.select("window_start", "event_type", "n_events")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
     "stream_sessionize",
     # The emitted-session set is fully expressible in batch SQL: a
     # session emits iff it closed by the GAP rule (a later event from

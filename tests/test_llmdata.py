@@ -600,3 +600,72 @@ def test_pca_partials_rowcount_independent_of_partitions(spark, sf_dir):
             emb.repartition(parts), "embedding"
         ).count()
         assert n == d * d + d + 1
+
+
+def test_containment_detects_subsumed_doc(spark):
+    """A doc fully embedded in a larger one has containment 1.0 even
+    though Jaccard is low — the asymmetric mode containment exists
+    for."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup.containment_pairs(
+            docs, threshold=0.8, max_shingle_freq=None
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    ca, cb = rows[(1, 2)]
+    assert ca == 1.0  # every shingle of the small doc is in the big one
+    assert cb < 0.2  # while Jaccard-style symmetry would miss the pair
+    # symmetric Jaccard on the same corpus indeed misses it
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=None)
+    assert (1, 2) not in {(r["doc_a"], r["doc_b"]) for r in jac.collect()}
+
+
+def test_weighted_sample_deterministic_and_rate_shaped(spark):
+    from dfx_indicators_etl_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 1.0, "zh": 0.25}
+    kept = sampling.weighted_sample(docs, rates, "lang", "doc_id")
+    again = sampling.weighted_sample(docs, rates, "lang", "doc_id")
+    a = {(r["doc_id"]) for r in kept.collect()}
+    b = {(r["doc_id"]) for r in again.collect()}
+    assert a == b  # pure function of ids
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_lang["en"] == 1000  # rate 1.0 keeps everything
+    assert 150 <= per_lang["zh"] <= 350  # ~25% of 1000
+    # independent draws under a different salt
+    resalted = sampling.weighted_sample(
+        docs, rates, "lang", "doc_id", salt="other"
+    )
+    assert {(r["doc_id"]) for r in resalted.collect()} != a
+
+
+def test_doc_frequency_hitters_finds_boilerplate(spark):
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} common filler") for i in range(10)]
+        + [(10, "common alone")],
+        "doc_id long, text string",
+    )
+    rows = {r["word"]: r for r in text_ops.doc_frequency_hitters(
+        docs, min_doc_frac=0.5
+    ).collect()}
+    assert set(rows) == {"common", "filler"}
+    assert rows["common"]["doc_freq"] == 11 and rows["common"]["doc_frac"] == 1.0
+    assert rows["filler"]["doc_freq"] == 10
+    # repeated-within-one-doc tokens do NOT inflate doc frequency
+    assert "unique0" not in rows

@@ -66,6 +66,14 @@ class Retriever(BaseRetriever):
             out = out.unionByName(df, allowMissingColumns=True)
         return out
 
+    def get_metadata(self, spark: SparkSession) -> DataFrame:
+        """Indicator catalogue from the CL_INDICATOR codelist
+        (reference ilo_sdmx_api.py:92-103) as a (code, name) frame."""
+        mapping = self._get_codelist_mapping("INDICATOR")
+        return spark.createDataFrame(
+            list(mapping.items()), "code string, name string"
+        )
+
     @staticmethod
     def _supported_disaggregation(code: str) -> bool:
         """ilo_sdmx_api.py:76-83: the middle ``_``-separated segments

@@ -441,3 +441,9 @@ def test_imf_live_one_indicator(spark):
 def test_energydata_live_workbook(spark):
     raw = energydata_info.Retriever()(spark)
     assert raw.count() > 0
+
+
+def test_ilo_metadata_frame(spark, monkeypatch):
+    r = _ilo_retriever(monkeypatch, [])
+    meta = {x["code"]: x["name"] for x in r.get_metadata(spark).collect()}
+    assert meta == ILO_CODELISTS["INDICATOR"]

@@ -51,6 +51,7 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash",
     "dedup_containment",
+    "dedup_simhash",
     "sample_weighted",
     "text_heavy_hitters",
     "stream_topk",

@@ -759,6 +759,64 @@ def random_projection(
     )
 
 
+def projection_sign(i: int, j: int) -> float:
+    """Deterministic Rademacher entry for the portable JL matrix.
+
+    Formula-derived (no RNG state): odd-constant mix of the (row, col)
+    index, sign by the low decimal range of the product — the same
+    arithmetic evaluates as a plain integer expression in ANSI SQL, so
+    any engine can rebuild the matrix bit-for-bit. Values are < 2⁶⁰,
+    no wraparound anywhere.
+    """
+    h = (i * 1_000_003 + j * 10_007) * 2_654_435_761
+    return 1.0 if h % 10_000 < 5_000 else -1.0
+
+
+def sign_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Achlioptas-style Rademacher JL projection — the engine-portable,
+    all-JVM twin of ``random_projection``.
+
+    Each output component is ``(Σᵢ xᵢ·s(i,j)) / √out_dim`` with ±1
+    signs from ``projection_sign``: a ``zip_with`` product and an
+    in-order ``aggregate`` fold per component — whole-stage codegen, no
+    Python, no shuffle, and (because both the signs and the fold ORDER
+    are deterministic) bit-identical to a SQL engine folding the same
+    list left-to-right, which is what upgrades the registered query to
+    a full value oracle. Achlioptas (2001) shows ±1 entries give the
+    same JL distortion bounds as Gaussians — this is also the
+    multiply-free matrix a production pipeline prefers.
+
+    Returns ``(id_col, projected array<double>)``; doubles (not
+    float32) so the oracle compares exact bits.
+
+    Higher-order lambdas are interpreted row-at-a-time, so the
+    per-row cost (out_dim × in_dim lambda evaluations) is real CPU —
+    the input is spread across cores first (no-op on an input that
+    already has ≥cores partitions).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    vec = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / float(np.sqrt(out_dim))
+    comps = []
+    for j in range(out_dim):
+        w = F.array(*[F.lit(projection_sign(i, j)) for i in range(in_dim)])
+        prod = F.zip_with(vec, w, lambda x, s: x * s)
+        comps.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x) * scale
+        )
+    return df.select(
+        F.col(id_col), F.array(*comps).alias("projected")
+    )
+
+
 def int8_quantize_stats(
     df: DataFrame,
     vec_col: str = "embedding",

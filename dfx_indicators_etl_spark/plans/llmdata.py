@@ -818,26 +818,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_random_projection")  # rows-only: seeded-RNG matrix is engine-specific
-def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson–Lindenstrauss projection 64→16 dims (pre-ANN compression;
-    distance-preservation asserted in tests).
+def _jl_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """DuckDB twin of ``similarity.sign_projection``: same formula
+    matrix, same left-to-right list fold (``list_sum`` over an
+    index-comprehension list), same scale literal — bit-identical
+    doubles."""
+    from ..operators.similarity import projection_sign
 
-    Flattened to one ``(vec_id, dim, value)`` row per output dimension
-    (mirroring ``emb_label_centroids``): array columns are hostile to
-    result canonicalizers (unhashable in pandas sorts), and the
-    exploded shape makes the rows-only row count meaningful
-    (n_vectors × out_dim)."""
-    projected = similarity.random_projection(
+    scale = repr(1.0 / float(__import__("numpy").sqrt(out_dim)))
+    selects = []
+    for j in range(out_dim):
+        signs = "[" + ",".join(
+            str(projection_sign(i, j)) for i in range(in_dim)
+        ) + "]"
+        selects.append(
+            f"SELECT vec_id, {j} AS dim, "
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * ({signs})[i] "
+            f"FOR i IN range(1, {in_dim + 1})]) * {scale} AS value "
+            "FROM embeddings"
+        )
+    return "\n    UNION ALL\n    ".join(selects)
+
+
+@query("emb_random_projection", oracle=_jl_oracle_sql())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64→16 dims (pre-ANN
+    compression; distance-preservation asserted in tests).
+
+    Value-oracled (round-6 upgrade): the Achlioptas ±1 matrix is
+    formula-derived and the per-component fold runs in index order in
+    BOTH engines, so projected values are bit-identical doubles — no
+    rounding needed. Flattened to one ``(vec_id, dim, value)`` row per
+    output dimension (mirroring ``emb_label_centroids``)."""
+    projected = similarity.sign_projection(
         read_table(spark, sf_dir, "embeddings"), out_dim=16
     )
     return projected.select(
         "vec_id",
         F.posexplode("projected").alias("dim", "value"),
-    ).select(
-        "vec_id",
-        "dim",
-        F.round(F.col("value").cast("double"), 6).alias("value"),
     )
 
 

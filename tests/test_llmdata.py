@@ -669,3 +669,33 @@ def test_doc_frequency_hitters_finds_boilerplate(spark):
     assert rows["filler"]["doc_freq"] == 10
     # repeated-within-one-doc tokens do NOT inflate doc frequency
     assert "unique0" not in rows
+
+
+def test_sign_projection_preserves_geometry_and_matches_formula(spark, sf_dir):
+    """The portable Rademacher projection keeps the JL distortion
+    bounds of the Gaussian variant and reproduces the formula matrix
+    exactly (numpy reference)."""
+    import numpy as np
+
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter("vec_id < 60")
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    proj = {
+        r["vec_id"]: np.array(r["projected"], dtype=float)
+        for r in similarity.sign_projection(emb, out_dim=16).collect()
+    }
+    assert set(proj) == set(orig)
+    mat = np.array(
+        [[similarity.projection_sign(i, j) for j in range(16)] for i in range(64)]
+    )
+    for vid in list(orig)[:10]:
+        ref = (orig[vid] @ mat) / np.sqrt(16)
+        assert np.allclose(proj[vid], ref, rtol=1e-9)
+    ids = sorted(orig)
+    rel_err = [
+        abs(np.linalg.norm(proj[i]) - np.linalg.norm(orig[i]))
+        / max(np.linalg.norm(orig[i]), 1e-9)
+        for i in ids
+    ]
+    assert np.median(rel_err) < 0.35

@@ -70,10 +70,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_weighted",
     "text_heavy_hitters",
     "stream_topk",
-    # (d) oldest r4 evidence — 3 keys fill the window
+    # (c2) re-implemented in round 6 (sign-projection oracle) — 1
+    "emb_random_projection",
+    # (d) oldest r4 evidence — 2 keys fill the window
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier",
     # --- window boundary: exactly 50 keys above this line ---
     # r4/r5-green keys follow in registration order (fresh evidence)
 ]

@@ -52,18 +52,16 @@ PROBES = {
     "emb_kmeans": ("embeddings",),
 }
 
-# per-table key columns to offset per replica
+# per-table key columns to offset per replica — join keys offset
+# CONSISTENTLY on both sides (custkey in customer and orders) so the
+# upscaled relation is a true K× instance, not a fan-out
 OFFSET_KEYS = {
     "lineitem": ("l_orderkey",),
-    "orders": ("o_orderkey",),
-    "customer": (),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "events": ("event_id",),
-    "region": (),
-    "nation": (),
-    "supplier": (),
-    "part": (),
 }
 
 OFFSET = 1_000_000_000  # far above any sf0.1 key

@@ -282,3 +282,76 @@ def test_pack_spans_matches_sequential_model(spark, token_counts, capacity):
         cum += n
         spanned = 0 if n == 0 else (cum - 1) // capacity - start + 1
         assert got[i] == (n, start, spanned), (i, n, capacity)
+
+
+# --- round-6 operator invariants ----------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=5,
+        max_size=40,
+        unique=True,
+    ),
+    st.floats(min_value=0.1, max_value=0.9),
+)
+def test_weighted_sample_monotone_in_rate(spark, ids, rate):
+    """Survivor sets are NESTED in the acceptance rate: raising a
+    group's rate only ever adds rows (the uniform per id is fixed), so
+    a pipeline can tighten/loosen its mix without reshuffling history."""
+    from dfx_indicators_etl_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, "g") for i in ids], "doc_id long, lang string")
+    lo = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, {"g": rate}, "lang", "doc_id").collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            df, {"g": min(rate + 0.3, 1.0)}, "lang", "doc_id"
+        ).collect()
+    }
+    assert lo <= hi
+    full = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, {"g": 1.0}, "lang", "doc_id").collect()
+    }
+    assert full == set(ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_containment_bounds_and_dominates_jaccard(spark, data):
+    """0 < containment ≤ 1, and max-containment ≥ Jaccard on every
+    emitted pair (containment divides by one set, Jaccard by the
+    union)."""
+    from dfx_indicators_etl_spark.operators import dedup
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for doc_id in range(4):
+        n = data.draw(st.integers(min_value=3, max_value=8))
+        toks = data.draw(
+            st.lists(st.sampled_from(words), min_size=n, max_size=n)
+        )
+        docs.append((doc_id, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup.containment_pairs(
+            df, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    assert set(cont) == set(jac)
+    for pair, (ca, cb) in cont.items():
+        assert 0 < ca <= 1 and 0 < cb <= 1
+        assert max(ca, cb) >= jac[pair] - 1e-12

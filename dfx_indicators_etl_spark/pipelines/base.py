@@ -140,8 +140,16 @@ class BaseRetriever(ABC):
         The staging file must outlive the returned (lazy) DataFrame, so
         it is written to a per-retriever staging directory that is kept
         for the session rather than unlinked eagerly.
+
+        **Cluster note**: executors must be able to READ the staging
+        path. The default (a driver-local temp dir) is correct for
+        local mode and shared-filesystem drivers; on a real cluster set
+        ``SPARK_GRAFT_STAGING_DIR`` to a cluster-visible URI (hdfs://,
+        abfss://, s3a://…) — the bytes are written through the Hadoop
+        FileSystem API, so any configured scheme works unchanged.
         """
         import tempfile
+        import uuid as _uuid
 
         try:
             data = self.fetch_bytes(url, params)
@@ -150,13 +158,23 @@ class BaseRetriever(ABC):
         except Exception as error:  # httpx timeout / status → skip series
             print(error)
             return None
-        if not hasattr(self, "_staging_dir"):
-            self._staging_dir = tempfile.mkdtemp(prefix="dfx_fetch_")
-        fd, path = tempfile.mkstemp(suffix=".csv", dir=self._staging_dir)
         import os
 
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
+        if not hasattr(self, "_staging_dir"):
+            root = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+            if root:
+                self._staging_dir = f"{root.rstrip('/')}/dfx_fetch_{_uuid.uuid4().hex[:8]}"
+            else:
+                self._staging_dir = tempfile.mkdtemp(prefix="dfx_fetch_")
+        path = f"{self._staging_dir}/{_uuid.uuid4().hex}.csv"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
         opts = {"header": "true", "multiLine": "true", "escape": '"'}
         opts.update({k: str(v) for k, v in options.items()})
         return spark.read.options(**opts).csv(path)

@@ -447,3 +447,15 @@ def test_ilo_metadata_frame(spark, monkeypatch):
     r = _ilo_retriever(monkeypatch, [])
     meta = {x["code"]: x["name"] for x in r.get_metadata(spark).collect()}
     assert meta == ILO_CODELISTS["INDICATOR"]
+
+
+def test_fetch_csv_honors_staging_dir_env(spark, tmp_path, monkeypatch):
+    """On a cluster the staging root must be an executor-visible URI;
+    SPARK_GRAFT_STAGING_DIR routes the Hadoop-FS staging write there."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    r = unicef_sdmx_api.Retriever()
+    monkeypatch.setattr(r, "fetch_bytes", lambda url, params=None: b"a,b\n1,x\n")
+    df = r.fetch_csv(spark, "https://example/data.csv")
+    assert [(x["a"], x["b"]) for x in df.collect()] == [("1", "x")]
+    staged = list(tmp_path.glob("dfx_fetch_*/*.csv"))
+    assert len(staged) == 1

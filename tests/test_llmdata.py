@@ -699,3 +699,27 @@ def test_sign_projection_preserves_geometry_and_matches_formula(spark, sf_dir):
         for i in ids
     ]
     assert np.median(rel_err) < 0.35
+
+
+def test_round6_ops_handle_degenerate_inputs(spark):
+    """Empty corpora and sub-shingle docs must yield empty results, not
+    errors — the guard rails a long-running pipeline relies on."""
+    from dfx_indicators_etl_spark.operators import sampling
+    from dfx_indicators_etl_spark.operators import text as text_ops
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.containment_pairs(empty, max_shingle_freq=None).count() == 0
+    assert text_ops.doc_frequency_hitters(empty).count() == 0
+    short = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert dedup.containment_pairs(short, max_shingle_freq=None).count() == 0
+    assert (
+        dedup.minhash_lsh_pairs_portable(short, max_band_bucket=None).count()
+        == 0
+    )
+    assert (
+        dedup.simhash_pairs_portable(short, max_band_bucket=None).count() == 0
+    )
+    empty_langs = spark.createDataFrame([], "doc_id long, lang string")
+    assert sampling.weighted_sample(
+        empty_langs, {"en": 0.5}, "lang", "doc_id"
+    ).count() == 0

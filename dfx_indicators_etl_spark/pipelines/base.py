@@ -33,7 +33,37 @@ try:  # no HTTP client / network in the verification harness
 except ImportError:  # pragma: no cover
     httpx = None
 
-__all__ = ["PipelineSettings", "BaseRetriever", "BaseTransformer", "Pipeline"]
+__all__ = [
+    "PipelineSettings",
+    "BaseRetriever",
+    "BaseTransformer",
+    "Pipeline",
+    "union_all",
+]
+
+
+def union_all(frames: list[DataFrame]) -> DataFrame:
+    """Union many frames as a BALANCED tree (allowMissingColumns).
+
+    A left-deep ``unionByName`` chain over N per-indicator frames
+    builds an N-deep logical plan — at the reference's real indicator
+    counts (hundreds to thousands of series) analysis/optimization
+    time grows superlinearly and can overflow the analyzer stack. The
+    balanced reduction keeps plan depth at ⌈log₂N⌉ with identical
+    semantics.
+    """
+    if not frames:
+        raise ValueError("union_all: no frames")
+    layer = list(frames)
+    while len(layer) > 1:
+        nxt = [
+            layer[i].unionByName(layer[i + 1], allowMissingColumns=True)
+            if i + 1 < len(layer)
+            else layer[i]
+            for i in range(0, len(layer), 2)
+        ]
+        layer = nxt
+    return layer[0]
 
 
 @dataclass(frozen=True)

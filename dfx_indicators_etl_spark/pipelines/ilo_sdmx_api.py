@@ -15,7 +15,7 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import BaseRetriever, BaseTransformer
+from .base import BaseRetriever, BaseTransformer, union_all
 
 __all__ = ["Retriever", "Transformer", "DIMENSIONS"]
 
@@ -61,10 +61,7 @@ class Retriever(BaseRetriever):
             )
         if not frames:
             raise ValueError("No ILO SDMX series could be retrieved.")
-        out = frames[0]
-        for df in frames[1:]:
-            out = out.unionByName(df, allowMissingColumns=True)
-        return out
+        return union_all(frames)
 
     def get_metadata(self, spark: SparkSession) -> DataFrame:
         """Indicator catalogue from the CL_INDICATOR codelist

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .base import BaseRetriever, BaseTransformer
+from .base import BaseRetriever, BaseTransformer, union_all
 
 __all__ = ["Retriever", "Transformer"]
 
@@ -52,10 +52,7 @@ class Retriever(BaseRetriever):
             frames.append(df)
         if not frames:
             raise ValueError("No UNICEF SDMX series could be retrieved.")
-        out = frames[0]
-        for df in frames[1:]:
-            out = out.unionByName(df, allowMissingColumns=True)
-        return out
+        return union_all(frames)
 
     def _get_dataflow(self) -> dict:
         """Structure-only dataflow description

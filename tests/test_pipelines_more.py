@@ -206,3 +206,30 @@ def test_pipeline_settings_from_env(monkeypatch):
     got = PipelineSettings.from_env()
     assert got.year_min == 1990 and got.year_max == 2030
     assert got.http_timeout == 5.5
+
+
+def test_union_all_balanced_tree(spark):
+    """union_all keeps plan depth logarithmic and fills missing columns
+    with nulls like the reference's pd.concat."""
+    from dfx_indicators_etl_spark.pipelines import union_all
+
+    frames = [
+        spark.createDataFrame([(i,)], "a int").withColumn(
+            "b" if i % 2 else "c", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(i)
+        )
+        for i in range(33)
+    ]
+    out = union_all(frames)
+    assert out.count() == 33
+    assert set(out.columns) == {"a", "b", "c"}
+    # depth ~ log2(33) unions, not 32: the plan string stays shallow
+    plan = out._jdf.queryExecution().logical().toString()
+    max_indent = max(
+        (len(l) - len(l.lstrip())) for l in plan.splitlines() if l.strip()
+    )
+    assert max_indent < 33  # a left-deep chain would indent ~32 levels
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no frames"):
+        union_all([])

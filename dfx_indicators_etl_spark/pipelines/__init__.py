@@ -21,7 +21,13 @@ from . import (
     world_bank_api,
     world_bank_wdi,
 )
-from .base import BaseRetriever, BaseTransformer, Pipeline, PipelineSettings
+from .base import (
+    BaseRetriever,
+    BaseTransformer,
+    Pipeline,
+    PipelineSettings,
+    union_all,
+)
 
 SOURCES = {
     "energydata_info": energydata_info,
@@ -47,6 +53,7 @@ __all__ = [
     "list_pipelines",
     "get_pipeline",
     "run_all",
+    "union_all",
 ]
 
 

@@ -211,11 +211,13 @@ def test_pipeline_settings_from_env(monkeypatch):
 def test_union_all_balanced_tree(spark):
     """union_all keeps plan depth logarithmic and fills missing columns
     with nulls like the reference's pd.concat."""
+    from pyspark.sql import functions as F
+
     from dfx_indicators_etl_spark.pipelines import union_all
 
     frames = [
         spark.createDataFrame([(i,)], "a int").withColumn(
-            "b" if i % 2 else "c", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(i)
+            "b" if i % 2 else "c", F.lit(i)
         )
         for i in range(33)
     ]

@@ -438,14 +438,20 @@ def minhash_lsh_pairs(
 PORTABLE_PRIME = 2_147_483_647  # 2³¹−1, the double-hash modulus
 
 
-def _portable_h1_h2(shingle: Column) -> tuple[Column, Column]:
-    """Two independent 32-bit hash streams from one md5 of the shingle
-    string — hex-sliced exactly as DuckDB's
+def _portable_words(shingle: Column, k: int = 2) -> list[Column]:
+    """``k`` independent 32-bit hash streams (k ≤ 4) from one md5 of
+    the shingle string — hex-sliced exactly as DuckDB's
     ``CAST(concat('0x', substr(md5(s), …)) AS BIGINT)`` computes them,
     so both engines derive bit-identical values."""
     digest = F.md5(shingle)
-    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    return [
+        F.conv(F.substring(digest, 8 * m + 1, 8), 16, 10).cast("long")
+        for m in range(k)
+    ]
+
+
+def _portable_h1_h2(shingle: Column) -> tuple[Column, Column]:
+    h1, h2 = _portable_words(shingle, 2)
     return h1, h2
 
 
@@ -568,41 +574,50 @@ def minhash_lsh_pairs_portable(
     )
 
 
+PORTABLE_SIMHASH_BITS = 128  # md5 yields exactly four 32-bit streams
+
+
 def simhash_portable(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64 SimHash sign bits per document from the portable family.
+    """128 SimHash sign bits per document from the portable family.
 
-    Bit j is the sign of ``Σ_shingles (2·bit_j(h) − 1)`` where bits
-    0–31 come from the md5-hex ``h1`` stream and 32–63 from ``h2`` —
-    pure integer shifts and sums, identical in DuckDB. Returns the
-    bits as 64 columns ``b0…b63`` (kept unpacked so the SQL twin needs
-    no 64-bit packing, which would overflow a signed BIGINT)."""
+    Bit j is the sign of ``Σ_shingles (2·bit_j(h) − 1)`` where the four
+    32-bit md5-hex streams supply bits [32m, 32m+32) — pure integer
+    shifts and sums, identical in DuckDB. 128 bits (vs the classic 64)
+    is the scale choice: banded Hamming-≤7 search needs ≥8 bands, and
+    8 bands over 64 bits leaves 8-bit keys — 256 buckets per band, so
+    candidates grow Θ(n²/256): measured 400k candidate pairs for 229
+    real near-dups at sf0.1. Over 128 bits the same 8 bands carry
+    16-bit keys (65 536 buckets) and random collisions drop 256-fold.
+
+    The bits PACK into four 32-bit words ``w0…w3`` (Σ bit·2ʲ — stays
+    positive in a signed 64-bit): band keys, candidate joins, and
+    Hamming all move four longs per doc, not 128 int columns.
+    """
     shingled = _with_shingles(df, n, text_col, id_col, distinct=True)
     exploded = shingled.filter(F.size("shingles") > 0).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    h1, h2 = _portable_h1_h2(F.col("shingle"))
-    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    words = _portable_words(F.col("shingle"), 4)
+    hashed = exploded.select(
+        "doc_id", *[w.alias(f"h{m}") for m, w in enumerate(words)]
+    )
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                (
-                    F.shiftright(F.col("h1" if j < 32 else "h2"), j % 32)
-                    % 2
-                )
-                * 2
-                - 1
+                (F.shiftright(F.col(f"h{j // 32}"), j % 32) % 2) * 2 - 1
             ).alias(f"__s{j}")
-            for j in range(64)
+            for j in range(PORTABLE_SIMHASH_BITS)
         ]
+    )
+    word = lambda lo: sum(  # noqa: E731 — Σ bit_j · 2^(j−lo), j ∈ [lo, lo+32)
+        (F.col(f"__s{lo + k}") >= 0).cast("long") * F.lit(1 << k)
+        for k in range(32)
     )
     return bit_sums.select(
         "doc_id",
-        *[
-            (F.col(f"__s{j}") >= 0).cast("int").alias(f"b{j}")
-            for j in range(64)
-        ],
+        *[word(32 * m).alias(f"w{m}") for m in range(PORTABLE_SIMHASH_BITS // 32)],
     )
 
 
@@ -625,22 +640,27 @@ def simhash_pairs_portable(
             "for guaranteed recall (pigeonhole: a qualifying pair must "
             "share at least one unchanged band)."
         )
+    if PORTABLE_SIMHASH_BITS % bands or 32 % (PORTABLE_SIMHASH_BITS // bands):
+        raise ValueError(
+            f"bands={bands} must divide {PORTABLE_SIMHASH_BITS} with a band "
+            "width dividing 32 (band slices may not straddle the "
+            "packed words)."
+        )
     sk = simhash_portable(df, n, text_col, id_col).localCheckpoint(eager=False)
-    bits_per_band = 64 // bands
-    band_cols = [
-        F.concat_ws(
-            "",
-            *[
-                F.col(f"b{b * bits_per_band + k}")
-                for k in range(bits_per_band)
-            ],
-        ).alias(f"__band{b}")
-        for b in range(bands)
-    ]
-    banded = sk.select("doc_id", *band_cols).select(
+    bits_per_band = PORTABLE_SIMHASH_BITS // bands
+    # band key = that band's bits_per_band-bit slice of the packed words
+    mask = (1 << bits_per_band) - 1
+
+    def band_key(b: int):
+        lo = b * bits_per_band
+        return F.shiftright(F.col(f"w{lo // 32}"), lo % 32).bitwiseAND(
+            F.lit(mask)
+        )
+
+    banded = sk.select(
         "doc_id",
         F.posexplode(
-            F.array(*[F.col(f"__band{b}") for b in range(bands)])
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band_idx", "band_key"),
     )
     if max_band_bucket is not None:
@@ -661,16 +681,18 @@ def simhash_pairs_portable(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    n_words = PORTABLE_SIMHASH_BITS // 32
     a = sk.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"b{j}").alias(f"a{j}") for j in range(64)],
+        *[F.col(f"w{m}").alias(f"a{m}") for m in range(n_words)],
     )
     b = sk.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"b{j}").alias(f"c{j}") for j in range(64)],
+        *[F.col(f"w{m}").alias(f"c{m}") for m in range(n_words)],
     )
     hamming = sum(
-        F.abs(F.col(f"a{j}") - F.col(f"c{j}")) for j in range(64)
+        F.bit_count(F.col(f"a{m}").bitwiseXOR(F.col(f"c{m}")))
+        for m in range(n_words)
     ).cast("bigint")
     return (
         candidates.join(a, "doc_a")

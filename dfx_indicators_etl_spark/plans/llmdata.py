@@ -352,30 +352,60 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
-_SH_SUMS = ", ".join(
-    f"SUM((({'h1' if j < 32 else 'h2'} >> {j % 32}) % 2) * 2 - 1) AS s{j}"
-    for j in range(64)
-)
-_SH_BITS = ", ".join(f"CAST(s{j} >= 0 AS INT) AS b{j}" for j in range(64))
-_SH_BANDS = "\n    UNION ALL\n    ".join(
-    "SELECT doc_id, {b} AS band_idx, concat({key}) AS band_key FROM bits".format(
-        b=b,
-        key=", ".join(f"b{8 * b + k}" for k in range(8)),
+# 128-bit simhash: four 32-bit md5 streams (operators/dedup.py
+# SIMHASH_BITS), 8 bands × 16-bit keys.
+_SH_HASHES_SQL = f"""
+    toks AS ({TOKS_SQL}),
+    doc_shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ),
+    hashes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(concat('0x', substr(md5(shingle), {8 * m + 1}, 8)) AS BIGINT) AS h{m}"
+                   for m in range(4)
+               )}
+        FROM doc_shingles
     )
+"""
+_SH_SUMS = ", ".join(
+    f"SUM(((h{j // 32} >> {j % 32}) % 2) * 2 - 1) AS s{j}"
+    for j in range(128)
+)
+_SH_WORDS = ", ".join(
+    " + ".join(
+        f"CAST(s{32 * m + k} >= 0 AS BIGINT) * {1 << k}" for k in range(32)
+    )
+    + f" AS w{m}"
+    for m in range(4)
+)
+_SH_BANDS = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"((w{(b * 16) // 32} >> {(b * 16) % 32}) & 65535) AS band_key "
+    "FROM words"
     for b in range(8)
 )
-_SH_HAMMING = " + ".join(f"ABS(sa.b{j} - sb.b{j})" for j in range(64))
+_SH_HAMMING = " + ".join(
+    f"bit_count(xor(sa.w{m}, sb.w{m}))" for m in range(4)
+)
 
 
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH {_PORTABLE_HASHES_SQL},
+    WITH {_SH_HASHES_SQL},
     bitsums AS (
         SELECT doc_id, {_SH_SUMS}
         FROM hashes GROUP BY doc_id
     ),
-    bits AS (SELECT doc_id, {_SH_BITS} FROM bitsums),
+    words AS (
+        SELECT doc_id, {_SH_WORDS} FROM bitsums
+    ),
     bands AS (
     {_SH_BANDS}
     ),
@@ -387,10 +417,11 @@ _SH_HAMMING = " + ".join(f"ABS(sa.b{j} - sb.b{j})" for j in range(64))
                     AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
-        SELECT doc_a, doc_b, CAST({_SH_HAMMING} AS BIGINT) AS hamming
+        SELECT doc_a, doc_b,
+               CAST({_SH_HAMMING} AS BIGINT) AS hamming
         FROM cand
-        JOIN bits sa ON doc_a = sa.doc_id
-        JOIN bits sb ON doc_b = sb.doc_id
+        JOIN words sa ON doc_a = sa.doc_id
+        JOIN words sb ON doc_b = sb.doc_id
     ) WHERE hamming <= 7
     """,
 )

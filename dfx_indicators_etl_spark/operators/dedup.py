@@ -1,12 +1,18 @@
 """Deduplication operators for training-data pipelines (SURVEY §2.C):
-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+exact, n-gram Jaccard, containment, MinHash+LSH, SimHash.
 
 Scale design: nothing here is O(n²) on documents. Exact dedup is a
 hash-groupBy; near-dup methods build an inverted index (shingle → doc
 or band-bucket → doc) and only join within index buckets, with an
 optional frequency cap to bound bucket fan-out on skewed corpora.
-Everything is built-in column expressions (xxhash64, higher-order
-array functions) — no Python in the hot path.
+Everything is built-in column expressions — no Python in the hot path.
+
+Two hash families coexist deliberately: the xxhash64 family (fastest;
+engine-specific, so its queries verify rows-only / by pytest
+equivalence) and the ``*_portable`` md5 family (~1.5× the wall time;
+every step reproduces bit-for-bit in ANSI SQL, so its queries carry
+full DuckDB value oracles). Streaming dedup uses xxhash64; the
+oracle-checked batch keys use portable.
 """
 
 from __future__ import annotations

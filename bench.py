@@ -121,6 +121,48 @@ HEADLINE = (
     "stream_anomaly",
     "emb_pq_codes",
     "sim_ivfpq_ann",
+    # round 6: complete batch coverage — every non-stream/sink key
+    "dedup_ngram_jaccard",
+    "text_scrub_pii",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "text_tokens",
+    "text_langid",
+    "text_fingerprint",
+    "text_word_vocab",
+    "text_quality_filter",
+    "sample_stratified",
+    "sample_train_test",
+    "emb_l2_norm",
+    "emb_label_centroids",
+    "emb_random_projection",
+    "mm_decode_stub",
+    "mm_resize_stub",
+    "mm_frame_sample",
+    "q_top_suppliers",
+    "q_rollup",
+    "q_cube",
+    "q_unpivot",
+    "q_semi_join",
+    "q_anti_join",
+    "q_approx_distinct",
+    "q_union_dedup",
+    "q_orders_enriched",
+    "q_correlated_scalar",
+    "q_events_daily",
+    "q_hll_sketch",
+    "q_skew_salted_agg",
+    "q_grouping_sets",
+    "q_window_frame",
+    "q_sql_interface",
+    "q_time_rollup",
+    "q_asof_nearest",
+    "q_approx_percentile",
+    "ind_combine_dimensions",
+    "ind_melt",
+    "ind_country_map",
+    "ind_metadata_dedup",
+    "ind_indicator_format",
 )
 
 

@@ -459,3 +459,31 @@ def test_fetch_csv_honors_staging_dir_env(spark, tmp_path, monkeypatch):
     assert [(x["a"], x["b"]) for x in df.collect()] == [("1", "x")]
     staged = list(tmp_path.glob("dfx_fetch_*/*.csv"))
     assert len(staged) == 1
+
+
+def test_retriever_metadata_conforms_to_metadata_schema(spark, monkeypatch):
+    """The reference validates every get_metadata through
+    MetadataSchema (@pa.check_output, _base.py:117-129); the Spark
+    twins must conform the same way: canonical (code, name, unit)
+    columns, stripped, unique."""
+    from dfx_indicators_etl_spark import validation
+
+    frames = []
+    r_unicef = _unicef_retriever(monkeypatch, [])
+    frames.append(r_unicef.get_metadata(spark))
+    r_ilo = _ilo_retriever(monkeypatch, [])
+    frames.append(r_ilo.get_metadata(spark))
+    r_sdg = unstats_sdg_api.Retriever()
+    monkeypatch.setattr(r_sdg, "fetch_json", _sdg_fetch(1, 1))
+    frames.append(r_sdg.get_metadata(spark))
+    r_imf = imf_datamapper_api.Retriever()
+    monkeypatch.setattr(r_imf, "fetch_json", _imf_fetch)
+    frames.append(r_imf.get_metadata(spark))
+
+    for raw in frames:
+        meta = validation.conform_metadata(raw)
+        assert meta.columns == [
+            f.name for f in validation.METADATA_SCHEMA.fields
+        ]
+        assert meta.count() > 0
+        assert meta.count() == meta.dropDuplicates(["code"]).count()

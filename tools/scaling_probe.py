@@ -38,7 +38,9 @@ from dfx_indicators_etl_spark.plans import QUERIES  # noqa: E402
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
 from dfx_indicators_etl_spark.sources import read_table  # noqa: E402
 
-BASE = "/root/testdata/sf0.1"
+import os
+
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
 
 # query → tables it reads (only these get upscaled copies)
 PROBES = {

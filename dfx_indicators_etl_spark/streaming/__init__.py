@@ -1,6 +1,7 @@
 """Structured Streaming operators (SURVEY §2.D)."""
 
 from .ops import (
+    incremental_minhash_dedup,
     read_documents_stream,
     read_events_stream,
     read_latest_wins,
@@ -17,6 +18,7 @@ from .ops import (
 __all__ = [
     "read_documents_stream",
     "read_events_stream",
+    "incremental_minhash_dedup",
     "read_latest_wins",
     "run_available_now",
     "stream_dedup_events",

@@ -282,6 +282,111 @@ def banded_minhash_rows(
     )
 
 
+def _claim_round(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    own: str,
+    n: int = 3,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One check-then-claim round against the persisted bucket-claims
+    table: band the batch, rank contenders by event time, exclude the
+    round's OWN partition from the pre-claimed read (retry safety —
+    ADVICE r4), flag dups, and atomically overwrite this round's claims
+    under ``batch=<own>``. Returns the flagged band rows (checkpointed:
+    the claims append must not re-rank). Shared by the streaming
+    ``foreachBatch`` and the batch ``incremental_minhash_dedup``.
+    """
+    from pyspark.sql import Window
+
+    banded = banded_minhash_rows(
+        batch_df, n=n, num_perms=num_perms, bands=bands
+    ).localCheckpoint(eager=False)  # feeds rank, claims, verdicts
+    try:
+        claimed = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch") != own)
+            .select("band_idx", "band_hash")
+        )
+    except Exception:  # first round: no claims yet
+        claimed = None
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("ts", "doc_id")
+    ranked = banded.withColumn("__rk", F.row_number().over(w))
+    if claimed is not None:
+        hit = ranked.join(
+            claimed.withColumn("__claimed", F.lit(True)),
+            ["band_idx", "band_hash"],
+            "left",
+        )
+    else:
+        hit = ranked.withColumn("__claimed", F.lit(None).cast("boolean"))
+    flagged = hit.withColumn(
+        "__dup",
+        F.col("__claimed").isNotNull() | (F.col("__rk") > 1),
+    ).localCheckpoint(eager=True)
+    # The claims land in a per-round subdirectory (partition-style
+    # ``batch=<own>`` naming, auto-discovered by the root read) under
+    # plain OVERWRITE: rounds are at-least-once, and a retried round
+    # must replace exactly its own directory, never append a second
+    # copy. Same idempotency as dynamic partition overwrite without
+    # its commit-protocol cost.
+    (
+        flagged.filter(~F.col("__dup"))
+        .select("band_idx", "band_hash", "ts")
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/batch={own}")
+    )
+    return flagged
+
+
+def _verdicts(flagged: DataFrame) -> DataFrame:
+    """Per-doc any-of-k verdicts from flagged band rows."""
+    return (
+        flagged.groupBy("doc_id", "expected")
+        .agg(F.max(F.col("__dup")).alias("is_dup"))
+        .select("doc_id", "is_dup", F.col("expected").alias("n_bands"))
+    )
+
+
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    state_dir: str,
+    batch_tag: str,
+    n: int = 3,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Batch-incremental near-dup dedup: flag one NEW batch of
+    documents against everything the claims table has already seen —
+    the daily-ingest production pattern (dedup today's crawl against
+    the whole corpus WITHOUT recomputing history).
+
+    Same state machine as ``stream_minhash_dedup_banded``'s per-batch
+    round (shared ``_claim_round``): a doc is a duplicate iff any of
+    its LSH bands hits a bucket claimed by an earlier batch or loses
+    the within-batch event-time rank race; kept docs claim all their
+    buckets atomically under ``batch=<batch_tag>``. Re-running the
+    same ``batch_tag`` is idempotent (own-partition exclusion + per-tag
+    overwrite), so a failed ingest job can simply retry. Per batch the
+    cost is one window rank over the batch's band rows and one join
+    against claims — batch × bands, never corpus².
+
+    Returns ``(doc_id, is_dup, n_bands)`` verdicts for this batch.
+    """
+    flagged = _claim_round(
+        docs.sparkSession,
+        docs,
+        state_dir,
+        batch_tag,
+        n=n,
+        num_perms=num_perms,
+        bands=bands,
+    )
+    return _verdicts(flagged)
+
+
 def stream_minhash_dedup_banded(
     docs: DataFrame,
     state_dir: str,
@@ -433,66 +538,14 @@ def stream_minhash_dedup_banded(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         own = f"{run_token}-{batch_id}"
-        banded = banded_minhash_rows(
-            batch_df, n=n, num_perms=num_perms, bands=bands
-        ).localCheckpoint(eager=False)  # feeds rank, claims, verdicts
-        try:
-            # Exclude the batch's OWN partition (partition discovery
-            # exposes the ``batch`` directory column): a batch retried
-            # after its claims write committed must not see its own
-            # prior claims as pre-existing, or every doc in the batch
-            # would flip to duplicate and the cluster representative
-            # would be lost (ADVICE r4).
-            claimed = (
-                spark.read.parquet(state_dir)
-                .filter(F.col("batch") != own)
-                .select("band_idx", "band_hash")
-            )
-        except Exception:  # first batch: no claims yet
-            claimed = None
-        w = Window.partitionBy("band_idx", "band_hash").orderBy(
-            "ts", "doc_id"
-        )
-        ranked = banded.withColumn("__rk", F.row_number().over(w))
-        if claimed is not None:
-            hit = ranked.join(
-                claimed.withColumn("__claimed", F.lit(True)),
-                ["band_idx", "band_hash"],
-                "left",
-            )
-        else:
-            hit = ranked.withColumn("__claimed", F.lit(None).cast("boolean"))
-        flagged = hit.withColumn(
-            "__dup",
-            F.col("__claimed").isNotNull() | (F.col("__rk") > 1),
-        ).localCheckpoint(eager=True)  # claims append must not re-rank
-
-        # Both writes land in a per-batch subdirectory (partition-style
-        # ``batch=<token>-<id>`` naming, auto-discovered by the root
-        # read) under plain OVERWRITE: foreachBatch is at-least-once,
-        # and a failed-and-retried batch must replace exactly its own
-        # directory, never append a second copy (duplicate claim rows
-        # would multiply the left join above; duplicate verdicts would
-        # double-count docs). Same idempotency as dynamic partition
-        # overwrite without its commit-protocol cost.
-        suffix = f"batch={own}"
-        # New claims: within-batch winners of buckets nobody owned.
-        (
-            flagged.filter(~F.col("__dup"))
-            .select("band_idx", "band_hash", "ts")
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/{suffix}")
+        flagged = _claim_round(
+            spark, batch_df, state_dir, own, n=n, num_perms=num_perms,
+            bands=bands,
         )
         (
-            flagged.groupBy("doc_id", "expected")
-            .agg(F.max(F.col("__dup")).alias("is_dup"))
-            .select(
-                "doc_id",
-                "is_dup",
-                F.col("expected").alias("n_bands"),
-            )
+            _verdicts(flagged)
             .write.mode("overwrite")
-            .parquet(f"{out_dir}/{suffix}")
+            .parquet(f"{out_dir}/batch={own}")
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             # batch max event time off the already-materialized

@@ -239,3 +239,61 @@ def test_banded_dedup_state_persists_across_drains(spark, dirs, tmp_path):
     )
     assert second[100][0] is True
     assert second[101][0] is False
+
+
+def _frame(spark, docs):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("doc_id") * 1_000_000
+        ),
+    )
+
+
+def test_incremental_batch_dedup_against_history(spark, tmp_path):
+    """The batch face of the claims-table state machine: batch 2's
+    duplicates of batch-1 docs are flagged without recomputing batch 1,
+    and batch-2-internal dups keep exactly one representative."""
+    state = str(tmp_path / "claims")
+    b1 = _frame(spark, DOCS[:4])  # three exact dups + a near-dup
+    v1 = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming.incremental_minhash_dedup(b1, state, "b1").collect()
+    }
+    assert v1[1] is False and v1[2] and v1[3] and v1[4]
+
+    b2 = _frame(
+        spark,
+        [
+            # exact copy of batch-1's representative → dup vs HISTORY
+            (10, DOCS[0][1]),
+            # two copies of a brand-new doc → one in-batch survivor
+            (11, "a genuinely new document about incremental corpus growth"),
+            (12, "a genuinely new document about incremental corpus growth"),
+        ],
+    )
+    v2 = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming.incremental_minhash_dedup(b2, state, "b2").collect()
+    }
+    assert v2[10] is True  # caught against history
+    assert v2[11] is False and v2[12] is True
+
+
+def test_incremental_batch_dedup_retry_is_idempotent(spark, tmp_path):
+    """Re-running a failed ingest under the SAME batch tag reproduces
+    the same verdicts (own-partition exclusion + per-tag overwrite)."""
+    state = str(tmp_path / "claims")
+    streaming.incremental_minhash_dedup(_frame(spark, DOCS[:4]), state, "b1").collect()
+    b2 = _frame(spark, [(10, DOCS[0][1]), (11, "fresh text entirely new")])
+    first = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming.incremental_minhash_dedup(b2, state, "b2").collect()
+    }
+    retry = {
+        r["doc_id"]: r["is_dup"]
+        for r in streaming.incremental_minhash_dedup(b2, state, "b2").collect()
+    }
+    assert first == retry == {10: True, 11: False}

@@ -106,9 +106,13 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     zipped = F.arrays_zip(
         *[F.slice(toks, k + 1, m).alias(f"t{k}") for k in range(n)]
     )
-    return F.transform(
+    out = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
     )
+    # Public contract: a NULL token array yields an EMPTY shingle array
+    # (the pre-arrays_zip behavior) — without this coalesce the slices
+    # would propagate NULL to callers that relied on [] (ADVICE r6).
+    return F.coalesce(out, F.array().cast("array<string>"))
 
 
 def _with_shingles(

@@ -21,16 +21,23 @@ __all__ = ["Retriever", "Transformer", "DIMENSIONS"]
 
 DIMENSIONS = ("SEX", "AGE", "GEO", "EDU")
 
+# The reference's mask set (ilo_sdmx_api.py:21) additionally contains
+# NOC ("no classification"): NOC-coded indicators ARE retrieved, but
+# the NOC column is dropped by the transformer's reindex
+# (ilo_sdmx_api.py:160-172 lists no NOC output), so NOC never appears
+# among the decoded ``dimension_*`` columns.
+MASK_DIMENSIONS = frozenset(DIMENSIONS) | {"NOC"}
+
 
 class Retriever(BaseRetriever):
     """SDMX-CSV retrieval (reference ilo_sdmx_api.py:53-139).
 
     Indicator codes come from the ``CL_INDICATOR`` codelist (SDMX-ML
     XML); codes embed their disaggregations (``SDG_0852_SEX_AGE_RT``)
-    and only those whose dimension set ⊆ {SEX, AGE, GEO, EDU, NOC}-less-
-    NOC survive, matching the reference's mask
-    (ilo_sdmx_api.py:74-85). Data arrives one ``format=csvfile`` GET
-    per indicator under the ``ILO,{code}`` dataflow convention.
+    and only those whose dimension set ⊆ {SEX, AGE, GEO, EDU, NOC}
+    survive, matching the reference's mask (ilo_sdmx_api.py:74-85).
+    Data arrives one ``format=csvfile`` GET per indicator under the
+    ``ILO,{code}`` dataflow convention.
     """
 
     uri = "https://sdmx.ilo.org/rest/"
@@ -74,9 +81,11 @@ class Retriever(BaseRetriever):
     @staticmethod
     def _supported_disaggregation(code: str) -> bool:
         """ilo_sdmx_api.py:76-83: the middle ``_``-separated segments
-        name the disaggregations; keep codes fully inside DIMENSIONS
-        (NOC — "no classification" — excluded by omission)."""
-        return not set(code.split("_")[2:-1]) - set(DIMENSIONS)
+        name the disaggregations; keep codes fully inside the
+        reference's mask set {SEX, AGE, GEO, EDU, NOC} — NOC-coded
+        indicators are retrieved (matching the reference) even though
+        the transformer later drops the NOC column."""
+        return not set(code.split("_")[2:-1]) - MASK_DIMENSIONS
 
     def _get_codelist_mapping(self, name: str) -> dict[str, str]:
         """Codelist id → English name from the SDMX-ML registry

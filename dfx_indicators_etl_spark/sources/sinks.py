@@ -265,8 +265,26 @@ def read_jdbc(
     return reader.load()
 
 
+def _jdbc_connection(spark: SparkSession, url: str, **options: str):
+    """Driver-side ``java.sql.Connection``; ``options`` (``user``,
+    ``password``, vendor properties) travel as a ``Properties`` object
+    so databases needing out-of-URL credentials work too (ADVICE r6).
+    """
+    jvm = spark._jvm
+    if not options:
+        return jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k, v in options.items():
+        props.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
 def jdbc_table_exists(
-    spark: SparkSession, url: str, table: str, driver: str | None = None
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    **options: str,
 ) -> bool:
     """Probe for a JDBC table via ``DatabaseMetaData.getTables`` — a
     driver-side control-plane call, engine-portable (no vendor SQLState
@@ -280,7 +298,7 @@ def jdbc_table_exists(
     if driver:
         jvm.java.lang.Class.forName(driver)
     schema, _, bare = table.rpartition(".")
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connection(spark, url, **options)
     try:
         meta = conn.getMetaData()
         for cand in dict.fromkeys((bare, bare.upper(), bare.lower())):
@@ -357,15 +375,20 @@ def upsert_sql(
 
 
 def jdbc_execute(
-    spark: SparkSession, url: str, sql: str, driver: str | None = None
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    driver: str | None = None,
+    **options: str,
 ) -> int:
     """Run one DDL/DML statement over a driver-side JDBC connection
     (py4j ``java.sql`` — control-plane calls like the MERGE/ON CONFLICT
-    statements, never data movement)."""
+    statements, never data movement). Connection properties (``user``,
+    ``password``, …) pass through ``options``."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _jdbc_connection(spark, url, **options)
     try:
         stmt = conn.createStatement()
         try:
@@ -383,6 +406,7 @@ def jdbc_upsert_statement(
     key_cols: tuple[str, ...],
     driver: str | None = None,
     insert_only: bool = False,
+    **options: str,
 ) -> None:
     """Set-based upsert: bulk-load a staging table, run ONE dialect-
     correct conflict statement (``upsert_sql``), drop the staging.
@@ -392,13 +416,28 @@ def jdbc_upsert_statement(
     rewritten — executors stream only the incoming rows, and the
     database applies the merge set-wise. Derby-tested; the postgresql
     branch emits the reference's ON CONFLICT dialect.
+
+    The staging load is key-deduped first (keep-first on ``key_cols``
+    in ``df`` order): both conflict dialects require the source to be
+    key-unique — Postgres aborts with "ON CONFLICT DO UPDATE command
+    cannot affect row a second time", MERGE with a cardinality
+    violation (ADVICE r6). ``options`` are connection/writer properties
+    (``user``, ``password``, …) forwarded to every leg.
     """
+    from ..operators.indicator import dedup_first
+
     staging = f"{table}__stage"
     spark = df.sparkSession
-    if not jdbc_table_exists(spark, url, table, driver=driver):
-        write_jdbc(df, url, table, mode="overwrite", driver=driver)
+    non_keys = [c for c in df.columns if c not in key_cols]
+    if non_keys:
+        # deterministic keep-first: total order over the value columns
+        df = dedup_first(df, list(key_cols), non_keys)
+    else:
+        df = df.dropDuplicates(list(key_cols))  # key-only rows: all equal
+    if not jdbc_table_exists(spark, url, table, driver=driver, **options):
+        write_jdbc(df, url, table, mode="overwrite", driver=driver, **options)
         return
-    write_jdbc(df, url, staging, mode="overwrite", driver=driver)
+    write_jdbc(df, url, staging, mode="overwrite", driver=driver, **options)
     try:
         jdbc_execute(
             spark,
@@ -412,9 +451,12 @@ def jdbc_upsert_statement(
                 staging=staging,
             ),
             driver=driver,
+            **options,
         )
     finally:
-        jdbc_execute(spark, url, f"DROP TABLE {staging}", driver=driver)
+        jdbc_execute(
+            spark, url, f"DROP TABLE {staging}", driver=driver, **options
+        )
 
 
 def jdbc_upsert(
@@ -424,10 +466,12 @@ def jdbc_upsert(
     key_cols: tuple[str, ...],
     driver: str | None = None,
     insert_only: bool = False,
+    **options: str,
 ) -> None:
     """Upsert/insert-ignore into a JDBC table (reference
     ``update_on_conflict`` / ``ignore_on_conflict``,
-    `database/__init__.py:92-127`).
+    `database/__init__.py:92-127`). ``options`` are connection/reader/
+    writer properties (``user``, ``password``, …) forwarded to every leg.
 
     Plain JDBC has no portable MERGE, so this reads the existing table,
     merges key-wise with the engine's DataFrame merge operators, and
@@ -445,12 +489,12 @@ def jdbc_upsert(
     from ..operators.indicator import insert_ignore, upsert
 
     spark = df.sparkSession
-    if not jdbc_table_exists(spark, url, table, driver=driver):
-        write_jdbc(df, url, table, mode="overwrite", driver=driver)
+    if not jdbc_table_exists(spark, url, table, driver=driver, **options):
+        write_jdbc(df, url, table, mode="overwrite", driver=driver, **options)
         return
-    existing = read_jdbc(spark, url, table, driver=driver).localCheckpoint(
-        eager=True
-    )
+    existing = read_jdbc(
+        spark, url, table, driver=driver, **options
+    ).localCheckpoint(eager=True)
     # Databases fold identifier case (Derby → upper); align the read
     # table's columns back to the incoming frame's names so the
     # (case-sensitive) merge sees one schema.
@@ -463,7 +507,7 @@ def jdbc_upsert(
     )
     merge = insert_ignore if insert_only else upsert
     merged = merge(existing, df, list(key_cols))
-    write_jdbc(merged, url, table, mode="overwrite", driver=driver)
+    write_jdbc(merged, url, table, mode="overwrite", driver=driver, **options)
 
 
 def write_bucketed_table(

@@ -40,6 +40,11 @@ __all__ = [
     "read_latest_wins",
 ]
 
+# Claims-table compaction lease staleness horizon: a lease older than
+# this is presumed orphaned by a dead driver and may be stolen. Real
+# compactions hold the lease for seconds, so minutes of slack is ample.
+_LEASE_TTL_SECONDS = 600.0
+
 # Streaming file sources need an explicit schema (no inference pass on
 # an unbounded directory) — but hard-coding one bakes in the upstream
 # writer's physical timestamp choice, which has already changed once
@@ -493,10 +498,24 @@ def stream_minhash_dedup_banded(
             return
         # Compactor lease: atomic create loses ⇒ another compactor owns
         # the table right now; skip this turn (the interval re-fires).
+        # A lease is only honored while YOUNG: a driver that died
+        # between createNewFile and the finally-delete would otherwise
+        # orphan the lease and block every future compaction forever
+        # (ADVICE r6). Past the TTL (generous — a real compaction runs
+        # for seconds) the lease is presumed dead, stolen, and re-taken.
         lease = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_compact.lease")
         try:
             if not fs.createNewFile(lease):
-                return
+                import time
+
+                age_ms = time.time() * 1000.0 - fs.getFileStatus(
+                    lease
+                ).getModificationTime()
+                if age_ms <= _LEASE_TTL_SECONDS * 1000.0:
+                    return  # live compactor owns the table; skip this turn
+                fs.delete(lease, False)  # stale — steal it
+                if not fs.createNewFile(lease):
+                    return  # lost the steal race to another compactor
         except Exception:
             return
         try:

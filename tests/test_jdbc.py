@@ -279,3 +279,49 @@ def test_jdbc_upsert_statement_insert_only_on_derby(spark, derby_url, base_rows)
         (3, "gamma"),
         (4, "delta"),  # new key inserted
     ]
+
+
+def test_jdbc_upsert_statement_dedupes_staging(spark, derby_url, base_rows):
+    """Duplicate keys in the incoming frame must not abort the MERGE
+    (cardinality violation) / ON CONFLICT (affect-row-twice): the
+    staging load is key-deduped deterministically first (ADVICE r6)."""
+    sinks.jdbc_upsert_statement(
+        base_rows, derby_url, "dobs", ("id",), driver=DRIVER
+    )
+    incoming = spark.createDataFrame(
+        [(2, "BETA", 99.0), (2, "ZETA", 1.0), (4, "delta", 40.0)],
+        "id bigint, name string, value double",
+    )
+    sinks.jdbc_upsert_statement(
+        incoming, derby_url, "dobs", ("id",), driver=DRIVER
+    )
+    back = sinks.read_jdbc(spark, derby_url, "dobs", driver=DRIVER)
+    assert sorted((r.id, r.name, r.value) for r in back.collect()) == [
+        (1, "alpha", 10.0),
+        (2, "BETA", 99.0),  # keep-first under (name, value) order
+        (3, "gamma", 30.0),
+        (4, "delta", 40.0),
+    ]
+
+
+def test_jdbc_connection_options_travel_as_properties(spark, derby_url, base_rows):
+    """user/password reach DriverManager as a Properties object (not
+    silently dropped): Derby without auth accepts and ignores them, so
+    the whole options-forwarding path runs end-to-end (ADVICE r6)."""
+    creds = {"user": "app", "password": "secret"}
+    sinks.jdbc_upsert_statement(
+        base_rows, derby_url, "cobs", ("id",), driver=DRIVER, **creds
+    )
+    assert sinks.jdbc_table_exists(
+        spark, derby_url, "cobs", driver=DRIVER, **creds
+    )
+    assert (
+        sinks.jdbc_execute(
+            spark,
+            derby_url,
+            "UPDATE cobs SET \"value\" = 0 WHERE \"id\" = 1",
+            driver=DRIVER,
+            **creds,
+        )
+        == 1
+    )

@@ -723,3 +723,26 @@ def test_round6_ops_handle_degenerate_inputs(spark):
     assert sampling.weighted_sample(
         empty_langs, {"en": 0.5}, "lang", "doc_id"
     ).count() == 0
+
+
+def test_shingles_null_tokens_yield_empty_array(spark):
+    """Public contract: shingles()/shingles_from_tokens on a NULL
+    text/token array return [], never NULL (ADVICE r6)."""
+    from dfx_indicators_etl_spark.operators import dedup as D
+
+    out = (
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None), (3, "x")],
+            "doc_id long, text string",
+        )
+        .select(
+            "doc_id",
+            D.shingles("text", n=3).alias("sh"),
+            D.shingles_from_tokens(F.split(F.col("text"), " "), 3).alias("sht"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(out[0]["sh"]) == 2
+    assert out[1]["sh"] == [] and out[1]["sht"] == []  # NULL -> []
+    assert out[2]["sh"] == []  # sub-shingle doc -> []

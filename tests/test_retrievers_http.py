@@ -185,9 +185,10 @@ def _ilo_retriever(monkeypatch, calls):
 
 def test_ilo_disaggregation_mask():
     ok = ilo_sdmx_api.Retriever._supported_disaggregation
-    assert ok("SDG_0852_SEX_AGE_RT")  # SEX, AGE ⊆ DIMENSIONS
-    assert not ok("EMP_TEMP_NOC_NB")  # NOC excluded
+    assert ok("SDG_0852_SEX_AGE_RT")  # SEX, AGE ⊆ mask
+    assert ok("EMP_TEMP_NOC_NB")  # NOC is in the reference mask set
     assert ok("POP_XWAP_SEX_EDU_NB")
+    assert not ok("EMP_TEMP_SEX_MIG_NB")  # MIG is not
 
 
 def test_ilo_codelist_xml_parses(monkeypatch):
@@ -200,13 +201,14 @@ def test_ilo_retriever_stamps_indicator_and_decodes(spark, monkeypatch):
     calls: list = []
     r = _ilo_retriever(monkeypatch, calls)
     raw = r(spark)
-    # 2 supported indicators → 2 data GETs under the ILO,{code} dataflow
-    assert len(calls) == 2
+    # all 3 indicators pass the mask (NOC included) → 3 data GETs
+    assert len(calls) == 3
     assert "data/ILO,SDG_0852_SEX_AGE_RT/" in calls[0][0]
     assert calls[0][1]["format"] == "csvfile"
     names = {x["indicator_name"] for x in raw.select("indicator_name").collect()}
     assert names == {
         "Unemployment rate by sex and age [SDG_0852_SEX_AGE_RT]",
+        "Employment by classification [EMP_TEMP_NOC_NB]",
         "Working-age population by sex and education [POP_XWAP_SEX_EDU_NB]",
     }
 

@@ -297,3 +297,44 @@ def test_incremental_batch_dedup_retry_is_idempotent(spark, tmp_path):
         for r in streaming.incremental_minhash_dedup(b2, state, "b2").collect()
     }
     assert first == retry == {10: True, 11: False}
+
+
+def test_banded_dedup_stale_lease_is_stolen(spark, dirs, tmp_path):
+    """An orphaned ``_compact.lease`` (dead driver) must not block
+    compaction forever: a lease younger than the TTL is honored
+    (compaction skipped, partitions accumulate), one older than the
+    TTL is stolen and compaction proceeds (ADVICE r6)."""
+    import os
+
+    src, state, out = dirs
+    _write_docs(spark, src, DOCS)
+    srcs = [src, str(tmp_path / "s1"), str(tmp_path / "s2")]
+    _write_docs(spark, srcs[1], [(100 + i, t) for i, t in DOCS[:4]])
+    _write_docs(spark, srcs[2], [(200 + i, t) for i, t in DOCS[:4]])
+
+    def drain(i, **kw):
+        return _drain(
+            spark,
+            srcs[i],
+            state,
+            str(tmp_path / f"out-{i}"),
+            checkpoint_dir=str(tmp_path / f"ck-{i}"),
+            compact_every=1,
+            **kw,
+        )
+
+    drain(0)
+    lease = os.path.join(state, "_compact.lease")
+    # Fresh orphan: compaction must skip — partitions accumulate.
+    open(lease, "w").close()
+    before = len(_claims_dirs(state))
+    v1 = drain(1)
+    assert all(v1[k][0] for k in (101, 102, 103, 104))
+    assert len(_claims_dirs(state)) >= before + 1  # nothing merged
+    assert os.path.exists(lease)  # loser never deletes a live lease
+    # Stale orphan: age it past the TTL — compaction steals and runs.
+    os.utime(lease, (1, 1))
+    v2 = drain(2)
+    assert all(v2[k][0] for k in (201, 202, 203, 204))
+    assert len(_claims_dirs(state)) <= 2  # merged: own + compacted
+    assert not os.path.exists(lease)  # steal-winner releases it

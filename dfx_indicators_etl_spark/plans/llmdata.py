@@ -577,7 +577,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_ann")  # rows-only: approximate candidate set
+@query(
+    "sim_lsh_ann",
+    # FULL value oracle (round-7 graduation): the hyperplane matrix is
+    # formula-derived — component(t,p,j) = ((t·1000003 + p·10007 +
+    # j·131)·2654435761 mod 10⁴)/10⁴ − 0.5, every intermediate <2⁶³ so
+    # DuckDB's checked BIGINT arithmetic reproduces numpy's (never-
+    # triggered) wrapping multiply exactly. Sign bits only flip if a
+    # dot product sits within fp-summation error (~1e-15) of zero —
+    # never observed on continuous embeddings — so the candidate SET
+    # is engine-identical, and the exact re-rank rounds to 6dp like
+    # sim_bruteforce_topk.
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    comp AS (
+        SELECT t, p, j,
+               (((t*1000003 + p*10007 + j*131) * 2654435761) % 10000)
+                   / 10000.0 - 0.5 AS c
+        FROM range(12) rt(t), range(4) rp(p),
+             (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS j)
+    ),
+    dots AS (
+        SELECT e.vec_id, c.t, c.p, SUM(e.v[c.j + 1] * c.c) AS dot
+        FROM e CROSS JOIN comp c GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+                   + (t * 16) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c USING (bucket)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-5 (scale path; recall < 1)."""
     emb = read_table(spark, sf_dir, "embeddings")

@@ -163,6 +163,10 @@ HEADLINE = (
     "ind_country_map",
     "ind_metadata_dedup",
     "ind_indicator_format",
+    # round 7: new surface
+    "emb_knn_graph",
+    "text_pmi_bigrams",
+    "text_entropy",
 )
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "ivf_topk",
     "ivfpq_topk",
     "kmeans",
+    "knn_graph",
     "pca_project",
     "pq_codes",
 ]
@@ -113,6 +114,67 @@ def brute_force_topk(
     )
 
 
+def _expand_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int | None,
+    target_block_bytes: int,
+) -> DataFrame:
+    """Blocked self-join expansion shared by the exact all-pairs
+    operators: rows hash into blocks on the id; every unordered block
+    pair (i ≤ j) becomes one ``(pb_a, pb_b)`` group whose members are
+    tagged ``side`` "a"/"b". The exchange moves each row ``n_blocks``
+    times (once per block pair it joins), never n² rows.
+
+    ``n_blocks=None`` auto-sizes: memory bound (two ~``target_block_bytes``
+    blocks per task) vs parallelism bound (enough B(B+1)/2 pairs to
+    occupy the cluster) — n_blocks grows ~√n while per-row replication
+    grows the same √n.
+    """
+    spark = df.sparkSession
+    if n_blocks is None:
+        import math
+
+        # The count/first probes plus the blocked join would otherwise
+        # evaluate the upstream lineage three times — expensive when df
+        # is a derived frame, not a bare scan. One lazy localCheckpoint
+        # materializes it at the first probe and the join reuses it.
+        df = df.localCheckpoint(eager=False)
+        n = df.count()
+        dim = len(df.select(vec_col).first()[0]) if n else 1
+        per_block_rows = max(target_block_bytes // (dim * 8), 1)
+        b_mem = -(-n // per_block_rows)
+        par = spark.sparkContext.defaultParallelism
+        b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+        n_blocks = max(1, min(64, max(b_mem, b_par), n or 1))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "pb_a int, pb_b int",
+    )
+    blocked = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # Tiny (n_blocks²/2-row) pair table broadcast against the corpus;
+    # a row tags itself "a" for pairs keyed by its own block and "b"
+    # for pairs where it is the partner block (diagonal rows tag "a"
+    # exactly once — the OR matches pb_a first).
+    return blocked.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("pb_a")) | (F.col("blk") == F.col("pb_b")),
+    ).select(
+        "pb_a",
+        "pb_b",
+        "vid",
+        "vec",
+        F.when(F.col("blk") == F.col("pb_a"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -143,50 +205,8 @@ def embedding_cosine_pairs(
     exact verification of candidates only; this operator is the
     exact-semantics path.
     """
-    spark = df.sparkSession
-    if n_blocks is None:
-        # Memory bound: blocks small enough for two per task. Parallelism
-        # bound: enough block pairs (B(B+1)/2) to occupy the cluster —
-        # replicating a small corpus a few extra times is cheaper than
-        # running its O(n²) scoring on one core.
-        import math
-
-        # The count/first probes plus the blocked join would otherwise
-        # evaluate the upstream lineage three times — expensive when df
-        # is a derived frame, not a bare scan. One lazy localCheckpoint
-        # materializes it at the first probe and the join reuses it.
-        df = df.localCheckpoint(eager=False)
-        n = df.count()
-        dim = len(df.select(vec_col).first()[0]) if n else 1
-        per_block_rows = max(target_block_bytes // (dim * 8), 1)
-        b_mem = -(-n // per_block_rows)
-        par = spark.sparkContext.defaultParallelism
-        b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
-        n_blocks = max(1, min(64, max(b_mem, b_par), n or 1))
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "pb_a int, pb_b int",
-    )
-    blocked = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
-    )
-    # Tiny (n_blocks²/2-row) pair table broadcast against the corpus;
-    # a row tags itself "a" for pairs keyed by its own block and "b"
-    # for pairs where it is the partner block (diagonal rows tag "a"
-    # exactly once — the OR matches pb_a first).
-    expanded = blocked.join(
-        F.broadcast(block_pairs),
-        (F.col("blk") == F.col("pb_a")) | (F.col("blk") == F.col("pb_b")),
-    ).select(
-        "pb_a",
-        "pb_b",
-        "vid",
-        "vec",
-        F.when(F.col("blk") == F.col("pb_a"), F.lit("a"))
-        .otherwise(F.lit("b"))
-        .alias("side"),
+    expanded = _expand_block_pairs(
+        df, id_col, vec_col, n_blocks, target_block_bytes
     )
 
     def score(key, pdf):
@@ -227,6 +247,104 @@ def embedding_cosine_pairs(
 
     return expanded.groupBy("pb_a", "pb_b").applyInPandas(
         score, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    mutual: bool = True,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Exact cosine k-NN graph over the whole corpus.
+
+    The graph-construction primitive under density-based clustering,
+    label propagation, and graph-dedup pipelines: every vector's exact
+    top-k neighbors, optionally reduced to the MUTUAL-kNN edge list
+    (edge (a,b) survives iff b ∈ kNN(a) AND a ∈ kNN(b) — the standard
+    symmetrization that strips hub-induced one-way edges).
+
+    Plan: the ``_expand_block_pairs`` blocked self-join scores each
+    block pair with one BLAS matmul and keeps only each row's LOCAL
+    top-k within the pair group, so the shuffle into the global rank
+    carries ≤ k·n_blocks candidates per vector, never the n² score
+    matrix; a window ``row_number`` under (sim desc, id asc) — total
+    order, cosines rounded to ``decimals`` first — makes the local
+    top-k exact. The mutual reduction is one self-join on the reversed
+    (src, dst) key over n·k directed edges. At 100 TB the same shape
+    runs with the ANN candidate generators (LSH/IVF) feeding the rank;
+    this operator is the exact-semantics path.
+    """
+    expanded = _expand_block_pairs(
+        df, id_col, vec_col, n_blocks, target_block_bytes
+    )
+
+    def local_topk(ids_src, unit_src, ids_dst, unit_dst, diagonal):
+        sims = np.round(unit_src @ unit_dst.T, decimals)
+        if diagonal:
+            sims[np.arange(len(ids_src)), np.arange(len(ids_dst))] = -2.0
+        out_s, out_d, out_c = [], [], []
+        for i in range(len(ids_src)):
+            order = np.lexsort((ids_dst, -sims[i]))[:k]
+            out_s.extend([ids_src[i]] * len(order))
+            out_d.extend(ids_dst[order])
+            out_c.extend(sims[i][order])
+        return out_s, out_d, out_c
+
+    def score(key, pdf):
+        pa, pb = key
+        a = pdf[pdf["side"] == "a"]
+        if len(a) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+        ids_a = a["vid"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["vec"]), dtype=np.float64)
+        na = np.linalg.norm(mat_a, axis=1, keepdims=True)
+        unit_a = mat_a / np.where(na == 0.0, 1.0, na)
+        if pa == pb:
+            s, d, c = local_topk(ids_a, unit_a, ids_a, unit_a, True)
+        else:
+            b = pdf[pdf["side"] == "b"]
+            if len(b) == 0:
+                return pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+            ids_b = b["vid"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(b["vec"]), dtype=np.float64)
+            nb = np.linalg.norm(mat_b, axis=1, keepdims=True)
+            unit_b = mat_b / np.where(nb == 0.0, 1.0, nb)
+            # both directions: a-rows rank b-candidates and vice versa
+            s, d, c = local_topk(ids_a, unit_a, ids_b, unit_b, False)
+            s2, d2, c2 = local_topk(ids_b, unit_b, ids_a, unit_a, False)
+            s, d, c = s + s2, d + d2, c + c2
+        return pd.DataFrame({"src": s, "dst": d, "cos_sim": c})
+
+    candidates = expanded.groupBy("pb_a", "pb_b").applyInPandas(
+        score, "src long, dst long, cos_sim double"
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    directed = (
+        candidates.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    if not mutual:
+        return directed
+    x, y = directed.alias("x"), directed.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.dst"))
+            & (F.col("x.dst") == F.col("y.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("id_a"),
+            F.col("x.dst").alias("id_b"),
+            F.col("x.cos_sim").alias("cos_sim"),
+        )
     )
 
 

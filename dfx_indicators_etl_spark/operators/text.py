@@ -25,6 +25,8 @@ __all__ = [
     "repetition_stats",
     "contamination_flags",
     "unigram_logprob",
+    "pmi_bigrams",
+    "char_entropy",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -530,6 +532,117 @@ def unigram_logprob(
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("__nll"), 6).alias("mean_nll"),
         F.count("*").cast("bigint").alias("n_words"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` PMI-scored bigram collocations over the corpus
+    (phrase mining / tokenizer-merge candidates).
+
+    PMI(w1,w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ) with unigram and
+    bigram MLE probabilities, computed as the SUM-OF-LOGS
+    ``ln n + 2·ln N1 − ln N2 − ln c1 − ln c2`` — never the ratio of
+    integer products, whose ``N1²`` factor overflows int64 on a
+    100 TB corpus. Both count aggregations are map-side combinable
+    (vocab-/vocab²-sized shuffles); the frequency tables broadcast;
+    and like ``word_vocab`` the rank window runs only on the already-
+    limited top-k rows, so no corpus-sized single-partition stage
+    exists. ``min_count`` is the standard low-frequency PMI guard
+    (rare pairs otherwise dominate with noise-inflated scores).
+    """
+    t = tokens(text_col)
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, m).alias("w1"), F.slice(t, 2, m).alias("w2")
+    )
+    big = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = df.select(F.explode(t).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = ucnt.agg(F.sum("c").cast("double").alias("__n1"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    n2 = bcnt.agg(F.sum("n").cast("double").alias("__n2"))
+    scored = (
+        bcnt.filter(F.col("n") >= min_count)
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+            ),
+            "w2",
+        )
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.log(F.col("n").cast("double"))
+                + F.lit(2.0) * F.log("__n1")
+                - F.log("__n2")
+                - F.log(F.col("__c1").cast("double"))
+                - F.log(F.col("__c2").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy in bits (the
+    classic gibberish/compression-quality filter signal: natural text
+    sits ~4 bits, repeated-char spam near 0, random bytes high).
+
+    Engine-portable determinism: each term p·ln p rounds to 12
+    decimals and sums as exact DECIMAL (the ``plans.numeric``
+    convention — a float sum would be partition-order-dependent), then
+    converts to bits with one double division by ln 2. Shuffle cost is
+    one (doc, char) count aggregation — map-side combinable, ≤ alphabet
+    size per doc — and the per-doc total reuses the same partitioning
+    via a window, no second shuffle.
+    """
+    import math
+
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    wdoc = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("__n").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        cnt.withColumn("__n", F.sum("c").over(wdoc))
+        .groupBy("doc_id")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("int").alias("n_distinct"),
+            F.round(
+                (-F.sum(term)).cast("double") / F.lit(math.log(2.0)), 6
+            ).alias("entropy_bits"),
+        )
     )
 
 

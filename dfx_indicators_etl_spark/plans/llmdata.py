@@ -352,6 +352,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "text_pmi_bigrams",
+    # Sum-of-logs PMI: the identical left-associated expression on both
+    # engines (ln n + 2·ln N1 − ln N2 − ln c1 − ln c2) — the integer-
+    # product form would overflow int64 at corpus scale.
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS n1 FROM ucnt),
+    big AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+            AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS n
+        FROM big GROUP BY 1, 2
+    ),
+    n2 AS (SELECT CAST(SUM(n) AS DOUBLE) AS n2 FROM bcnt),
+    scored AS (
+        SELECT w1, w2, CAST(n AS BIGINT) AS n,
+               round(ln(CAST(n AS DOUBLE)) + 2.0 * ln(n1.n1) - ln(n2.n2)
+                     - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE)),
+                     6) AS pmi
+        FROM bcnt
+        JOIN ucnt u1 ON u1.w = bcnt.w1
+        JOIN ucnt u2 ON u2.w = bcnt.w2, n1, n2
+        WHERE n >= 5
+    )
+    SELECT w1, w2, n, pmi, CAST(ROW_NUMBER() OVER (
+        ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 100
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI bigram collocations (phrase-mining pass)."""
+    return text.pmi_bigrams(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_entropy",
+    # p·ln p terms round to 12dp and sum as exact DECIMAL on both
+    # engines, so the per-doc entropy is partition-order-independent.
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(list_filter(
+            string_split(text, ''), x -> x <> '')) AS ch
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    tot AS (
+        SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct,
+           round(CAST(-SUM(CAST(round(
+                     (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                 AS DECIMAL(28,12))) AS DOUBLE) / ln(2.0), 6)
+               AS entropy_bits
+    FROM tot GROUP BY doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy in bits (gibberish filter)."""
+    return text.char_entropy(read_table(spark, sf_dir, "documents"))
+
+
 # 128-bit simhash: four 32-bit md5 streams (operators/dedup.py
 # SIMHASH_BITS), 8 bands × 16-bit keys.
 _SH_HASHES_SQL = f"""
@@ -633,6 +704,35 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+@query(
+    "emb_knn_graph",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT src, dst, cos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cos_sim DESC, dst
+            ) AS r FROM scored
+        ) WHERE r <= 5
+    )
+    SELECT x.src AS id_a, x.dst AS id_b, x.cos_sim
+    FROM knn x JOIN knn y ON x.src = y.dst AND x.dst = y.src
+    WHERE x.src < x.dst
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual-5-NN edge list over all embeddings (the graph-
+    construction primitive for density clustering / graph dedup)."""
+    return similarity.knn_graph(read_table(spark, sf_dir, "embeddings"), k=5)
 
 
 @query("sim_ivf_ann")  # rows-only: approximate (probe subset)

@@ -746,3 +746,104 @@ def test_shingles_null_tokens_yield_empty_array(spark):
     assert len(out[0]["sh"]) == 2
     assert out[1]["sh"] == [] and out[1]["sht"] == []  # NULL -> []
     assert out[2]["sh"] == []  # sub-shingle doc -> []
+
+
+def test_knn_graph_mutual_edges(spark):
+    """Mutual-kNN reduction: every surviving edge appears in BOTH
+    directed kNN lists; directed mode bounds out-degree by k."""
+    import math
+
+    rows = [
+        # two tight clusters + one outlier
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.98, 0.15, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.05, 0.99, 0.0]),
+        (99, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    directed = similarity.knn_graph(emb, k=2, mutual=False)
+    deg = directed.groupBy("src").count().collect()
+    assert all(r["count"] <= 2 for r in deg)
+    dset = {(r["src"], r["dst"]) for r in directed.collect()}
+    mutual = similarity.knn_graph(emb, k=2, mutual=True).collect()
+    assert mutual, "clusters must produce mutual edges"
+    for r in mutual:
+        assert (r["id_a"], r["id_b"]) in dset and (r["id_b"], r["id_a"]) in dset
+        assert r["id_a"] < r["id_b"]
+    # cluster-mates are mutual neighbors; outlier never pairs across
+    pairs = {(r["id_a"], r["id_b"]) for r in mutual}
+    assert (0, 1) in pairs and (10, 11) in pairs
+    assert not any(99 in p for p in pairs)
+    # exact cosine value on a known pair
+    c01 = next(r["cos_sim"] for r in mutual if (r["id_a"], r["id_b"]) == (0, 1))
+    v0, v1 = rows[0][1], rows[1][1]
+    dot = sum(a * b for a, b in zip(v0, v1))
+    expect = dot / (
+        math.sqrt(sum(a * a for a in v0)) * math.sqrt(sum(b * b for b in v1))
+    )
+    assert abs(c01 - round(expect, 6)) < 1e-9
+
+
+def test_knn_graph_matches_bruteforce_directed(spark, sf_dir):
+    """Blocked local-top-k + global rank == brute-force top-k for
+    every node (exactness of the candidate bound)."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(60).localCheckpoint()
+    directed = {
+        (r["src"], r["rank"]): r["dst"]
+        for r in similarity.knn_graph(emb, k=3, mutual=False).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, emb, k=3).collect()
+    }
+    assert directed == brute
+
+
+def test_pmi_bigrams_known_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "new york " * 5 + "hello world") for i in range(3)],
+        "doc_id long, text string",
+    )
+    from dfx_indicators_etl_spark.operators import text as T
+
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in T.pmi_bigrams(docs, min_count=3, top_k=10).collect()
+    }
+    assert ("new", "york") in out
+    # counts: "new york" bigram 15×; unigrams new=15, york=15;
+    # N1 = 3*12 = 36 tokens, N2 = 3*11 = 33 bigrams
+    r = out[("new", "york")]
+    assert r["n"] == 15
+    expect = (
+        math.log(15.0) + 2.0 * math.log(36.0) - math.log(33.0)
+        - math.log(15.0) - math.log(15.0)
+    )
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+    # min_count guard: "world hello" never repeats across docs... but
+    # "york new" occurs 4× per doc = 12 ≥ 3 — present; "hello world"
+    # occurs 3 times total — exactly at min_count
+    assert ("hello", "world") in out
+
+
+def test_char_entropy_closed_forms(spark):
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy_bits"] - 1.0) < 1e-6
+    assert abs(out[3]["entropy_bits"] - 2.0) < 1e-6
+    assert out[3]["n_chars"] == 8 and out[3]["n_distinct"] == 4

@@ -263,14 +263,48 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("stream_anomaly")  # rows-only: EWMA recurrence isn't plain-SQL-expressible
+@query(
+    "stream_anomaly",
+    # FULL value oracle (round-7 graduation): the EWMA recurrence IS
+    # SQL-expressible as a recursive CTE advancing every user one
+    # (ts, event_id)-ordered row per iteration. Arithmetic is written
+    # in the operator's exact shape — ``(1.0 - 0.3)``, NOT the literal
+    # 0.7 (different doubles!), and the same left-associated products —
+    # so mean/var/z are bit-identical to the streaming state updates.
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    st AS (
+        SELECT user_id, event_id, rn, v,
+               v AS mean, CAST(0 AS DOUBLE) AS var,
+               CAST(NULL AS DOUBLE) AS pmean, CAST(NULL AS DOUBLE) AS pvar
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.rn, e.v,
+               s.mean + CAST(0.3 AS DOUBLE) * (e.v - s.mean) AS mean,
+               (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (s.var + CAST(0.3 AS DOUBLE) * (e.v - s.mean)
+                      * (e.v - s.mean)) AS var,
+               s.mean AS pmean, s.var AS pvar
+        FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )
+    SELECT user_id, event_id, v AS value,
+           round((v - pmean) / sqrt(pvar), 4) AS zscore
+    FROM st
+    WHERE rn > 5 AND sqrt(pvar) > 0
+          AND abs(v - pmean) > CAST(3.0 AS DOUBLE) * sqrt(pvar)
+    """,
+)
 def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user streaming anomaly detection (EWMA mean/variance state,
     z-score > 3 after warmup) — the second custom-state operator next
     to sessionization. Deterministic ((ts, event_id)-ordered state
-    updates); equivalence with a pure-Python reference model is
-    pytest-pinned, so rows-only here covers only the recurrence not
-    being expressible as plain SQL."""
+    updates), and now hash-checked against a recursive-CTE oracle that
+    replays the identical recurrence."""
     stream = streaming.read_events_stream(spark, sf_dir)
     out = streaming.stream_ewma_anomalies(stream)
     return streaming.run_available_now(out, output_mode="append")

@@ -167,6 +167,8 @@ HEADLINE = (
     "emb_knn_graph",
     "text_pmi_bigrams",
     "text_entropy",
+    "text_bigram_logprob",
+    "sample_temperature",
 )
 
 

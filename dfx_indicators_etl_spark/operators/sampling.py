@@ -22,7 +22,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "hash_split", "hash_uniform", "weighted_sample"]
+__all__ = [
+    "stratified_sample",
+    "hash_split",
+    "hash_uniform",
+    "weighted_sample",
+    "temperature_sample",
+]
 
 
 def _hash_order(key_col: str) -> F.Column:
@@ -68,6 +74,51 @@ def weighted_sample(
     for group, r in sorted(rates.items()):
         rate = F.when(F.col(rate_col) == group, F.lit(float(r))).otherwise(rate)
     return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled group rebalancing — the standard multilingual
+    pretraining mix (sampling probabilities ∝ p^(1/T), T > 1 upweights
+    low-resource groups).
+
+    Unlike ``weighted_sample`` the acceptance rates are COMPUTED from
+    the corpus's own group distribution: with p_g the group's share,
+    rate_g ∝ p_g^(1/T − 1), normalized so the rarest group keeps
+    everything. The corpus share cancels to a pure count ratio,
+    rate_g = (c_min / c_g)^(1 − 1/T), so the rates are exact integer-
+    ratio arithmetic; for the default T = 2 the exponent is ½ and the
+    rate is ``sqrt(c_min / c_g)`` — sqrt is correctly rounded IEEE on
+    every engine, making the survivor set value-oracle-able. Rows keep
+    iff their portable md5 uniform falls under the group's rate.
+
+    Plan shape: one map-side-combinable group count (group-cardinality-
+    sized), a broadcast of the tiny rate table, and a narrow filter —
+    no corpus shuffle at any scale.
+    """
+    exponent = 1.0 - 1.0 / float(temperature)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    ratio = F.col("__cmin").cast("double") / F.col("__c").cast("double")
+    rate = (
+        F.sqrt(ratio)
+        if exponent == 0.5
+        else F.pow(ratio, F.lit(exponent))
+    )
+    rates = counts.join(F.broadcast(cmin)).select(
+        group_col, rate.alias("__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(key_col, salt) < F.col("__rate"))
+        .withColumn("rate", F.round("__rate", 6))
+        .drop("__rate")
+    )
 
 
 def stratified_sample(

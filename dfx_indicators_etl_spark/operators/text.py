@@ -25,6 +25,7 @@ __all__ = [
     "repetition_stats",
     "contamination_flags",
     "unigram_logprob",
+    "bigram_logprob",
     "pmi_bigrams",
     "char_entropy",
     "STOPWORDS",
@@ -532,6 +533,71 @@ def unigram_logprob(
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("__nll"), 6).alias("mean_nll"),
         F.count("*").cast("bigint").alias("n_words"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated bigram LM trained on
+    the corpus itself — one modeling order above ``unigram_logprob``'s
+    perplexity proxy (catches scrambled-word-salad that unigram
+    frequencies can't).
+
+    p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N  (MLE bigram with
+    unigram interpolation — never zero, so no smoothing epsilon).
+    Docs with < 2 tokens have no bigrams and drop out. The expression
+    is written with the literal shapes ``λ`` and ``(1.0 − λ)`` so an
+    oracle reproduces the identical doubles.
+
+    Plan: bigram + unigram count aggregations (map-side combinable,
+    vocab²-/vocab-sized shuffles), broadcast frequency tables onto the
+    per-doc bigram instances, one per-doc mean. Same 100 TB shape as
+    ``unigram_logprob``; AQE falls back to shuffle joins if a
+    pathological vocab exceeds the broadcast threshold.
+    """
+    t = tokens(text_col)
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, m).alias("w1"), F.slice(t, 2, m).alias("w2")
+    )
+    big = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+    ).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = df.select(F.explode(t).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    total = ucnt.agg(F.sum("c").cast("double").alias("__n"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    p = (
+        F.lit(lam) * (F.col("c12").cast("double") / F.col("__c1").cast("double"))
+        + (F.lit(1.0) - F.lit(lam))
+        * (F.col("__c2").cast("double") / F.col("__n"))
+    )
+    scored = (
+        big.join(F.broadcast(bcnt), ["w1", "w2"])
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+            ),
+            "w2",
+        )
+        .join(F.broadcast(total))
+        .select("doc_id", (-F.log(p)).alias("__nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("__nll"), 6).alias("mean_nll"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
     )
 
 

@@ -353,6 +353,79 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_logprob",
+    # Interpolated bigram LM: identical literal shapes on both engines
+    # (CAST(0.7 AS DOUBLE), (1.0 − 0.7) — NOT the literal 0.3, a
+    # different double) so every p(w2|w1) is bit-identical.
+    oracle=f"""
+    WITH toks AS ({TOKS_SQL}),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ucnt),
+    big AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+                   AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    inst AS (
+        SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2
+        FROM big
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM inst GROUP BY w1, w2),
+    scored AS (
+        SELECT inst.doc_id,
+               -ln(CAST(0.7 AS DOUBLE)
+                   * (CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                   * (CAST(u2.c AS DOUBLE) / tot.n)) AS nll
+        FROM inst
+        JOIN bcnt b ON b.w1 = inst.w1 AND b.w2 = inst.w2
+        JOIN ucnt u1 ON u1.w = inst.w1
+        JOIN ucnt u2 ON u2.w = inst.w2, tot
+    )
+    SELECT doc_id, round(AVG(nll), 6) AS mean_nll,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM NLL per document (order-2 quality)."""
+    return text.bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_temperature",
+    # T = 2 rates reduce to sqrt(c_min/c_g) — correctly rounded IEEE
+    # sqrt over an exact integer-count ratio, engine-identical.
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (
+        SELECT lang, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        FROM c, m
+    )
+    SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+    FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(concat('temp',
+              CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature rebalancing of the language mix (mT5-style:
+    rare languages keep everything, dominant ones downsample)."""
+    kept = sampling.temperature_sample(
+        read_table(spark, sf_dir, "documents"),
+        group_col="lang",
+        key_col="doc_id",
+        temperature=2.0,
+    )
+    return kept.select("doc_id", "lang", "rate")
+
+
+@query(
     "text_pmi_bigrams",
     # Sum-of-logs PMI: the identical left-associated expression on both
     # engines (ln n + 2·ln N1 − ln N2 − ln c1 − ln c2) — the integer-

@@ -847,3 +847,52 @@ def test_char_entropy_closed_forms(spark):
     assert abs(out[2]["entropy_bits"] - 1.0) < 1e-6
     assert abs(out[3]["entropy_bits"] - 2.0) < 1e-6
     assert out[3]["n_chars"] == 8 and out[3]["n_distinct"] == 4
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from dfx_indicators_etl_spark.operators import sampling
+
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "fr") for i in range(100)] + [
+        (2000 + i, "de") for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(docs, "lang", "doc_id", temperature=2.0)
+    got = out.collect()
+    rates = {r["lang"]: r["rate"] for r in got}
+    # rarest group keeps everything (rate 1.0); rates follow sqrt(c_min/c)
+    assert rates["de"] == 1.0
+    assert abs(rates["fr"] - round((25 / 100) ** 0.5, 6)) < 1e-9
+    assert abs(rates["en"] - round((25 / 400) ** 0.5, 6)) < 1e-9
+    kept = {lang: sum(1 for r in got if r["lang"] == lang) for lang in rates}
+    assert kept["de"] == 25  # rate 1.0 keeps all
+
+    # determinism: identical survivor set across runs
+    again = {r["doc_id"] for r in sampling.temperature_sample(
+        docs, "lang", "doc_id", temperature=2.0).collect()}
+    assert again == {r["doc_id"] for r in got}
+    # T→1 degenerates to keep-everything (exponent 0 → rate 1)
+    all_kept = sampling.temperature_sample(docs, "lang", "doc_id", temperature=1.0)
+    assert all_kept.count() == len(rows)
+
+
+def test_bigram_logprob_known_value(spark):
+    import math
+
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.bigram_logprob(docs).collect()}
+    # doc 3 has no bigrams -> absent
+    assert set(out) == {1, 2}
+    # corpus: tokens a=4, b=2, c=1, N=7; bigrams: (a,b)=2, (b,a)=1, (a,a)=1
+    lam = 0.7
+    def p(c12, c1, c2):
+        return lam * (c12 / c1) + (1.0 - lam) * (c2 / 7.0)
+    expect1 = -(math.log(p(2, 4, 2)) + math.log(p(1, 2, 4)) + math.log(p(2, 4, 2))) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_nll"] - round(expect1, 6)) < 1e-9
+    expect2 = -math.log(p(1, 4, 4))
+    assert abs(out[2]["mean_nll"] - round(expect2, 6)) < 1e-9

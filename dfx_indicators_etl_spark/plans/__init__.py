@@ -11,72 +11,73 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-6 rotation (VERDICT r5 directive 3): (a)
-# the full 32-key cohort whose latest driver evidence is r3 — after
-# this round no key's evidence is older than r4; (b) every key whose
-# implementation is touched in round 6 (streaming ops advice fixes,
-# k-means seeding/partial-combine rework and the ANN/PQ stack built on
-# its codebooks, the q2 join strategy) — fresh evidence over fresh
-# code; (c) the oldest r4-evidenced keys fill the remaining slots.
-# Exactly 50 keys precede the boundary comment.
+# in insertion order. Round-7 rotation: (a) the 5 NEW round-7 keys
+# (first driver evidence); (b) the 2 keys graduated from rows-only to
+# full value oracles this round (first hash-checked rows); (c) every
+# key whose implementation round 7 touched (the shingle null-contract
+# coalesce feeds the whole dedup family; the blocked-pairs expansion
+# was factored out under dedup_embedding_cosine and the cluster ops);
+# (d) 36 of the 41 keys whose latest driver evidence is r4 — the
+# oldest cohort. The 5 r4 keys that didn't fit (q10_returned_item,
+# q_top_suppliers, q_unpivot, q_window_range, q_window_topk) lead the
+# round-8 rotation. Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) latest green row is r3 — 32 keys
-    "ind_star_series",
-    "ind_star_observation",
-    "dedup_exact",
+    # (a) new in round 7 — 5 keys
+    "emb_knn_graph",
+    "text_pmi_bigrams",
+    "text_entropy",
+    "text_bigram_logprob",
+    "sample_temperature",
+    # (b) oracle graduations in round 7 — 2 keys
+    "sim_lsh_ann",
+    "stream_anomaly",
+    # (c) implementation touched in round 7 — 7 keys
     "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_scrub_pii",
-    "text_repetition",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_word_vocab",
-    "text_quality_filter",
-    "sim_bruteforce_topk",
-    "sample_stratified",
-    "sample_train_test",
-    "emb_l2_norm",
-    "emb_label_centroids",
-    "q_pagerank_nations",
-    "q12_priority_class",
-    "mm_decode_stub",
-    "mm_resize_stub",
-    "mm_frame_sample",
-    "sink_versioned_roundtrip",
-    "sink_partitioned_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "stream_incremental_sink",
-    # (b) implementation touched in round 6 — 11 keys
-    "stream_anomaly",
-    "stream_upsert_sink",
-    "stream_minhash_dedup_banded",
-    "emb_kmeans",
-    "emb_pca",
-    "emb_pq_codes",
-    "sim_ivf_ann",
-    "sim_ivfpq_ann",
-    "sim_lsh_ann",
-    "q2_min_cost_supplier",
-    "ind_upsert",
-    # (c) NEW surface added in round 6 (no driver row exists yet) — 4
     "dedup_containment",
-    "sample_weighted",
-    "text_heavy_hitters",
-    "stream_topk",
-    # (c2) re-implemented in round 6 (sign-projection oracle) — 1
-    "emb_random_projection",
-    # (d) oldest r4 evidence — 2 keys fill the window
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_survivors",
+    # (d) oldest (r4) driver evidence — 36 keys fill the window
+    "q5_local_supplier",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q_anti_join",
+    "q_asof_nearest",
+    "q_correlated_scalar",
+    "q_cube",
+    "q_distinct_agg",
+    "q_events_sessionize",
+    "q_grouping_sets",
+    "q_orders_enriched",
+    "q_percentile",
+    "q_pivot",
+    "q_rollup",
+    "q_semi_join",
+    "q_skew_salted_agg",
+    "q_sql_interface",
+    "q_union_dedup",
+    "q_window_frame",
+    "stream_events_windowed",
+    "stream_minhash_dedup",
+    "stream_static_enrich",
+    "stream_stream_join",
     # --- window boundary: exactly 50 keys above this line ---
-    # r4/r5-green keys follow in registration order (fresh evidence)
+    # r5/r6-green keys follow in registration order (fresh evidence)
 ]
 
 

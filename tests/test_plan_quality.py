@@ -261,3 +261,16 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         assert joined.count() == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_graph_plan_shape(spark, sf_dir):
+    """The mutual-kNN reduction is a fact-fact join over n·k directed
+    edges — a shuffle (sort-merge) join is the INTENDED plan (neither
+    side is broadcastable at corpus scale); the blocked expansion must
+    broadcast only the tiny block-pair table."""
+    plan = _plan(spark, sf_dir, "emb_knn_graph")
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1
+    assert "BatchEvalPython" not in plan

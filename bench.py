@@ -169,6 +169,7 @@ HEADLINE = (
     "text_entropy",
     "text_bigram_logprob",
     "sample_temperature",
+    "sink_compact_roundtrip",
 )
 
 

@@ -310,6 +310,27 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(out, output_mode="append")
 
 
+@query("sink_compact_roundtrip", oracle="SELECT * FROM nation")
+def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round trip (§E maintenance op): a
+    deliberately fragmented 16-file write is compacted to ≤2 files via
+    the staging-then-swap rewrite, and the oracle proves the content
+    survived bit-for-bit. The lakehouse OPTIMIZE shape — at 100 TB the
+    same plan runs per partition directory off the file listing."""
+    root = _scratch("dfx_compact_")
+    try:
+        path = f"{root}/nation.parquet"
+        read_table(spark, sf_dir, "nation").repartition(16).write.parquet(
+            path
+        )
+        n_files = sinks.compact_dataset(spark, path, target_partitions=2)
+        if n_files > 2:
+            raise AssertionError(f"compaction left {n_files} files")
+        return spark.read.parquet(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @query("sink_orc_roundtrip", oracle="SELECT * FROM nation")
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write + read round trip (§E source-format breadth): Spark's

@@ -355,3 +355,80 @@ def test_containment_bounds_and_dominates_jaccard(spark, data):
     for pair, (ca, cb) in cont.items():
         assert 0 < ca <= 1 and 0 < cb <= 1
         assert max(ca, cb) >= jac[pair] - 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=40).filter(str.strip),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_entropy_bounds(spark, texts):
+    """0 ≤ H ≤ log2(n_distinct); H = 0 iff one distinct char; the
+    Spark value matches a direct Python model to the 6dp rounding."""
+    import collections
+
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.char_entropy(docs).collect()}
+    for i, s in enumerate(texts):
+        c = collections.Counter(s)
+        n = len(s)
+        model = -sum(
+            round((k / n) * math.log(k / n), 12) for k in c.values()
+        ) / math.log(2.0)
+        r = out[i]
+        assert r["n_distinct"] == len(c) and r["n_chars"] == n
+        # 6dp output rounding can sit half a step above the bound
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(len(c)) + 5e-7
+        assert abs(r["entropy_bits"] - round(model, 6)) < 1e-9
+        if len(c) == 1:
+            assert r["entropy_bits"] == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "fr", "de", "es"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=2,
+        max_size=4,
+    ),
+    st.sampled_from([1.5, 2.0, 4.0]),
+)
+def test_temperature_sample_rate_properties(spark, group_sizes, temperature):
+    """Rates are 1.0 for the rarest group, anti-monotone in group size,
+    and equal-count groups get equal rates."""
+    from dfx_indicators_etl_spark.operators import sampling
+
+    rows = [
+        (g_i * 1000 + i, lang)
+        for g_i, (lang, n) in enumerate(sorted(group_sizes.items()))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(
+        docs, "lang", "doc_id", temperature=temperature
+    )
+    rates = {
+        r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()
+    }
+    # every group with at least one survivor exposes its rate; the
+    # rarest group's rate is exactly 1.0 so it always survives whole
+    cmin = min(group_sizes.values())
+    for lang, n in group_sizes.items():
+        if n == cmin:
+            assert rates.get(lang) == 1.0
+    seen = [(group_sizes[lang], rate) for lang, rate in rates.items()]
+    for (na, ra), (nb, rb) in zip(seen, seen[1:]):
+        if na == nb:
+            assert ra == rb
+    for na, ra in seen:
+        for nb, rb in seen:
+            if na < nb:
+                assert ra >= rb

@@ -52,6 +52,13 @@ PROBES = {
     "dedup_minhash": ("documents",),
     "text_quality": ("documents",),
     "emb_kmeans": ("embeddings",),
+    # round 7: LM/collocation counting + computed-rate sampling — the
+    # token-suffixed replicas grow the vocab K×, so these measure the
+    # vocab-sized shuffle + broadcast-freq-join story, not just scans.
+    "text_pmi_bigrams": ("documents",),
+    "text_bigram_logprob": ("documents",),
+    "text_entropy": ("documents",),
+    "sample_temperature": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -170,6 +170,7 @@ HEADLINE = (
     "text_bigram_logprob",
     "sample_temperature",
     "sink_compact_roundtrip",
+    "dedup_incremental",
 )
 
 

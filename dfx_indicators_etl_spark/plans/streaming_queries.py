@@ -209,6 +209,41 @@ def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query("dedup_incremental")  # rows-only: xxhash64 band family (perf path)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental near-dup dedup — the daily-ingest production
+    pattern: documents split into a history half and a "new crawl"
+    half (odd doc_ids), history claims its band buckets first, then
+    the new batch is flagged against the WHOLE accumulated claims
+    table without recomputing history. Shares the claims-table state
+    machine (and its idempotent-retry contract) with
+    ``stream_minhash_dedup_banded``; per batch the cost is batch ×
+    bands, never corpus². Rows-only because the band signatures use
+    the xxhash64 perf-path family (the md5 oracle family is
+    ``dedup_minhash``'s); determinism, history-catching, and retry
+    idempotence are pytest-pinned (tests/test_streaming_banded.py)."""
+    root = _scratch("dfx_incr_")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.timestamp_micros(
+                F.lit(1_600_000_000_000_000) + F.col("doc_id") * 1_000_000
+            ).alias("ts"),
+        )
+        history = docs.filter(F.col("doc_id") % 2 == 0)
+        incoming = docs.filter(F.col("doc_id") % 2 == 1)
+        state = f"{root}/claims"
+        streaming.incremental_minhash_dedup(history, state, "b-hist").collect()
+        out = streaming.incremental_minhash_dedup(incoming, state, "b-new")
+        return (
+            out.select("doc_id", "is_dup", "n_bands")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Scratch space stays inside the repo (gitignored) — the harness must
 # not write outside it.
 _SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"

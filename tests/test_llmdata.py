@@ -896,3 +896,34 @@ def test_bigram_logprob_known_value(spark):
     assert abs(out[1]["mean_nll"] - round(expect1, 6)) < 1e-9
     expect2 = -math.log(p(1, 4, 4))
     assert abs(out[2]["mean_nll"] - round(expect2, 6)) < 1e-9
+
+
+def test_knn_graph_block_count_invariance(spark, sf_dir):
+    """Exactness under the blocked plan: the mutual edge set is
+    identical whether the corpus fits one block or is split across
+    seven (local-top-k-per-pair + global rank loses nothing)."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(80).localCheckpoint()
+
+    def edges(n_blocks):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in similarity.knn_graph(emb, k=3, n_blocks=n_blocks).collect()
+        )
+
+    assert edges(1) == edges(7)
+
+
+def test_char_entropy_partition_invariance(spark):
+    """DECIMAL term summation: identical entropy under any input
+    partitioning (a double sum would drift in the last ulp)."""
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, ("abcdefgh" * (i % 7 + 1))[: i + 3]) for i in range(64)],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r["entropy_bits"] for r in T.char_entropy(docs.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["entropy_bits"] for r in T.char_entropy(docs.repartition(13)).collect()}
+    assert one == many

@@ -171,6 +171,8 @@ HEADLINE = (
     "sample_temperature",
     "sink_compact_roundtrip",
     "dedup_incremental",
+    "q_histogram",
+    "q_yoy_growth",
 )
 
 

@@ -1374,3 +1374,116 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcount("n_events"),
         F.sum("value_dec").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q_histogram",
+    # Equi-width histogram with in-plan min/max scalars: bucket
+    # boundaries and counts are identical on both engines (same
+    # double expression shape, floor, LEAST clamp for v = max).
+    oracle="""
+    WITH s AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem
+    ),
+    b AS (
+        SELECT LEAST(CAST(floor((l_extendedprice - s.mn)
+                   / ((s.mx - s.mn) / 20.0)) AS INTEGER), 19) AS bucket
+        FROM lineitem, s
+    )
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(s.mn + b.bucket * ((s.mx - s.mn) / 20.0), 6) AS lo,
+           round(s.mn + (b.bucket + 1) * ((s.mx - s.mn) / 20.0), 6) AS hi
+    FROM b, s GROUP BY b.bucket, s.mn, s.mx
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of l_extendedprice.
+
+    The data-profiling staple next to q_table_profile: bucket width
+    derives from an in-plan 1-row min/max aggregate broadcast onto the
+    fact scan (no driver round-trip), bucketing is a narrow codegen
+    expression, and the final count is a 20-group combinable
+    aggregate. At 100 TB: one scan, one 20-row shuffle.
+    """
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+    stats = lineitem.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
+        F.lit(19),
+    )
+    return (
+        lineitem.select("l_extendedprice")
+        .join(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("mn") + F.col("bucket") * width, 6).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * width, 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_yoy_growth",
+    # Exact decimal yearly sums -> identical doubles -> identical
+    # division; first year per nation has NULL growth.
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name, year(l.l_shipdate) AS yr,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name, year(l.l_shipdate)
+    )
+    SELECT n_name, CAST(yr AS INTEGER) AS yr, revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per supplier nation (the lag-
+    window reporting classic).
+
+    One combinable decimal aggregate to (nation, year) — 25×7 rows —
+    then a lag window over the tiny aggregate: the window input is
+    group-cardinality-sized, never the fact table. Supplier/nation
+    dims broadcast onto the lineitem scan.
+    """
+    lineitem, supplier, nation = read_tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    from pyspark.sql import Window
+
+    yearly = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(_revenue(), "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        F.col("yr").cast("int").alias("yr"),
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )

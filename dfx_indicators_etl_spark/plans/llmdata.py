@@ -1132,15 +1132,86 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_kmeans")  # rows-only: iterative float means are engine-specific
+def _kmeans_oracle_sql(k: int = 8, d: int = 64, m: int = 64, iters: int = 10) -> str:
+    """Unrolled SQL replay of the PORTABLE k-means (FULL value oracle,
+    round-7 graduation): md5-ordered sample → maximin seeding (k−1
+    argmax steps) → ``iters`` Lloyd rounds with exact scaled-DECIMAL
+    centroid sums. Converged centroids are a Lloyd fixed point, so the
+    static unroll agrees with the operator's exact-fixed-point early
+    stop. CTEs are MATERIALIZED: inlining would re-evaluate cent{t}
+    twice per round (2^iters blowup) and re-open the parquet view per
+    reference."""
+
+    def dist(v, c):
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}),"
+            f" i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+        )
+
+    sql = [
+        "WITH e0 AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS MATERIALIZED (SELECT vec_id, v, ROW_NUMBER() OVER ("
+        " ORDER BY md5(concat('km', CAST(vec_id AS VARCHAR))), vec_id)"
+        f" AS pos FROM e0 QUALIFY pos <= {m})",
+        "c0 AS (SELECT 0 AS cluster, v AS cv FROM samp WHERE pos = 1)",
+    ]
+    union = "SELECT * FROM c0"
+    for j in range(1, k):
+        sql.append(
+            f"ch{j} AS MATERIALIZED ({union}),\n"
+            f"dm{j} AS (SELECT s.pos, s.v, MIN({dist('s.v', 'c.cv')}) AS dmin"
+            f" FROM samp s, ch{j} c GROUP BY s.pos, s.v),\n"
+            f"c{j} AS MATERIALIZED (SELECT {j} AS cluster, v AS cv"
+            f" FROM dm{j} ORDER BY dmin DESC, pos LIMIT 1)"
+        )
+        union += f" UNION ALL SELECT * FROM c{j}"
+    sql.append(f"cent0 AS MATERIALIZED ({union})")
+    for t in range(iters):
+        sql.append(
+            f"asg{t} AS MATERIALIZED (SELECT vec_id, v, cluster FROM (\n"
+            f"  SELECT e0.vec_id, e0.v, c.cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY e0.vec_id ORDER BY {dist('e0.v', 'c.cv')},"
+            f" c.cluster) AS rn FROM e0, cent{t} c) WHERE rn = 1),\n"
+            f"sums{t} AS (SELECT cluster, i.i AS dim,"
+            " SUM(CAST(CAST(round(v[i.i+1] * 1000000000000.0) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS s, COUNT(*) AS cnt"
+            f" FROM asg{t}, range({d}) i(i) GROUP BY cluster, i.i),\n"
+            f"cent{t + 1} AS MATERIALIZED (SELECT p.cluster,"
+            " COALESCE(n.nv, p.cv) AS cv"
+            f" FROM cent{t} p LEFT JOIN (SELECT cluster,"
+            " list((CAST(s AS DOUBLE) / 1000000000000.0) / cnt"
+            f" ORDER BY dim) AS nv FROM sums{t} GROUP BY cluster) n"
+            " USING (cluster))"
+        )
+    sql.append(
+        "final AS (SELECT vec_id, cluster,"
+        " round(sqrt(GREATEST(dist, 0)), 6) AS dist FROM (\n"
+        "  SELECT e0.vec_id, c.cluster,"
+        f" {dist('e0.v', 'c.cv')} AS dist, ROW_NUMBER() OVER ("
+        f"PARTITION BY e0.vec_id ORDER BY {dist('e0.v', 'c.cv')},"
+        f" c.cluster) AS rn FROM e0, cent{iters} c) WHERE rn = 1)"
+    )
+    return (
+        ",\n".join(sql)
+        + "\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist FROM final"
+    )
+
+
+@query("emb_kmeans", oracle=_kmeans_oracle_sql())
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means cluster assignments over the
     embedding corpus (k=8): broadcast-closure centroids, Arrow BLAS
     assignment, combinable (cluster, dim) mean update — see
-    operators/similarity.py kmeans for the scale argument. Pytest
-    asserts monotone inertia and nearest-centroid consistency."""
+    operators/similarity.py kmeans for the scale argument. Runs in
+    PORTABLE mode (md5 sample order, deterministic maximin seeding,
+    exact scaled-decimal Lloyd partials), so the full iterative
+    algorithm carries a value oracle: the SQL unrolls seeding + 10
+    Lloyd rounds and reproduces every centroid double bit-for-bit.
+    Pytest asserts monotone inertia, nearest-centroid consistency,
+    and inertia within 10% of numpy k-means++."""
     return similarity.kmeans(
-        read_table(spark, sf_dir, "embeddings"), k=8, n_iter=10
+        read_table(spark, sf_dir, "embeddings"), k=8, n_iter=10, portable=True
     )
 
 

@@ -927,3 +927,25 @@ def test_char_entropy_partition_invariance(spark):
     one = {r["doc_id"]: r["entropy_bits"] for r in T.char_entropy(docs.coalesce(1)).collect()}
     many = {r["doc_id"]: r["entropy_bits"] for r in T.char_entropy(docs.repartition(13)).collect()}
     assert one == many
+
+
+def test_kmeans_portable_quality_and_invariance(spark):
+    """The portable (oracle-able) mode: inertia within 10% of the
+    k-means++ library path on the sf0.01 embeddings, and — because
+    Lloyd partials sum as exact scaled decimals — assignments are
+    IDENTICAL under any input partitioning (the float-partials path
+    can drift in the last ulp; the portable path cannot)."""
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    portable = similarity.kmeans(emb, k=8, n_iter=10, portable=True).collect()
+    classic = similarity.kmeans(emb, k=8, n_iter=10).collect()
+    pi = sum(r["dist"] ** 2 for r in portable)
+    ci = sum(r["dist"] ** 2 for r in classic)
+    assert pi <= ci * 1.10, (pi, ci)
+
+    again = similarity.kmeans(
+        emb.repartition(13), k=8, n_iter=10, portable=True
+    ).collect()
+    key = lambda rows: sorted((r["vec_id"], r["cluster"], r["dist"]) for r in rows)
+    assert key(again) == key(portable)

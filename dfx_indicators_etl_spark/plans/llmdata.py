@@ -808,7 +808,104 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(read_table(spark, sf_dir, "embeddings"), k=5)
 
 
-@query("sim_ivf_ann")  # rows-only: approximate (probe subset)
+def _ivf_oracle_sql(
+    n_cent: int = 16,
+    iters: int = 5,
+    m: int = 256,
+    n_probe: int = 6,
+    d: int = 64,
+    k: int = 5,
+) -> str:
+    """Unrolled SQL replay of ``ivf_topk`` (FULL value oracle, round-7
+    graduation): first-m-by-id sample → spherical Lloyd's (argmax-dot
+    assign, mean, renormalize) × ``iters`` → corpus cell assignment →
+    per-query top-``n_probe`` cell probe → exact 6dp cosine re-rank.
+    The codebook floats need NOT be bit-identical across engines: the
+    output depends on them only through DISCRETE choices (cell argmax,
+    probe top-6) whose margins dwarf float-summation ulps, plus exact
+    cosines over raw vectors — so the operator needed NO changes.
+    MATERIALIZED CTEs for the same re-evaluation reasons as the
+    k-means oracle."""
+
+    def dot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, {d + 1}),"
+            f" i -> ({a}[i])*({b}[i])))"
+        )
+
+    def unit(v, n):
+        return (
+            f"list_transform({v}, x -> x / (CASE WHEN {n} = 0"
+            f" THEN 1.0 ELSE {n} END))"
+        )
+
+    def nrm(v):
+        return f"sqrt(list_sum(list_transform({v}, x -> x*x)))"
+
+    sql = [
+        "WITH e0 AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS MATERIALIZED (SELECT vec_id, v, ROW_NUMBER() OVER ("
+        f" ORDER BY vec_id) AS pos FROM e0 QUALIFY pos <= {m})",
+        "su AS MATERIALIZED (SELECT pos, " + unit("v", "nrm") + " AS u"
+        " FROM (SELECT pos, v, " + nrm("v") + " AS nrm FROM samp))",
+        "cent0 AS MATERIALIZED (SELECT pos - 1 AS cluster, u AS cv"
+        f" FROM su WHERE pos <= {n_cent})",
+    ]
+    for t in range(iters):
+        sql.append(
+            f"asg{t} AS MATERIALIZED (SELECT pos, u, cluster FROM (\n"
+            f"  SELECT su.pos, su.u, c.cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY su.pos ORDER BY {dot('su.u', 'c.cv')} DESC,"
+            f" c.cluster) AS rn FROM su, cent{t} c) WHERE rn = 1),\n"
+            f"mean{t} AS (SELECT cluster, list(m ORDER BY dim) AS mv FROM (\n"
+            f"  SELECT cluster, i.i AS dim, AVG(u[i.i+1]) AS m"
+            f" FROM asg{t}, range({d}) i(i) GROUP BY cluster, i.i)"
+            " GROUP BY cluster),\n"
+            f"cent{t + 1} AS MATERIALIZED (SELECT p.cluster,"
+            " COALESCE(n.cv2, p.cv) AS cv"
+            f" FROM cent{t} p LEFT JOIN (SELECT cluster, "
+            + unit("mv", "nrm") + " AS cv2 FROM (SELECT cluster, mv, "
+            + nrm("mv") + " AS nrm"
+            f" FROM mean{t})) n USING (cluster))"
+        )
+    sql.append(
+        "eu AS MATERIALIZED (SELECT vec_id, " + unit("v", "nrm") + " AS u"
+        " FROM (SELECT vec_id, v, " + nrm("v") + " AS nrm FROM e0))"
+    )
+    sql.append(
+        "cells AS MATERIALIZED (SELECT vec_id, cell FROM (\n"
+        "  SELECT eu.vec_id, c.cluster AS cell, ROW_NUMBER() OVER ("
+        f"PARTITION BY eu.vec_id ORDER BY {dot('eu.u', 'c.cv')} DESC,"
+        f" c.cluster) AS rn FROM eu, cent{iters} c) WHERE rn = 1)"
+    )
+    sql.append(
+        "qprobe AS (SELECT query_id, cell FROM (\n"
+        "  SELECT eu.vec_id AS query_id, c.cluster AS cell,"
+        " ROW_NUMBER() OVER (PARTITION BY eu.vec_id"
+        f" ORDER BY {dot('eu.u', 'c.cv')} DESC, c.cluster) AS rn"
+        f" FROM eu, cent{iters} c WHERE eu.vec_id < 10)"
+        f" WHERE rn <= {n_probe})"
+    )
+    sql.append(
+        "cand AS (SELECT p.query_id, s.vec_id AS neighbor_id"
+        " FROM qprobe p JOIN cells s ON s.cell = p.cell"
+        " WHERE s.vec_id <> p.query_id),\n"
+        "scored AS (SELECT cand.query_id, cand.neighbor_id,"
+        " round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim"
+        " FROM cand JOIN e0 a ON a.vec_id = cand.query_id"
+        " JOIN e0 b ON b.vec_id = cand.neighbor_id)"
+    )
+    return (
+        ",\n".join(sql)
+        + "\nSELECT query_id, neighbor_id, cos_sim, rank FROM ("
+        "SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank"
+        f" FROM scored) WHERE rank <= {k}"
+    )
+
+
+@query("sim_ivf_ann", oracle=_ivf_oracle_sql())
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN top-5 (scale path; recall < 1)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1364,7 +1461,81 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_pq_codes")  # rows-only: Lloyd's codebooks are engine-specific
+def _pq_oracle_sql(n_sub=8, n_cent=16, iters=5, m_samp=256, d=64, qfilter=None):
+    """Unrolled SQL replay of ``pq_codes`` (FULL value oracle, round-7
+    graduation): per sub-space, first-m-by-id sample -> Lloyd's
+    (argmin-distance assign, mean) x iters -> whole-corpus code
+    assignment; reconstruction error is the 6dp-rounded sqrt of the
+    per-sub-space minimal distances. Codes are DISCRETE argmins and the
+    error is rounded, so codebook float ulp differences between numpy
+    and SQL cannot surface (the sim_ivf_ann argument). Flattened to
+    (vec_id, subspace, code, recon_err) to match the registered query.
+    MATERIALIZED CTEs as in the k-means oracle."""
+    sub = d // n_sub
+
+    def dist(a, b, nd):
+        return (f"list_sum(list_transform(range(1, {nd + 1}),"
+                f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
+
+    sql = [
+        "WITH e0 AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS MATERIALIZED (SELECT vec_id, v, ROW_NUMBER() OVER ("
+        f" ORDER BY vec_id) AS pos FROM e0 QUALIFY pos <= {m_samp})",
+    ]
+    for m in range(n_sub):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sql.append(
+            f"s{m} AS MATERIALIZED (SELECT pos, v[{lo}:{hi}] AS b FROM samp),\n"
+            f"bk{m}0 AS MATERIALIZED (SELECT pos - 1 AS cluster, b AS cv"
+            f" FROM s{m} WHERE pos <= {n_cent})"
+        )
+        for t in range(iters):
+            sql.append(
+                f"a{m}{t} AS MATERIALIZED (SELECT pos, b, cluster FROM (\n"
+                f"  SELECT s.pos, s.b, c.cluster, ROW_NUMBER() OVER ("
+                f"PARTITION BY s.pos ORDER BY {dist('s.b', 'c.cv', sub)},"
+                f" c.cluster) AS rn FROM s{m} s, bk{m}{t} c) WHERE rn = 1),\n"
+                f"mn{m}{t} AS (SELECT cluster, list(mm ORDER BY dim) AS mv FROM (\n"
+                f"  SELECT cluster, i.i AS dim, AVG(b[i.i+1]) AS mm"
+                f" FROM a{m}{t}, range({sub}) i(i) GROUP BY cluster, i.i)"
+                " GROUP BY cluster),\n"
+                f"bk{m}{t + 1} AS MATERIALIZED (SELECT p.cluster,"
+                f" COALESCE(n.mv, p.cv) AS cv FROM bk{m}{t} p"
+                f" LEFT JOIN mn{m}{t} n USING (cluster))"
+            )
+        sql.append(
+            f"c{m} AS MATERIALIZED (SELECT vec_id, cluster, dd FROM (\n"
+            f"  SELECT e0.vec_id, c.cluster,"
+            f" {dist(f'e0.v[{lo}:{hi}]', 'c.cv', sub)} AS dd,"
+            f" ROW_NUMBER() OVER (PARTITION BY e0.vec_id"
+            f" ORDER BY {dist(f'e0.v[{lo}:{hi}]', 'c.cv', sub)}, c.cluster)"
+            f" AS rn FROM e0, bk{m}{iters} c) WHERE rn = 1)"
+        )
+    joins = " ".join(
+        f"JOIN c{m} ON c{m}.vec_id = e0.vec_id" for m in range(n_sub)
+    )
+    errs = " + ".join(f"GREATEST(c{m}.dd, 0)" for m in range(n_sub))
+    sql.append(
+        f"err AS MATERIALIZED (SELECT e0.vec_id,"
+        f" round(sqrt({errs}), 6) AS recon_err FROM e0 {joins}),\n"
+        "flat AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {m} AS subspace, cluster AS code FROM c{m}"
+            for m in range(n_sub)
+        )
+        + ")"
+    )
+    return (
+        ",\n".join(sql)
+        + "\nSELECT f.vec_id, CAST(f.subspace AS INTEGER) AS subspace,"
+        " CAST(f.code AS INTEGER) AS code, e.recon_err"
+        " FROM flat f JOIN err e USING (vec_id)"
+    )
+
+
+
+@query("emb_pq_codes", oracle=_pq_oracle_sql())
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (8 sub-spaces × 16 centroids): each vector
     as 8 codebook codes + its L2 reconstruction error — the

@@ -625,9 +625,13 @@ def ivfpq_topk(
             out["approx_d2"] = approx
             # partition-local shortlist per query: the exchange moves
             # rerank_factor·k rows per (partition, query), never all
-            # candidates
+            # candidates. Tie-break on the id like the global window
+            # does, so the local head is a true prefix of the global
+            # (approx_d2, id) order — exact LUT ties (duplicate
+            # vectors) at the boundary would otherwise make the final
+            # shortlist partition-dependent.
             out = (
-                out.sort_values(["query_id", "approx_d2"])
+                out.sort_values(["query_id", "approx_d2", id_col])
                 .groupby("query_id", sort=False)
                 .head(shortlist)
             )

@@ -1450,7 +1450,153 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivfpq_ann")  # rows-only: approximate (probe + PQ prefilter)
+def _ivfpq_oracle_sql(n_cent=16, n_probe=8, n_sub=8, pq_cent=16, iters=5,
+                      m_samp=256, d=64, k=5, rerank_factor=32):
+    """Unrolled SQL replay of ``ivfpq_topk`` (FULL value oracle,
+    round-7 graduation — the last ANN key): spherical coarse codebook +
+    8 per-sub-space PQ codebooks (both Lloyd-unrolled as in the
+    sim_ivf_ann / emb_pq_codes oracles), corpus cell + code assignment,
+    per-query probe, LUT approximate distances, the GLOBAL
+    (approx_d2, id)-ordered shortlist of rerank_factor*k, and the exact
+    6dp cosine re-rank. Oracle-able because the operator's shortlist
+    cut is global and id-tie-broken (the partition-local heads are a
+    true prefix of the same order), so the output depends on codebook
+    floats only through discrete choices + rounded exacts."""
+    sub = d // n_sub
+    short = rerank_factor * k
+
+    def dot(a, b, nd=d):
+        return (f"list_sum(list_transform(range(1, {nd + 1}),"
+                f" i -> ({a}[i])*({b}[i])))")
+
+    def dist(a, b, nd):
+        return (f"list_sum(list_transform(range(1, {nd + 1}),"
+                f" i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))")
+
+    def unit(v, n):
+        return (f"list_transform({v}, x -> x / (CASE WHEN {n} = 0"
+                f" THEN 1.0 ELSE {n} END))")
+
+    def nrm(v):
+        return f"sqrt(list_sum(list_transform({v}, x -> x*x)))"
+
+    sql = [
+        "WITH e0 AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "samp AS MATERIALIZED (SELECT vec_id, v, ROW_NUMBER() OVER ("
+        f" ORDER BY vec_id) AS pos FROM e0 QUALIFY pos <= {m_samp})",
+        "su AS MATERIALIZED (SELECT pos, " + unit("v", "nrm") + " AS u"
+        " FROM (SELECT pos, v, " + nrm("v") + " AS nrm FROM samp))",
+        "co0 AS MATERIALIZED (SELECT pos - 1 AS cluster, u AS cv"
+        f" FROM su WHERE pos <= {n_cent})",
+    ]
+    # spherical coarse codebook (argmax dot, mean, renormalize)
+    for t in range(iters):
+        sql.append(
+            f"ca{t} AS MATERIALIZED (SELECT pos, u, cluster FROM (\n"
+            f"  SELECT su.pos, su.u, c.cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY su.pos ORDER BY {dot('su.u', 'c.cv')} DESC,"
+            f" c.cluster) AS rn FROM su, co{t} c) WHERE rn = 1),\n"
+            f"cm{t} AS (SELECT cluster, list(m ORDER BY dim) AS mv FROM (\n"
+            f"  SELECT cluster, i.i AS dim, AVG(u[i.i+1]) AS m"
+            f" FROM ca{t}, range({d}) i(i) GROUP BY cluster, i.i)"
+            " GROUP BY cluster),\n"
+            f"co{t + 1} AS MATERIALIZED (SELECT p.cluster,"
+            " COALESCE(n.cv2, p.cv) AS cv"
+            f" FROM co{t} p LEFT JOIN (SELECT cluster, "
+            + unit("mv", "nrm") + " AS cv2 FROM (SELECT cluster, mv, "
+            + nrm("mv") + " AS nrm FROM cm{t})) n USING (cluster))".replace(
+                "{t}", str(t))
+        )
+    # PQ codebooks per sub-space on the UNIT sample blocks
+    for m in range(n_sub):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sql.append(
+            f"sb{m} AS MATERIALIZED (SELECT pos, u[{lo}:{hi}] AS b FROM su),\n"
+            f"bk{m}0 AS MATERIALIZED (SELECT pos - 1 AS cluster, b AS cv"
+            f" FROM sb{m} WHERE pos <= {pq_cent})"
+        )
+        for t in range(iters):
+            sql.append(
+                f"ba{m}{t} AS MATERIALIZED (SELECT pos, b, cluster FROM (\n"
+                f"  SELECT s.pos, s.b, c.cluster, ROW_NUMBER() OVER ("
+                f"PARTITION BY s.pos ORDER BY {dist('s.b', 'c.cv', sub)},"
+                f" c.cluster) AS rn FROM sb{m} s, bk{m}{t} c) WHERE rn = 1),\n"
+                f"bm{m}{t} AS (SELECT cluster, list(mm ORDER BY dim) AS mv FROM (\n"
+                f"  SELECT cluster, i.i AS dim, AVG(b[i.i+1]) AS mm"
+                f" FROM ba{m}{t}, range({sub}) i(i) GROUP BY cluster, i.i)"
+                " GROUP BY cluster),\n"
+                f"bk{m}{t + 1} AS MATERIALIZED (SELECT p.cluster,"
+                f" COALESCE(n.mv, p.cv) AS cv FROM bk{m}{t} p"
+                f" LEFT JOIN bm{m}{t} n USING (cluster))"
+            )
+    # unit corpus, cells, per-sub-space codes
+    sql.append(
+        "eu AS MATERIALIZED (SELECT vec_id, " + unit("v", "nrm") + " AS u"
+        " FROM (SELECT vec_id, v, " + nrm("v") + " AS nrm FROM e0))"
+    )
+    sql.append(
+        "cells AS MATERIALIZED (SELECT vec_id, cell FROM (\n"
+        "  SELECT eu.vec_id, c.cluster AS cell, ROW_NUMBER() OVER ("
+        f"PARTITION BY eu.vec_id ORDER BY {dot('eu.u', 'c.cv')} DESC,"
+        f" c.cluster) AS rn FROM eu, co{iters} c) WHERE rn = 1)"
+    )
+    for m in range(n_sub):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sql.append(
+            f"c{m} AS MATERIALIZED (SELECT vec_id, cluster AS code FROM (\n"
+            f"  SELECT eu.vec_id, c.cluster, ROW_NUMBER() OVER ("
+            f"PARTITION BY eu.vec_id"
+            f" ORDER BY {dist(f'eu.u[{lo}:{hi}]', 'c.cv', sub)}, c.cluster)"
+            f" AS rn FROM eu, bk{m}{iters} c) WHERE rn = 1)"
+        )
+    # query probes + per-(query, sub-space, code) LUT
+    sql.append(
+        "qprobe AS (SELECT query_id, cell FROM (\n"
+        "  SELECT eu.vec_id AS query_id, c.cluster AS cell,"
+        " ROW_NUMBER() OVER (PARTITION BY eu.vec_id"
+        f" ORDER BY {dot('eu.u', 'c.cv')} DESC, c.cluster) AS rn"
+        f" FROM eu, co{iters} c WHERE eu.vec_id < 10)"
+        f" WHERE rn <= {n_probe})"
+    )
+    for m in range(n_sub):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sql.append(
+            f"lut{m} AS MATERIALIZED (SELECT eu.vec_id AS query_id,"
+            f" c.cluster AS code, {dist(f'eu.u[{lo}:{hi}]', 'c.cv', sub)}"
+            f" AS dd FROM eu, bk{m}{iters} c WHERE eu.vec_id < 10)"
+        )
+    lut_joins = " ".join(
+        f"JOIN c{m} ON c{m}.vec_id = cand.neighbor_id"
+        f" JOIN lut{m} l{m} ON l{m}.query_id = cand.query_id"
+        f" AND l{m}.code = c{m}.code"
+        for m in range(n_sub)
+    )
+    approx = " + ".join(f"l{m}.dd" for m in range(n_sub))
+    sql.append(
+        "cand AS (SELECT p.query_id, s.vec_id AS neighbor_id"
+        " FROM qprobe p JOIN cells s ON s.cell = p.cell"
+        " WHERE s.vec_id <> p.query_id),\n"
+        f"short AS (SELECT query_id, neighbor_id FROM (\n"
+        f"  SELECT cand.query_id, cand.neighbor_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY cand.query_id ORDER BY {approx}, cand.neighbor_id)"
+        f" AS rn FROM cand {lut_joins}) WHERE rn <= {short}),\n"
+        "scored AS (SELECT short.query_id, short.neighbor_id,"
+        " round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim"
+        " FROM short JOIN e0 a ON a.vec_id = short.query_id"
+        " JOIN e0 b ON b.vec_id = short.neighbor_id)"
+    )
+    return (
+        ",\n".join(sql)
+        + "\nSELECT query_id, neighbor_id, cos_sim, rank FROM ("
+        "SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank"
+        f" FROM scored) WHERE rank <= {k}"
+    )
+
+
+
+@query("sim_ivfpq_ann", oracle=_ivfpq_oracle_sql())
 def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-5 (the billion-vector index search: coarse probe
     → PQ-LUT prefilter → exact re-rank of the shortlist). recall@10 ≥

@@ -11,26 +11,37 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-7 rotation: (a) the 5 NEW round-7 keys
-# (first driver evidence); (b) the 2 keys graduated from rows-only to
-# full value oracles this round (first hash-checked rows); (c) every
-# key whose implementation round 7 touched (the shingle null-contract
-# coalesce feeds the whole dedup family; the blocked-pairs expansion
-# was factored out under dedup_embedding_cosine and the cluster ops);
-# (d) 36 of the 41 keys whose latest driver evidence is r4 — the
-# oldest cohort. The 5 r4 keys that didn't fit (q10_returned_item,
-# q_top_suppliers, q_unpivot, q_window_range, q_window_topk) lead the
-# round-8 rotation. Exactly 50 keys precede the boundary comment.
+# in insertion order. Round-7 rotation: (a) the 9 NEW round-7 keys
+# (first driver evidence); (b) the 6 keys graduated from rows-only to
+# full value oracles this round (first hash-checked rows — the whole
+# ANN/kmeans stack plus the EWMA stream); (c) every key whose
+# implementation round 7 touched (the shingle null-contract coalesce
+# feeds the dedup family; the blocked-pairs expansion was factored out
+# under dedup_embedding_cosine and the cluster ops); (d) 28 of the 41
+# keys whose latest driver evidence is r4 — the oldest cohort. The 13
+# r4 keys that didn't fit (q10_returned_item, q_top_suppliers,
+# q_unpivot, q_window_range, q_window_topk, q_pivot, q_rollup,
+# q_semi_join, q_cube, q_distinct_agg, q_anti_join, q_union_dedup,
+# q_orders_enriched) lead the round-8 rotation. Exactly 50 keys
+# precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 7 — 5 keys
+    # (a) new in round 7 — 9 keys
     "emb_knn_graph",
     "text_pmi_bigrams",
     "text_entropy",
     "text_bigram_logprob",
     "sample_temperature",
-    # (b) oracle graduations in round 7 — 2 keys
+    "dedup_incremental",
+    "sink_compact_roundtrip",
+    "q_histogram",
+    "q_yoy_growth",
+    # (b) oracle graduations in round 7 — 6 keys
     "sim_lsh_ann",
     "stream_anomaly",
+    "emb_kmeans",
+    "sim_ivf_ann",
+    "emb_pq_codes",
+    "sim_ivfpq_ann",
     # (c) implementation touched in round 7 — 7 keys
     "dedup_ngram_jaccard",
     "dedup_minhash",
@@ -39,7 +50,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_survivors",
-    # (d) oldest (r4) driver evidence — 36 keys fill the window
+    # (d) oldest (r4) driver evidence — 28 keys fill the window
     "q5_local_supplier",
     "q13_customer_distribution",
     "q14_promo_revenue",
@@ -56,21 +67,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "q7_bilateral_volume",
     "q8_market_share",
     "q9_nation_profit",
-    "q_anti_join",
     "q_asof_nearest",
     "q_correlated_scalar",
-    "q_cube",
-    "q_distinct_agg",
     "q_events_sessionize",
     "q_grouping_sets",
-    "q_orders_enriched",
     "q_percentile",
-    "q_pivot",
-    "q_rollup",
-    "q_semi_join",
     "q_skew_salted_agg",
     "q_sql_interface",
-    "q_union_dedup",
     "q_window_frame",
     "stream_events_windowed",
     "stream_minhash_dedup",

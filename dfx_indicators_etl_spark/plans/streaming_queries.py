@@ -179,7 +179,42 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(deduped, output_mode="append")
 
 
-@query("stream_minhash_dedup_banded")  # rows-only: xxhash64 band hashes are engine-specific
+from .llmdata import _MH_BANDS, _MH_MINS, _PORTABLE_HASHES_SQL  # noqa: E402
+
+# FULL value oracle (round-7 graduation): with the portable md5 band
+# family, a single-drain verdict is pure SQL — a doc is a dup iff ANY
+# of its band buckets (16 signature-slice keys, or the md5(text)
+# pseudo-band for sub-shingle docs) holds an earlier contender. The
+# ingest clock is one doc per second in doc_id order, so the
+# (ts, doc_id) claim ranking reduces to ORDER BY doc_id.
+_BANDED_VERDICT_SQL = f"""
+    WITH {_PORTABLE_HASHES_SQL},
+    sigs AS (
+        SELECT doc_id, {_MH_MINS}
+        FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BANDS}
+    ),
+    short AS (
+        SELECT doc_id, -1 AS band_idx, md5(text) AS band_key
+        FROM toks WHERE len(t) < 3
+    ),
+    allb AS (SELECT * FROM bands UNION ALL SELECT * FROM short),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY band_idx, band_key ORDER BY doc_id) AS rn
+        FROM allb
+    )
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN rn > 1 THEN 1 ELSE 0 END) = 1 AS BOOLEAN)
+               AS is_dup,
+           CAST(COUNT(*) AS INTEGER) AS n_bands
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@query("stream_minhash_dedup_banded", oracle=_BANDED_VERDICT_SQL)
 def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-level (any-of-k) streaming LSH dedup: a doc is a near-dup
     if ANY of its 16 MinHash band buckets was claimed by an earlier
@@ -187,13 +222,17 @@ def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     check-then-claim semantics built-in stateful operators can't
     express (see streaming/ops.py for the design and why foreachBatch
     + a persisted claims table is the vehicle). Deterministic: claims
-    are ordered by event time, not arrival. Returns one verdict row
+    are ordered by event time, not arrival. Registered with the
+    PORTABLE md5 band family (r7), so the single-drain verdicts carry
+    a FULL value oracle: dup ⟺ some band bucket has an earlier
+    (ts, doc_id) contender — and the ingest clock is doc_id-ordered,
+    so the oracle ranks buckets by doc_id. Returns one verdict row
     per document."""
     root = _scratch("dfx_banded_")
     try:
         docs = streaming.read_documents_stream(spark, sf_dir)
         q = streaming.stream_minhash_dedup_banded(
-            docs, f"{root}/claims", f"{root}/verdicts"
+            docs, f"{root}/claims", f"{root}/verdicts", family="portable"
         )
         try:
             if not q.awaitTermination(300):

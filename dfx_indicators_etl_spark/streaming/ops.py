@@ -205,7 +205,11 @@ def stream_minhash_dedup_docs(
 
 
 def banded_minhash_rows(
-    docs: DataFrame, n: int = 3, num_perms: int = 64, bands: int = 16
+    docs: DataFrame,
+    n: int = 3,
+    num_perms: int = 64,
+    bands: int = 16,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Explode documents into LSH band rows
     ``(doc_id, ts, expected, band_idx, band_hash)``.
@@ -220,10 +224,83 @@ def banded_minhash_rows(
     (``band_idx = -1``) so they dedup among themselves exactly;
     ``expected`` carries each doc's band count for the any-of-k
     verdict downstream.
+
+    ``family="portable"`` switches to the md5 Kirsch–Mitzenmacher
+    signature family of ``dedup.minhash_lsh_pairs_portable`` —
+    ``band_hash`` becomes the comma-joined signature-slice STRING
+    (engine-reproducible), which is what lets the banded dedup's
+    single-drain verdicts carry a DuckDB value oracle. One family per
+    ``state_dir``: the claims parquet inherits the band_hash type.
     """
-    from ..operators.dedup import _spread, hashed_gram_ids, token_hashes
+    from ..operators.dedup import (
+        PORTABLE_PRIME,
+        _spread,
+        hashed_gram_ids,
+        shingles_from_tokens,
+        token_hashes,
+        tokens,
+    )
 
     rows_per_band = num_perms // bands
+    if family == "portable":
+        # Materialize the per-shingle md5 digests ONCE behind the
+        # localCheckpoint barrier (the same CollapseProject trap as the
+        # xxhash64 branch: inlined, the md5 would re-evaluate per perm).
+        digests = F.transform(
+            F.array_distinct(
+                shingles_from_tokens(tokens(F.col("text")), n)
+            ),
+            lambda s: F.md5(s),
+        )
+        grams = (
+            _spread(docs)
+            .select("doc_id", "ts", "text", digests.alias("__dg"))
+            .localCheckpoint(eager=False)
+        )
+        h1 = lambda dg: F.conv(F.substring(dg, 1, 8), 16, 10).cast("long")  # noqa: E731
+        h2 = lambda dg: F.conv(F.substring(dg, 9, 8), 16, 10).cast("long")  # noqa: E731
+        band_keys = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.array_join(
+                F.transform(
+                    F.sequence(
+                        b * rows_per_band, (b + 1) * rows_per_band - 1
+                    ),
+                    lambda p: F.array_min(
+                        F.transform(
+                            F.col("__dg"),
+                            lambda dg: (h1(dg) + p * h2(dg))
+                            % F.lit(PORTABLE_PRIME),
+                        )
+                    ),
+                ),
+                ",",
+            ),
+        )
+        return (
+            grams.select(
+                "doc_id",
+                "ts",
+                (F.size("__dg") == 0).alias("__short"),
+                F.when(F.size("__dg") > 0, band_keys)
+                .otherwise(F.array(F.md5(F.col("text"))))
+                .alias("__bands"),
+            )
+            .select(
+                "doc_id",
+                "ts",
+                "__short",
+                F.size("__bands").alias("expected"),
+                F.posexplode("__bands").alias("band_idx", "band_hash"),
+            )
+            .withColumn(
+                "band_idx",
+                F.when(F.col("__short"), F.lit(-1)).otherwise(
+                    F.col("band_idx")
+                ),
+            )
+            .drop("__short")
+        )
     # _spread's repartition is a physical barrier doing double duty
     # (exactly as in the batch dedup operators): it spreads the
     # CPU-bound minhash work across every core, and it stops
@@ -295,6 +372,7 @@ def _claim_round(
     n: int = 3,
     num_perms: int = 64,
     bands: int = 16,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """One check-then-claim round against the persisted bucket-claims
     table: band the batch, rank contenders by event time, exclude the
@@ -307,7 +385,7 @@ def _claim_round(
     from pyspark.sql import Window
 
     banded = banded_minhash_rows(
-        batch_df, n=n, num_perms=num_perms, bands=bands
+        batch_df, n=n, num_perms=num_perms, bands=bands, family=family
     ).localCheckpoint(eager=False)  # feeds rank, claims, verdicts
     try:
         claimed = (
@@ -362,6 +440,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     num_perms: int = 64,
     bands: int = 16,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Batch-incremental near-dup dedup: flag one NEW batch of
     documents against everything the claims table has already seen —
@@ -388,6 +467,7 @@ def incremental_minhash_dedup(
         n=n,
         num_perms=num_perms,
         bands=bands,
+        family=family,
     )
     return _verdicts(flagged)
 
@@ -402,6 +482,7 @@ def stream_minhash_dedup_banded(
     checkpoint_dir: str | None = None,
     compact_every: int | None = 16,
     expire_seconds: float | None = None,
+    family: str = "xxhash64",
 ):
     """Band-level (any-of-k) streaming near-dup dedup via
     ``foreachBatch`` + a persisted bucket-claims table.
@@ -559,7 +640,7 @@ def stream_minhash_dedup_banded(
         own = f"{run_token}-{batch_id}"
         flagged = _claim_round(
             spark, batch_df, state_dir, own, n=n, num_perms=num_perms,
-            bands=bands,
+            bands=bands, family=family,
         )
         (
             _verdicts(flagged)

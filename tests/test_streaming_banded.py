@@ -338,3 +338,26 @@ def test_banded_dedup_stale_lease_is_stolen(spark, dirs, tmp_path):
     assert all(v2[k][0] for k in (201, 202, 203, 204))
     assert len(_claims_dirs(state)) <= 2  # merged: own + compacted
     assert not os.path.exists(lease)  # steal-winner releases it
+
+
+def test_banded_dedup_portable_family(spark, dirs, tmp_path):
+    """The portable md5 band family (the oracle-able registered mode)
+    preserves the operator's semantics: one representative per exact
+    cluster, near-dup caught, sub-shingle pseudo-band dedup, and the
+    claims state persists across drains."""
+    src, state, out = dirs
+    _write_docs(spark, src, DOCS)
+    v = _drain(spark, src, state, out, family="portable")
+    assert v[1][0] is False and v[2][0] is True and v[3][0] is True
+    assert v[4][0] is True  # near-dup
+    assert v[5][0] is False and v[6][0] is False
+    assert v[7] == (False, 1) and v[8] == (True, 1)
+    assert v[1][1] == 16
+    # history: a re-sent copy in a second drain is caught via claims
+    src2 = str(tmp_path / "s2")
+    _write_docs(spark, src2, [(100, DOCS[0][1])])
+    v2 = _drain(
+        spark, src2, state, str(tmp_path / "out2"),
+        checkpoint_dir=str(tmp_path / "ck2"), family="portable",
+    )
+    assert v2[100][0] is True

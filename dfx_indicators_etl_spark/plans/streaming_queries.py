@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .. import streaming
 from ..sources import read_csv, read_jsonl, read_table, sinks
+from .llmdata import _MH_BANDS, _MH_MINS, _PORTABLE_HASHES_SQL
 from .registry import query
 
 
@@ -166,20 +167,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(deduped, output_mode="append")
 
 
-@query("stream_minhash_dedup")  # rows-only: surviving doc per signature is arrival-order dependent
+@query(
+    "stream_minhash_dedup",
+    # the emitted set = the distinct portable-signature keys: minhash
+    # kind for shingleable docs (comma-joined 64-perm K–M signature),
+    # exact-md5 kind for sub-shingle docs.
+    oracle=f"""
+    WITH {_PORTABLE_HASHES_SQL},
+    sigs AS (
+        SELECT doc_id, {_MH_MINS}
+        FROM hashes GROUP BY doc_id
+    )
+    SELECT DISTINCT 'minhash' AS sig_kind,
+           concat({", ',', ".join(f"m{p}" for p in range(64))}) AS sig_key
+    FROM sigs
+    UNION
+    SELECT DISTINCT 'exact' AS sig_kind, md5(text) AS sig_key
+    FROM toks WHERE len(t) < 3
+    """,
+)
 def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash dedup over the document corpus: row-local
-    64-perm signatures, state keyed on the signature hash within a 1h
+    64-perm signatures, state keyed on the signature within a 1h
     ingest-clock watermark (see streaming/ops.py for the full design).
-    Row count (= distinct signatures) is deterministic; the surviving
-    doc_id per group is arrival-order dependent, hence rows-only.
-    Batch-equivalence of the signature scheme is pytest-verified."""
+    Registered with the PORTABLE md5 family and projected to the
+    emitted (sig_kind, sig_key) set (r7 graduation — the stream_dedup
+    pattern): the surviving doc_id per group is arrival-order
+    dependent, but the distinct-signature SET is deterministic and has
+    an exact SQL twin. Batch-equivalence of the signature scheme is
+    additionally pytest-verified."""
     docs = streaming.read_documents_stream(spark, sf_dir)
-    deduped = streaming.stream_minhash_dedup_docs(docs)
-    return streaming.run_available_now(deduped, output_mode="append")
+    deduped = streaming.stream_minhash_dedup_docs(docs, family="portable")
+    return streaming.run_available_now(deduped, output_mode="append").select(
+        "sig_kind", "sig_key"
+    )
 
-
-from .llmdata import _MH_BANDS, _MH_MINS, _PORTABLE_HASHES_SQL  # noqa: E402
 
 # FULL value oracle (round-7 graduation): with the portable md5 band
 # family, a single-drain verdict is pure SQL — a doc is a dup iff ANY
@@ -248,7 +270,41 @@ def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-@query("dedup_incremental")  # rows-only: xxhash64 band family (perf path)
+@query(
+    "dedup_incremental",
+    # FULL value oracle (round-7 graduation, portable band family): an
+    # incoming (odd-id) doc is a dup iff some band bucket holds ANY
+    # history (even-id) doc — history claims every nonempty bucket —
+    # or an earlier incoming doc (the doc_id-ordered ingest clock).
+    oracle=f"""
+    WITH {_PORTABLE_HASHES_SQL},
+    sigs AS (
+        SELECT doc_id, {_MH_MINS}
+        FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+    {_MH_BANDS}
+    ),
+    short AS (
+        SELECT doc_id, -1 AS band_idx, md5(text) AS band_key
+        FROM toks WHERE len(t) < 3
+    ),
+    allb AS (SELECT * FROM bands UNION ALL SELECT * FROM short),
+    stats AS (
+        SELECT band_idx, band_key,
+               MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS has_hist,
+               MIN(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS min_odd
+        FROM allb GROUP BY band_idx, band_key
+    )
+    SELECT o.doc_id,
+           CAST(MAX(CASE WHEN s.has_hist = 1 OR s.min_odd < o.doc_id
+                         THEN 1 ELSE 0 END) = 1 AS BOOLEAN) AS is_dup,
+           CAST(COUNT(*) AS INTEGER) AS n_bands
+    FROM allb o JOIN stats s USING (band_idx, band_key)
+    WHERE o.doc_id % 2 = 1
+    GROUP BY o.doc_id
+    """,
+)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental near-dup dedup — the daily-ingest production
     pattern: documents split into a history half and a "new crawl"
@@ -257,10 +313,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     table without recomputing history. Shares the claims-table state
     machine (and its idempotent-retry contract) with
     ``stream_minhash_dedup_banded``; per batch the cost is batch ×
-    bands, never corpus². Rows-only because the band signatures use
-    the xxhash64 perf-path family (the md5 oracle family is
-    ``dedup_minhash``'s); determinism, history-catching, and retry
-    idempotence are pytest-pinned (tests/test_streaming_banded.py)."""
+    bands, never corpus². Registered with the PORTABLE md5 band family
+    (r7 graduation) so both phases carry a value oracle; determinism,
+    history-catching, and retry idempotence are pytest-pinned
+    (tests/test_streaming_banded.py)."""
     root = _scratch("dfx_incr_")
     try:
         docs = read_table(spark, sf_dir, "documents").select(
@@ -273,8 +329,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         history = docs.filter(F.col("doc_id") % 2 == 0)
         incoming = docs.filter(F.col("doc_id") % 2 == 1)
         state = f"{root}/claims"
-        streaming.incremental_minhash_dedup(history, state, "b-hist").collect()
-        out = streaming.incremental_minhash_dedup(incoming, state, "b-new")
+        streaming.incremental_minhash_dedup(
+            history, state, "b-hist", family="portable"
+        ).collect()
+        out = streaming.incremental_minhash_dedup(
+            incoming, state, "b-new", family="portable"
+        )
         return (
             out.select("doc_id", "is_dup", "n_bands")
             .localCheckpoint(eager=True)

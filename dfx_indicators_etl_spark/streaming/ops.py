@@ -139,6 +139,7 @@ def stream_minhash_dedup_docs(
     n: int = 3,
     num_perms: int = 64,
     watermark: str = "1 hour",
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Streaming near-duplicate dedup on the MinHash signature.
 
@@ -164,7 +165,58 @@ def stream_minhash_dedup_docs(
     ``operators.dedup.minhash_signatures`` (same shingle ids, same
     per-permutation xxhash64 chaining), tested batch-vs-stream.
     """
-    from ..operators.dedup import hashed_gram_ids, token_hashes
+    from ..operators.dedup import (
+        PORTABLE_PRIME,
+        hashed_gram_ids,
+        shingles_from_tokens,
+        token_hashes,
+        tokens,
+    )
+
+    if family == "portable":
+        # md5 K–M family (the oracle-able mode): the dedup key is the
+        # comma-joined signature STRING — engine-reproducible, so the
+        # emitted (kind, key) set has a SQL twin. Same repartition
+        # barrier as below (materialize the digests once per row).
+        grams = docs.select(
+            "doc_id",
+            "ts",
+            "text",
+            F.transform(
+                F.array_distinct(
+                    shingles_from_tokens(tokens(F.col("text")), n)
+                ),
+                lambda s: F.md5(s),
+            ).alias("__dg"),
+        ).repartition(
+            max(2, docs.sparkSession.sparkContext.defaultParallelism)
+        )
+        h1 = lambda dg: F.conv(F.substring(dg, 1, 8), 16, 10).cast("long")  # noqa: E731
+        h2 = lambda dg: F.conv(F.substring(dg, 9, 8), 16, 10).cast("long")  # noqa: E731
+        signature = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perms - 1)),
+            lambda p: F.array_min(
+                F.transform(
+                    F.col("__dg"),
+                    lambda dg: (h1(dg) + p * h2(dg)) % F.lit(PORTABLE_PRIME),
+                )
+            ),
+        )
+        keyed = grams.select(
+            "doc_id",
+            "ts",
+            F.when(F.size("__dg") > 0, F.lit("minhash"))
+            .otherwise(F.lit("exact"))
+            .alias("sig_kind"),
+            F.when(F.size("__dg") > 0, F.array_join(signature, ","))
+            .otherwise(F.md5(F.col("text")))
+            .alias("sig_key"),
+        )
+        return (
+            keyed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["sig_kind", "sig_key"])
+            .select("doc_id", "sig_kind", "sig_key")
+        )
 
     hashed = docs.select(
         "doc_id", "ts", "text", token_hashes("text").alias("__th")

@@ -51,7 +51,7 @@ def test_stream_minhash_dedup_matches_batch_signatures(spark, sf_dir):
     from dfx_indicators_etl_spark.operators.dedup import (
         NUM_PERMS,
         hashed_gram_ids,
-        minhash_signatures,
+        minhash_signatures_portable,
         token_hashes,
     )
 
@@ -60,13 +60,16 @@ def test_stream_minhash_dedup_matches_batch_signatures(spark, sf_dir):
     assert len(out) == len(got_keys)  # one survivor per key
 
     docs = read_table(spark, sf_dir, "documents")
-    # Batch equivalent of the streaming key: hash of the 64-perm
-    # signature for shingle-able docs, exact text hash otherwise.
-    sigs = minhash_signatures(docs, n=3)
+    # Batch equivalent of the streaming key (the registered query runs
+    # the PORTABLE family since r7): the comma-joined 64-perm K–M
+    # signature for shingle-able docs, md5 of the text otherwise.
+    sigs = minhash_signatures_portable(docs, n=3)
     assert NUM_PERMS == 64
     minhash_keys = {
         ("minhash", r["k"])
-        for r in sigs.select(F.xxhash64("signature").alias("k")).collect()
+        for r in sigs.select(
+            F.array_join("signature", ",").alias("k")
+        ).collect()
     }
     short = docs.select(
         "doc_id", "text", token_hashes("text").alias("__th")
@@ -74,7 +77,7 @@ def test_stream_minhash_dedup_matches_batch_signatures(spark, sf_dir):
     exact_keys = {
         ("exact", r["k"])
         for r in short.filter(F.size("__g") == 0)
-        .select(F.xxhash64("text").alias("k"))
+        .select(F.md5("text").alias("k"))
         .collect()
     }
     assert got_keys == minhash_keys | exact_keys

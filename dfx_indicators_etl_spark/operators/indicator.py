@@ -42,6 +42,8 @@ __all__ = [
     "upsert",
     "insert_ignore",
     "format_indicator_name",
+    "interpolate_years",
+    "rebase_index",
 ]
 
 
@@ -262,3 +264,94 @@ def format_indicator_name(name: Column | str, code: Column | str) -> Column:
     name = F.col(name) if isinstance(name, str) else name
     code = F.col(code) if isinstance(code, str) else code
     return F.concat(name, F.lit(" ["), code.cast("string"), F.lit("]"))
+
+
+def interpolate_years(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    year_col: str = "year",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear gap-fill of missing interior years per indicator series.
+
+    Country-year indicator panels (the reference's observation model)
+    are routinely sparse — providers skip survey years — and the
+    standard repair is linear interpolation between the nearest
+    reported years. Per series: densify the year axis to the series'
+    own [min, max] span (``sequence`` + explode, no driver round
+    trip), left-join the reported values back, then resolve each gap
+    from the nearest non-null neighbours with two IGNORE NULLS
+    running windows (forward ``last``, backward ``first``). Adds a
+    ``filled`` flag marking interpolated rows.
+
+    Scale shape: one group-by to series cardinality for the spans, one
+    key-wise shuffle for the join, and windows whose partitions are a
+    single series' year span (bounded by decades, never data-sized) —
+    the year axis per series is O(100) rows regardless of corpus size.
+    """
+    keys = list(key_cols)
+    span = (
+        df.groupBy(*keys)
+        .agg(F.min(year_col).alias("__y0"), F.max(year_col).alias("__y1"))
+        .select(
+            *keys, F.explode(F.sequence("__y0", "__y1")).alias(year_col)
+        )
+    )
+    joined = span.join(df, [*keys, year_col], "left")
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(year_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(year_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    year = F.col(year_col)
+    reported_year = F.when(v.isNotNull(), year)
+    prev_v = F.last(v, ignorenulls=True).over(w_fwd)
+    prev_y = F.last(reported_year, ignorenulls=True).over(w_fwd)
+    next_v = F.first(v, ignorenulls=True).over(w_bwd)
+    next_y = F.first(reported_year, ignorenulls=True).over(w_bwd)
+    interp = prev_v + (next_v - prev_v) * (year - prev_y) / (next_y - prev_y)
+    return joined.select(
+        *keys,
+        year.alias(year_col),
+        F.round(F.when(v.isNotNull(), v).otherwise(interp), 6).alias(
+            value_col
+        ),
+        v.isNull().alias("filled"),
+    )
+
+
+def rebase_index(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    year_col: str = "year",
+    value_col: str = "value",
+    index_col: str = "idx",
+) -> DataFrame:
+    """Rebase each series to first-reported-year = 100 (index-number
+    form, the standard cross-country comparability transform).
+
+    ``idx = 100 · value / value(min year)`` via a ``first`` window over
+    the full series frame; a zero base yields NULL rather than ±inf so
+    downstream aggregates stay finite. Window partitions are single
+    series (bounded), so the transform is one key-wise shuffle at any
+    corpus size.
+    """
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(year_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = F.first(value_col).over(w)
+    idx = F.when(
+        base != 0, F.round(F.lit(100.0) * F.col(value_col) / base, 6)
+    )
+    return df.select(
+        *keys, year_col, value_col, idx.alias(index_col)
+    )

@@ -702,3 +702,98 @@ def ind_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return recon.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Shared by the series-repair queries: the thinned per-year panel
+# (every third observation dropped deterministically so the year axis
+# has real gaps to repair at any SF).
+SERIES_SQL = f"""
+    SELECT indicator_name, country_code, year,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(value) AS value
+    FROM ({OBS_SQL}) obs
+    WHERE event_id % 3 > 0
+    GROUP BY indicator_name, country_code, year
+"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thinned (indicator, country, year) panel with exact-decimal
+    yearly means — the Spark twin of SERIES_SQL."""
+    return (
+        observations(spark, sf_dir)
+        .filter(F.col("event_id") % 3 > 0)
+        .groupBy("indicator_name", "country_code", "year")
+        .agg(davg("value", "value"))
+    )
+
+
+@query(
+    "ind_interpolate_years",
+    # Same densify + IGNORE NULLS neighbour windows + identical
+    # interpolation expression shape -> identical IEEE doubles.
+    oracle=f"""
+    WITH series AS ({SERIES_SQL}),
+    span AS (
+        SELECT indicator_name, country_code,
+               unnest(generate_series(min(year), max(year))) AS year
+        FROM series GROUP BY indicator_name, country_code
+    ),
+    joined AS (
+        SELECT sp.indicator_name, sp.country_code, sp.year, s.value
+        FROM span sp
+        LEFT JOIN series s USING (indicator_name, country_code, year)
+    ),
+    marked AS (
+        SELECT *,
+            last_value(value IGNORE NULLS) OVER w_fwd AS pv,
+            last_value(CASE WHEN value IS NOT NULL THEN year END
+                       IGNORE NULLS) OVER w_fwd AS py,
+            first_value(value IGNORE NULLS) OVER w_bwd AS nv,
+            first_value(CASE WHEN value IS NOT NULL THEN year END
+                        IGNORE NULLS) OVER w_bwd AS ny
+        FROM joined
+        WINDOW
+        w_fwd AS (PARTITION BY indicator_name, country_code ORDER BY year
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_bwd AS (PARTITION BY indicator_name, country_code ORDER BY year
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT indicator_name, country_code, CAST(year AS INTEGER) AS year,
+           round(CASE WHEN value IS NOT NULL THEN value
+                 ELSE pv + (nv - pv) * (year - py) / (ny - py) END,
+                 6) AS value,
+           value IS NULL AS filled
+    FROM marked
+    """,
+)
+def ind_interpolate_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of the sparse country-year panel (the standard
+    indicator-series repair; see operators.indicator.interpolate_years
+    for the scale argument)."""
+    return ops.interpolate_years(
+        _series(spark, sf_dir),
+        ["indicator_name", "country_code"],
+    )
+
+
+@query(
+    "ind_rebase_index",
+    oracle=f"""
+    WITH series AS ({SERIES_SQL})
+    SELECT indicator_name, country_code, year, value,
+           CASE WHEN first_value(value) OVER w <> 0
+                THEN round(100.0 * value / first_value(value) OVER w, 6)
+           END AS idx
+    FROM series
+    WINDOW w AS (PARTITION BY indicator_name, country_code ORDER BY year
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def ind_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each series rebased to first-reported-year = 100 (index-number
+    comparability transform; operators.indicator.rebase_index)."""
+    return ops.rebase_index(
+        _series(spark, sf_dir),
+        ["indicator_name", "country_code"],
+    )

@@ -85,3 +85,43 @@ def test_map_country_metadata_nonmatch_nulls(spark):
         for r in ops.map_country_metadata(df, mapping, "code", "iso3", "name").collect()
     }
     assert out == {1: "Algeria", 2: None}
+
+
+def test_interpolate_years_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", "X", 2000, 10.0),
+            ("A", "X", 2003, 40.0),   # gap 2001-2002 -> 20, 30
+            ("A", "X", 2004, 0.0),
+            ("B", "Y", 2010, 5.0),    # single-point series: no gaps
+        ],
+        ["ind", "cc", "year", "value"],
+    )
+    out = ops.interpolate_years(df, ["ind", "cc"]).collect()
+    got = {(r["ind"], r["cc"], r["year"]): (r["value"], r["filled"]) for r in out}
+    assert got[("A", "X", 2001)] == (20.0, True)
+    assert got[("A", "X", 2002)] == (30.0, True)
+    assert got[("A", "X", 2000)] == (10.0, False)
+    assert got[("A", "X", 2004)] == (0.0, False)
+    assert got[("B", "Y", 2010)] == (5.0, False)
+    assert len(out) == 6  # densified to the per-series span only
+
+
+def test_rebase_index_zero_base_and_scaling(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", "X", 2000, 50.0),
+            ("A", "X", 2001, 75.0),
+            ("Z", "Q", 2000, 0.0),    # zero base -> NULL idx, not inf
+            ("Z", "Q", 2001, 3.0),
+        ],
+        ["ind", "cc", "year", "value"],
+    )
+    out = {
+        (r["ind"], r["year"]): r["idx"]
+        for r in ops.rebase_index(df, ["ind", "cc"]).collect()
+    }
+    assert out[("A", 2000)] == 100.0
+    assert out[("A", 2001)] == 150.0
+    assert out[("Z", 2000)] is None
+    assert out[("Z", 2001)] is None

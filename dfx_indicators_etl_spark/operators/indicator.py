@@ -44,6 +44,7 @@ __all__ = [
     "format_indicator_name",
     "interpolate_years",
     "rebase_index",
+    "scd2_intervals",
 ]
 
 
@@ -354,4 +355,49 @@ def rebase_index(
     )
     return df.select(
         *keys, year_col, value_col, idx.alias(index_col)
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into type-2 slowly-changing-dimension
+    history: per key, consecutive runs of the same attribute value
+    become one ``[valid_from, valid_to)`` interval, the open interval
+    flagged ``is_current``.
+
+    Change detection (``lag``) and interval close (``lead``) run on the
+    SAME key partitioning, so the whole build is one shuffle; window
+    partitions are per-entity streams, never corpus-sized. Ordering is
+    total via ``tiebreak_col`` so equal timestamps resolve
+    deterministically.
+    """
+    keys = list(key_cols)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(attr_col).over(w)
+    changes = (
+        df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .select(
+            *keys,
+            attr_col,
+            F.col(ts_col).alias("valid_from"),
+            *([tiebreak_col] if tiebreak_col else []),
+        )
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        "valid_from", *([tiebreak_col] if tiebreak_col else [])
+    )
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        *keys,
+        attr_col,
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
     )

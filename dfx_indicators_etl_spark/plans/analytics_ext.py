@@ -1487,3 +1487,106 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+@query(
+    "q_winsorize",
+    # Bounds round to 6dp before clipping -> identical thresholds, so
+    # the clip is an exact comparison and the sums are exact decimals.
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.lo, b.hi,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_lo,
+           COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_hi,
+           CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_winsor,
+           CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+                AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_winsor
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized group statistics: clip each group's prices at its own
+    exact p05/p95, then aggregate the clipped measure — the robust-mean
+    staple of outlier-heavy telemetry.
+
+    Plan: one per-group exact-percentile aggregate (group-cardinality
+    rows, the scale swap is percentile_approx — same shape), broadcast
+    of the tiny bounds table back onto the fact scan, then a narrow
+    clip + one combinable decimal aggregate. The fact shuffles once on
+    the group key; bounds never leave the executors except as the
+    broadcast.
+    """
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.05), 6).alias("lo"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("hi"),
+    )
+    price = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(price, F.col("lo")), F.col("hi"))
+    return (
+        lineitem.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            dcount("n"),
+            F.count(F.when(price < F.col("lo"), 1)).alias("n_lo"),
+            F.count(F.when(price > F.col("hi"), 1)).alias("n_hi"),
+            dsum(clipped, "sum_winsor"),
+            (F.sum(dec(clipped)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_winsor"
+            ),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH sub AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE user_id % 7 = 0
+    ),
+    m AS (
+        SELECT *, lag(event_type) OVER w AS prev
+        FROM sub WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM m WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM c WINDOW w2 AS (PARTITION BY user_id
+                         ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log:
+    collapse each user's event stream into [valid_from, valid_to)
+    attribute intervals with a current-row flag — the warehouse
+    dimension-history pattern.
+
+    Run-length compression via two windows on the SAME (user_id)
+    partitioning — change detection (lag) and interval close (lead) —
+    so the whole build is one shuffle; partitions are per-user streams,
+    never corpus-sized. The user_id % 7 subset keeps the demo output
+    driver-friendly; the operator itself is subset-free.
+    """
+    from ..operators.indicator import scd2_intervals
+
+    (events,) = read_tables(spark, sf_dir, "events")
+    sub = events.filter(F.col("user_id") % 7 == 0).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_intervals(
+        sub, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
+    )

@@ -107,3 +107,48 @@ def test_time_rollup_null_ts_keeps_level(spark, tmp_path):
         assert sum(r["n_events"] for r in by_level[level]) == 2, by_level
         null_rows = [r for r in by_level[level] if r["bucket_start"] is None]
         assert len(null_rows) == 1 and null_rows[0]["n_events"] == 1
+
+
+def test_winsorize_bounds_and_counts(spark, sf_dir):
+    rows = QUERIES["q_winsorize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        # clipped mean lies inside the clip bounds
+        assert r["lo"] - 1e-9 <= r["avg_winsor"] <= r["hi"] + 1e-9
+        # ~5% clipped on each side (exact percentiles -> at most 5% + 1)
+        assert r["n_lo"] <= r["n"] * 0.05 + 1
+        assert r["n_hi"] <= r["n"] * 0.05 + 1
+
+
+def test_scd2_intervals_hand_built(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 10, "a"),
+            (1, t(1), 11, "a"),   # no change: absorbed into first run
+            (1, t(2), 12, "b"),   # change -> close first interval
+            (1, t(3), 13, "a"),   # change back -> third interval
+            (2, t(0), 20, "x"),   # single-run user
+        ],
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    from dfx_indicators_etl_spark.operators.indicator import scd2_intervals
+
+    out = scd2_intervals(
+        df, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
+    ).collect()
+    ivals = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"].second,
+         None if r["valid_to"] is None else r["valid_to"].second,
+         r["is_current"])
+        for r in out
+    )
+    assert ivals == [
+        (1, "a", 0, 2, False),
+        (1, "a", 3, None, True),
+        (1, "b", 2, 3, False),
+        (2, "x", 0, None, True),
+    ]

@@ -17,7 +17,7 @@ oracle-checked batch keys use portable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -31,6 +31,7 @@ __all__ = [
     "token_hashes",
     "hashed_gram_ids",
     "ngram_jaccard_pairs",
+    "fuzzy_levenshtein_pairs",
     "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -983,4 +984,74 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    max_dist: int = 40,
+    prefix_len: int = 16,
+    probe_len: int = 120,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by edit distance on prefix-blocked probes.
+
+    The character-level complement to the token-set family (Jaccard /
+    MinHash miss single-character-heavy edits; edit distance catches
+    them): documents are blocked on their first ``prefix_len``
+    characters — near-dups overwhelmingly share an exact prefix — and
+    only within-block pairs pay the O(probe_len²) Levenshtein DP,
+    computed on ``probe_len``-capped probes so the cost per pair is a
+    constant, not document-length-squared. Emits (doc_a, doc_b, dist,
+    sim) with ``sim = 1 − dist / max(probe lengths)``.
+
+    Scale shape: one shuffle on the block key; join output is bounded
+    by ``max_block``² per block (the library skew cap rides the same
+    rationale as DEFAULT_MAX_SHINGLE_FREQ — a boilerplate prefix
+    shared by 10⁶ docs must not go quadratic). ``max_block=None``
+    disables the cap for oracle-exact runs.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(text_col, 1, prefix_len).alias("__blk"),
+        F.substring(text_col, 1, probe_len).alias("__probe"),
+        F.least(F.length(text_col), F.lit(probe_len)).alias("__plen"),
+    )
+    if max_block is not None:
+        w = Window.partitionBy("__blk").orderBy("doc_id")
+        d = (
+            d.withColumn("__bn", F.row_number().over(w))
+            .filter(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__blk"),
+        F.col("__probe").alias("__pa"),
+        F.col("__plen").alias("__la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__blk"),
+        F.col("__probe").alias("__pb"),
+        F.col("__plen").alias("__lb"),
+    )
+    dist = F.levenshtein("__pa", "__pb")
+    return (
+        a.join(b, ["__blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= max_dist)
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("dist"),
+            F.round(
+                F.lit(1.0)
+                - dist
+                / F.greatest("__la", "__lb", F.lit(1)).cast("double"),
+                6,
+            ).alias("sim"),
+        )
     )

@@ -28,6 +28,7 @@ __all__ = [
     "hash_uniform",
     "weighted_sample",
     "temperature_sample",
+    "priority_sample",
 ]
 
 
@@ -158,4 +159,43 @@ def hash_split(
     return df.withColumn(
         split_col,
         F.when(bucket >= F.lit(test_threshold), "test").otherwise("train"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    n: int,
+    group_cols: Sequence[str] = (),
+    salt: str = "prio",
+) -> DataFrame:
+    """Deterministic weighted top-n sampling without replacement —
+    priority sampling (Duffield–Lund–Thorup, JACM 2007): each row draws
+    priority ``w / u`` from its portable md5 uniform and the n highest
+    priorities per group win.
+
+    Inclusion probability is ∝ weight for n ≪ group size (the
+    weighted-reservoir answer for "keep the n most training-worthy
+    docs, long ones upweighted, reproducibly"). Unlike the classic
+    A-ES key ``u^(1/w)`` this needs only one IEEE division — no
+    transcendentals — so the survivor set and the emitted priorities
+    are bit-identical on any engine with md5 (value-oracle-able).
+
+    Plan: narrow priority computation, then one shuffle to the group
+    key with a rank window whose per-partition state is the top-n heap
+    — never corpus-sized. Ties are impossible in practice (64-bit
+    priorities) but doubly broken on the key for total determinism.
+    """
+    groups = list(group_cols)
+    pr = F.col(weight_col).cast("double") / hash_uniform(key_col, salt)
+    ranked = df.withColumn("__priority", pr)
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("__priority").desc(), F.col(key_col)
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .withColumn("priority", F.round("__priority", 6))
+        .drop("__priority")
     )

@@ -1718,3 +1718,69 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (one row per dimension): the
     k-means-style class-prototype aggregation over embeddings."""
     return similarity.label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    # Same blocking, probes, and DP -> identical integer distances;
+    # sim is one division on identical ints.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 16) AS blk,
+               substr(text, 1, 120) AS probe,
+               least(length(text), 120) AS plen
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.probe, b.probe) AS dist,
+           round(1.0 - levenshtein(a.probe, b.probe)
+                 / CAST(greatest(a.plen, b.plen, 1) AS DOUBLE), 6) AS sim
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.probe, b.probe) <= 40
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: edit distance on 120-char probes
+    within 16-char-prefix blocks (the complement to the token-set
+    dedup family). ``max_block=None``: skew cap off for oracle
+    exactness — the library default caps hot prefixes."""
+    pairs = dedup.fuzzy_levenshtein_pairs(
+        read_table(spark, sf_dir, "documents"), max_block=None
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("dist").cast("int").alias("dist"), "sim"
+    )
+
+
+@query(
+    "sample_priority",
+    oracle="""
+    WITH p AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) /
+               (CAST(concat('0x', substr(md5(concat('prio',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                / 4294967296.0) AS priority
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rk,
+           round(priority, 6) AS priority
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY priority DESC, doc_id
+        ) AS rn FROM p
+    )
+    WHERE rn <= 20
+    """,
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-20-per-language document sample via priority
+    sampling (w/u keys from the portable md5 uniform) — deterministic
+    weighted subset selection for training-data curation."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return sampling.priority_sample(
+        docs, weight_col="n_chars", key_col="doc_id", n=20,
+        group_cols=["lang"],
+    ).select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"), "priority")

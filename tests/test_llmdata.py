@@ -949,3 +949,62 @@ def test_kmeans_portable_quality_and_invariance(spark):
     ).collect()
     key = lambda rows: sorted((r["vec_id"], r["cluster"], r["dist"]) for r in rows)
     assert key(again) == key(portable)
+
+
+def test_fuzzy_levenshtein_blocking_and_cap(spark):
+    base = "the quick brown fox " * 10  # 200 chars, one shared prefix
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:150] + " jumped over it!"),        # small edit: pair
+            (3, base[:50] + "Z" * 200),                   # same block, far
+            (4, "completely different text " * 10),       # other block
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.fuzzy_levenshtein_pairs(docs, max_dist=10, max_block=None)
+    pairs = {(r["doc_a"], r["doc_b"]): r["dist"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # probes identical @120
+    assert all(a != 4 and b != 4 for a, b in pairs)  # blocked out
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # over max_dist
+    # skew cap: 3 same-block docs capped to 2 -> exactly 1 candidate pair
+    capped = dedup.fuzzy_levenshtein_pairs(
+        docs, max_dist=1000, max_block=2
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+
+
+def test_priority_sample_invariants(spark, sf_dir):
+    from dfx_indicators_etl_spark.operators.sampling import (
+        hash_uniform,
+        priority_sample,
+    )
+    from dfx_indicators_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    out = priority_sample(
+        docs, weight_col="n_chars", key_col="doc_id", n=5, group_cols=["lang"]
+    )
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    sizes = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    for lang, got in by_lang.items():
+        assert len(got) == min(5, sizes[lang])
+        got.sort(key=lambda r: r["rk"])
+        pr = [r["priority"] for r in got]
+        assert pr == sorted(pr, reverse=True)  # rank follows priority
+    # determinism: a second run selects the identical id set
+    again = {r["doc_id"] for r in priority_sample(
+        docs, weight_col="n_chars", key_col="doc_id", n=5, group_cols=["lang"]
+    ).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # priority really is w/u of the portable uniform
+    one = docs.limit(1).withColumn("u", hash_uniform("doc_id", "prio")).collect()[0]
+    assert any(
+        abs(r["priority"] - round(one["n_chars"] / one["u"], 6)) < 1e-6
+        for r in rows
+    ) or one["doc_id"] not in {r["doc_id"] for r in rows}

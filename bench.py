@@ -173,6 +173,13 @@ HEADLINE = (
     "dedup_incremental",
     "q_histogram",
     "q_yoy_growth",
+    # round 7, late additions
+    "ind_interpolate_years",
+    "ind_rebase_index",
+    "q_winsorize",
+    "q_scd2_intervals",
+    "dedup_fuzzy_levenshtein",
+    "sample_priority",
 )
 
 

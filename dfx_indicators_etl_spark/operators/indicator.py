@@ -278,52 +278,57 @@ def interpolate_years(
     Country-year indicator panels (the reference's observation model)
     are routinely sparse — providers skip survey years — and the
     standard repair is linear interpolation between the nearest
-    reported years. Per series: densify the year axis to the series'
-    own [min, max] span (``sequence`` + explode, no driver round
-    trip), left-join the reported values back, then resolve each gap
-    from the nearest non-null neighbours with two IGNORE NULLS
-    running windows (forward ``last``, backward ``first``). Adds a
-    ``filled`` flag marking interpolated rows.
+    reported years. Each reported row looks at the NEXT reported year
+    (one ``lead`` window) and emits itself plus every missing year up
+    to it (``sequence`` + explode), interpolating linearly between
+    the two anchors. Adds a ``filled`` flag marking generated rows.
 
-    Scale shape: one group-by to series cardinality for the spans, one
-    key-wise shuffle for the join, and windows whose partitions are a
-    single series' year span (bounded by decades, never data-sized) —
-    the year axis per series is O(100) rows regardless of corpus size.
+    Scale shape: ONE pass — a single key-wise shuffle for the lead
+    window (partitions are single series, bounded by decades), then a
+    narrow explode whose fan-out is the gap length. No densify join,
+    no second scan of the input (the earlier span-join form cost two
+    scans and a sort-merge join; this is the same output from one
+    lineage).
     """
     keys = list(key_cols)
-    span = (
-        df.groupBy(*keys)
-        .agg(F.min(year_col).alias("__y0"), F.max(year_col).alias("__y1"))
-        .select(
-            *keys, F.explode(F.sequence("__y0", "__y1")).alias(year_col)
-        )
-    )
-    joined = span.join(df, [*keys, year_col], "left")
-    w_fwd = (
-        Window.partitionBy(*keys)
-        .orderBy(year_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_bwd = (
-        Window.partitionBy(*keys)
-        .orderBy(year_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    w = Window.partitionBy(*keys).orderBy(year_col)
     v = F.col(value_col)
     year = F.col(year_col)
-    reported_year = F.when(v.isNotNull(), year)
-    prev_v = F.last(v, ignorenulls=True).over(w_fwd)
-    prev_y = F.last(reported_year, ignorenulls=True).over(w_fwd)
-    next_v = F.first(v, ignorenulls=True).over(w_bwd)
-    next_y = F.first(reported_year, ignorenulls=True).over(w_bwd)
-    interp = prev_v + (next_v - prev_v) * (year - prev_y) / (next_y - prev_y)
-    return joined.select(
+    next_v = F.lead(value_col).over(w)
+    next_y = F.lead(year_col).over(w)
+    exploded = df.select(
         *keys,
-        year.alias(year_col),
-        F.round(F.when(v.isNotNull(), v).otherwise(interp), 6).alias(
-            value_col
-        ),
-        v.isNull().alias("filled"),
+        year.alias("__y1"),
+        v.alias("__v1"),
+        next_v.alias("__v2"),
+        next_y.alias("__y2"),
+    ).select(
+        *keys,
+        "__y1",
+        "__v1",
+        "__v2",
+        "__y2",
+        F.explode(
+            F.sequence(
+                F.col("__y1"),
+                F.coalesce(F.col("__y2") - 1, F.col("__y1")),
+            )
+        ).alias(year_col),
+    )
+    y1, v1, v2, y2 = (
+        F.col("__y1"),
+        F.col("__v1"),
+        F.col("__v2"),
+        F.col("__y2"),
+    )
+    interp = v1 + (v2 - v1) * (F.col(year_col) - y1) / (y2 - y1)
+    return exploded.select(
+        *keys,
+        F.col(year_col),
+        F.round(
+            F.when(F.col(year_col) == y1, v1).otherwise(interp), 6
+        ).alias(value_col),
+        (F.col(year_col) != y1).alias("filled"),
     )
 
 

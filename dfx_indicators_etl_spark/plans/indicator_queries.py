@@ -730,41 +730,29 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ind_interpolate_years",
-    # Same densify + IGNORE NULLS neighbour windows + identical
-    # interpolation expression shape -> identical IEEE doubles.
+    # Same lead anchors + identical interpolation expression shape ->
+    # identical IEEE doubles.
     oracle=f"""
     WITH series AS ({SERIES_SQL}),
-    span AS (
+    m AS (
+        SELECT *, lead(value) OVER w AS v2, lead(year) OVER w AS y2
+        FROM series
+        WINDOW w AS (PARTITION BY indicator_name, country_code
+                     ORDER BY year)
+    ),
+    e AS (
         SELECT indicator_name, country_code,
-               unnest(generate_series(min(year), max(year))) AS year
-        FROM series GROUP BY indicator_name, country_code
-    ),
-    joined AS (
-        SELECT sp.indicator_name, sp.country_code, sp.year, s.value
-        FROM span sp
-        LEFT JOIN series s USING (indicator_name, country_code, year)
-    ),
-    marked AS (
-        SELECT *,
-            last_value(value IGNORE NULLS) OVER w_fwd AS pv,
-            last_value(CASE WHEN value IS NOT NULL THEN year END
-                       IGNORE NULLS) OVER w_fwd AS py,
-            first_value(value IGNORE NULLS) OVER w_bwd AS nv,
-            first_value(CASE WHEN value IS NOT NULL THEN year END
-                        IGNORE NULLS) OVER w_bwd AS ny
-        FROM joined
-        WINDOW
-        w_fwd AS (PARTITION BY indicator_name, country_code ORDER BY year
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        w_bwd AS (PARTITION BY indicator_name, country_code ORDER BY year
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               year AS y1, value AS v1, v2, y2,
+               unnest(generate_series(year, coalesce(y2 - 1, year)))
+                   AS year
+        FROM m
     )
     SELECT indicator_name, country_code, CAST(year AS INTEGER) AS year,
-           round(CASE WHEN value IS NOT NULL THEN value
-                 ELSE pv + (nv - pv) * (year - py) / (ny - py) END,
+           round(CASE WHEN year = y1 THEN v1
+                 ELSE v1 + (v2 - v1) * (year - y1) / (y2 - y1) END,
                  6) AS value,
-           value IS NULL AS filled
-    FROM marked
+           year <> y1 AS filled
+    FROM e
     """,
 )
 def ind_interpolate_years(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,13 @@ JVM_ONLY = [
     "emb_label_centroids",
     "ind_standardize",
     "ind_star_observation",
+    # round-7 late additions — all pure JVM codegen
+    "ind_interpolate_years",
+    "ind_rebase_index",
+    "q_winsorize",
+    "q_scd2_intervals",
+    "dedup_fuzzy_levenshtein",
+    "sample_priority",
 ]
 
 

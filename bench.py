@@ -180,6 +180,8 @@ HEADLINE = (
     "q_scd2_intervals",
     "dedup_fuzzy_levenshtein",
     "sample_priority",
+    "ind_outlier_flags",
+    "q_snapshot_diff",
 )
 
 

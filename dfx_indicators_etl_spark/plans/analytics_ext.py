@@ -1590,3 +1590,66 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         sub, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
     )
+
+
+@query(
+    "q_snapshot_diff",
+    # Two deterministic snapshots of orders (10% removed, 10% added,
+    # every 7th price revised) -> full-outer reconciliation.
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey AS k, o_totalprice AS price_a
+        FROM orders WHERE o_orderkey % 10 < 9
+    ),
+    snap_b AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price_b
+        FROM orders WHERE o_orderkey % 10 > 0
+    )
+    SELECT coalesce(a.k, b.k) AS o_orderkey, price_a, price_b,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR price_a <> price_b
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset reconciliation: diff two snapshots of a fact table into
+    added / removed / changed rows — the ETL audit run after every
+    reload (unchanged rows drop, so the output is the change set, not
+    the corpus).
+
+    A fact-fact FULL OUTER join shuffles both sides on the key — the
+    honest shape; neither side can broadcast. At 100 TB the §4 rule
+    applies: persist both snapshots bucketed on the key
+    (sinks.write_bucketed_table) and the exchange disappears; AQE
+    handles the residual skew. Filters push into both scans.
+    """
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderkey") % 10 < 9).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("price_a")
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 10 > 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b"),
+    )
+    ka, kb = F.col("ka"), F.col("kb")
+    return (
+        snap_a.join(snap_b, ka == kb, "full_outer")
+        .filter(ka.isNull() | kb.isNull() | (F.col("price_a") != F.col("price_b")))
+        .select(
+            F.coalesce(ka, kb).alias("o_orderkey"),
+            "price_a",
+            "price_b",
+            F.when(ka.isNull(), "added")
+            .when(kb.isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )

@@ -785,3 +785,100 @@ def ind_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         _series(spark, sf_dir),
         ["indicator_name", "country_code"],
     )
+
+
+@query(
+    "ind_outlier_flags",
+    # The panel value stays DECIMAL until the final stats (summing the
+    # davg quotient would re-cast a double to decimal — quotients of
+    # scale-4 sums often land exactly on scale-4 half-way ties, where
+    # engine rounding modes diverge; exact-decimal sums never do).
+    # Variance/z then compute in one IEEE expression shape on
+    # identical doubles; sqrt is correctly-rounded on both.
+    oracle=f"""
+    WITH panel AS (
+        SELECT indicator_name, country_code, year,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS sv
+        FROM ({OBS_SQL}) obs
+        WHERE event_id % 3 > 0
+        GROUP BY indicator_name, country_code, year
+    ),
+    stats AS (
+        SELECT indicator_name,
+               CAST(SUM(sv) AS DOUBLE) AS s1,
+               CAST(SUM(sv * sv) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM panel GROUP BY indicator_name
+    ),
+    scored AS (
+        SELECT p.indicator_name, country_code, year,
+               CAST(sv AS DOUBLE) AS value,
+               s1 / n AS mean,
+               sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)) AS std
+        FROM panel p JOIN stats USING (indicator_name)
+        WHERE n > 1
+    )
+    SELECT indicator_name, country_code, year, value,
+           round(mean, 6) AS mean,
+           round(std, 6) AS std,
+           CASE WHEN std > 0
+                THEN round((value - mean) / std, 6) END AS z,
+           CASE WHEN std > 0
+                THEN abs((value - mean) / std) > 2
+                ELSE FALSE END AS is_outlier
+    FROM scored
+    """,
+)
+def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-indicator z-score outlier QA over the country-year panel —
+    the validation sweep run before publishing a revision.
+
+    Sufficient statistics (Σx, Σx² as exact decimals, n) aggregate to
+    indicator cardinality, broadcast back onto the panel, and the
+    z-score is a narrow expression — one small aggregate + one
+    broadcast join at any scale. The panel measure is the exact
+    decimal yearly sum (never a double re-cast to decimal — see the
+    oracle comment). Degenerate groups guard: n ≤ 1 rows drop, zero
+    variance yields NULL z / FALSE flag.
+    """
+    panel = (
+        observations(spark, sf_dir)
+        .filter(F.col("event_id") % 3 > 0)
+        .groupBy("indicator_name", "country_code", "year")
+        .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
+    )
+    stats = (
+        panel.groupBy("indicator_name")
+        .agg(
+            F.sum("sv").cast("double").alias("s1"),
+            F.sum(F.col("sv") * F.col("sv")).cast("double").alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    v = F.col("value")
+    z = (v - F.col("mean")) / F.col("std")
+    return (
+        panel.join(F.broadcast(stats), "indicator_name")
+        .withColumn("value", F.col("sv").cast("double"))
+        .withColumn("mean", mean)
+        .withColumn("std", std)
+        .select(
+            "indicator_name",
+            "country_code",
+            "year",
+            "value",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            F.when(F.col("std") > 0, F.round(z, 6)).alias("z"),
+            F.when(F.col("std") > 0, F.abs(z) > 2)
+            .otherwise(F.lit(False))
+            .alias("is_outlier"),
+        )
+    )

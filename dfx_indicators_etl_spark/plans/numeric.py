@@ -15,6 +15,15 @@ ulp and break value-hash comparison. The engine therefore:
 
 This costs nothing at scale: decimal partial aggregation is still
 map-side combinable and whole-stage-codegen'd.
+
+One hazard (hit by ind_outlier_flags, round 7): never re-cast a
+``davg`` quotient back to decimal. sum(scale-4)/count quotients
+routinely land EXACTLY on scale-4 half-way ties (e.g. 98.5642/4 =
+24.64105), where Spark's BigDecimal HALF_UP on the double's exact
+binary expansion and DuckDB's scaled-multiply rounding can disagree
+by one last digit. If a second aggregation level is needed, carry the
+measure as DECIMAL end-to-end (sum the decimal sums) and divide to
+double only once, at the final output.
 """
 
 from __future__ import annotations

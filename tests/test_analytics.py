@@ -152,3 +152,29 @@ def test_scd2_intervals_hand_built(spark):
         (1, "b", 2, 3, False),
         (2, "x", 0, None, True),
     ]
+
+
+def test_snapshot_diff_classification(spark, sf_dir):
+    rows = QUERIES["q_snapshot_diff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["o_orderkey"]
+        if r["status"] == "added":
+            assert k % 10 == 9 and r["price_a"] is None
+        elif r["status"] == "removed":
+            assert k % 10 == 0 and r["price_b"] is None
+        else:
+            assert r["status"] == "changed"
+            assert k % 7 == 0  # only the revised keys can differ
+            assert abs(r["price_b"] - r["price_a"] - 1.0) < 1e-9
+    # every revised key present in both snapshots must surface as changed
+    changed = {r["o_orderkey"] for r in rows if r["status"] == "changed"}
+    from dfx_indicators_etl_spark.sources import read_tables
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    expect = {
+        r[0]
+        for r in orders.select("o_orderkey").collect()
+        if r[0] % 7 == 0 and 0 < r[0] % 10 < 9
+    }
+    assert changed == expect

@@ -125,3 +125,26 @@ def test_rebase_index_zero_base_and_scaling(spark):
     assert out[("A", 2001)] == 150.0
     assert out[("Z", 2000)] is None
     assert out[("Z", 2001)] is None
+
+
+def test_outlier_flags_semantics(spark, sf_dir):
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = QUERIES["ind_outlier_flags"](spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["std"] >= 0
+        if r["z"] is not None:
+            # flag agrees with the emitted z (rounding slack at the 2.0 edge)
+            if abs(abs(r["z"]) - 2) > 1e-5:
+                assert r["is_outlier"] == (abs(r["z"]) > 2)
+    # z-scores within an indicator have ~zero mean (soundness of stats)
+    by_ind = {}
+    for r in rows:
+        if r["z"] is not None:
+            by_ind.setdefault(r["indicator_name"], []).append(r["z"])
+    for zs in by_ind.values():
+        assert abs(sum(zs) / len(zs)) < 0.01
+        assert any(abs(z) > 1 for z in zs)  # non-degenerate spread

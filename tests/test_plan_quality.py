@@ -68,6 +68,8 @@ JVM_ONLY = [
     "q_scd2_intervals",
     "dedup_fuzzy_levenshtein",
     "sample_priority",
+    "ind_outlier_flags",
+    "q_snapshot_diff",
 ]
 
 

@@ -432,3 +432,89 @@ def test_temperature_sample_rate_properties(spark, group_sizes, temperature):
         for nb, rb in seen:
             if na < nb:
                 assert ra >= rb
+
+
+def _round_half_up(x: float, places: int = 6) -> float:
+    """Spark's round(): HALF_UP on the double's exact binary expansion
+    (python's built-in round is half-to-even — hypothesis finds the
+    dyadic ties like 0.7265625 where they differ)."""
+    import decimal
+
+    q = decimal.Decimal(x).quantize(
+        decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(q)
+
+
+def ref_interpolate(series: list[tuple[int, float]]) -> dict[int, tuple[float, bool]]:
+    """Pure-Python model of linear year gap-fill (sorted (year, value))."""
+    out: dict[int, tuple[float, bool]] = {}
+    series = sorted(series)
+    for i, (y1, v1) in enumerate(series):
+        out[y1] = (_round_half_up(v1), False)
+        if i + 1 < len(series):
+            y2, v2 = series[i + 1]
+            for y in range(y1 + 1, y2):
+                out[y] = (
+                    _round_half_up(v1 + (v2 - v1) * (y - y1) / (y2 - y1)),
+                    True,
+                )
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1990, max_value=2030),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_interpolate_years_matches_python_model(spark, series_map):
+    series = sorted(series_map.items())
+    df = spark.createDataFrame(
+        [("A", "X", y, v) for y, v in series], "ind string, cc string, year int, value double"
+    )
+    got = {
+        r["year"]: (r["value"], r["filled"])
+        for r in ops.interpolate_years(df, ["ind", "cc"]).collect()
+    }
+    want = ref_interpolate(series)
+    assert got.keys() == want.keys()
+    for y in want:
+        assert got[y][1] == want[y][1]
+        assert got[y][0] == want[y][0], (y, got[y], want[y])
+
+
+def test_priority_sample_matches_python_model(spark):
+    """The survivor set must equal the exact top-n of w/u computed from
+    the same md5 stream in pure Python — full determinism, not just a
+    distributional claim."""
+    import hashlib
+
+    from dfx_indicators_etl_spark.operators.sampling import priority_sample
+
+    rows = [(i, f"g{i % 3}", 10 + (i * 37) % 990) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+
+    def uniform(key: int) -> float:
+        h = hashlib.md5(f"prio{key}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    want: dict[str, set[int]] = {}
+    for g in {r[1] for r in rows}:
+        members = [(r[2] / uniform(r[0]), -r[0]) for r in rows if r[1] == g]
+        ids = [
+            -neg_id
+            for _, neg_id in sorted(members, reverse=True)[:7]
+        ]
+        want[g] = set(ids)
+    got: dict[str, set[int]] = {}
+    for r in priority_sample(
+        df, weight_col="n_chars", key_col="doc_id", n=7, group_cols=["lang"]
+    ).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert got == want

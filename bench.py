@@ -182,6 +182,7 @@ HEADLINE = (
     "sample_priority",
     "ind_outlier_flags",
     "q_snapshot_diff",
+    "q_incremental_agg",
 )
 
 

@@ -1653,3 +1653,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query(
+    "q_incremental_agg",
+    # Mergeability proof: re-aggregated partials over base ∪ delta must
+    # equal the direct aggregate over the whole fact.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    merge a stored partial-aggregate state with a new batch's partials
+    instead of rescanning history.
+
+    The fact splits into a seeded state (80%) and a delta batch (20%);
+    each side reduces to per-group (Σ decimal, n) partials and the
+    union re-aggregates — the algebraic-merge property that lets a
+    100 TB pipeline refresh a rollup from yesterday's stored partials
+    plus today's delta (delta-sized scan, group-cardinality state).
+    AVG recomposes from merged sum/count, never from averaged
+    averages. The oracle aggregates the whole fact directly: equality
+    IS the mergeability proof.
+    """
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("pn"),
+            F.sum(dec("l_quantity")).alias("psum"),
+        )
+
+    state = partials(lineitem.filter(F.col("l_orderkey") % 5 != 0))
+    delta = partials(lineitem.filter(F.col("l_orderkey") % 5 == 0))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.sum("psum").alias("msum"))
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("msum").cast("double").alias("sum_qty"),
+        (F.col("msum").cast("double") / F.col("n")).alias("avg_qty"),
+    )

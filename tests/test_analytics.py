@@ -178,3 +178,32 @@ def test_snapshot_diff_classification(spark, sf_dir):
         if r[0] % 7 == 0 and 0 < r[0] % 10 < 9
     }
     assert changed == expect
+
+
+def test_incremental_agg_merges_exactly(spark, sf_dir):
+    """agg(state ∪ delta-partials) must equal the direct aggregate —
+    the algebraic-merge property, checked to the last bit."""
+    from dfx_indicators_etl_spark.sources import read_tables
+
+    merged = {
+        r["l_returnflag"]: r for r in QUERIES["q_incremental_agg"](spark, sf_dir).collect()
+    }
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    direct = {
+        r["l_returnflag"]: r
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert merged.keys() == direct.keys()
+    for k in direct:
+        assert merged[k]["n"] == direct[k]["n"]
+        assert merged[k]["sum_qty"] == direct[k]["sum_qty"]  # exact decimal merge
+        assert merged[k]["avg_qty"] == direct[k]["sum_qty"] / direct[k]["n"]

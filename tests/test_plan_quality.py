@@ -70,6 +70,7 @@ JVM_ONLY = [
     "sample_priority",
     "ind_outlier_flags",
     "q_snapshot_diff",
+    "q_incremental_agg",
 ]
 
 

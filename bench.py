@@ -183,6 +183,8 @@ HEADLINE = (
     "ind_outlier_flags",
     "q_snapshot_diff",
     "q_incremental_agg",
+    "ind_forecast_trend",
+    "q_abc_analysis",
 )
 
 

@@ -1705,3 +1705,83 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("msum").cast("double").alias("sum_qty"),
         (F.col("msum").cast("double") / F.col("n")).alias("avg_qty"),
     )
+
+
+@query(
+    "q_abc_analysis",
+    # Running share accumulates in exact DECIMAL (a double running sum
+    # would depend on the engine's window evaluation — sequential vs
+    # segment-tree — for its rounding); one division per row on
+    # identical decimals -> identical doubles.
+    oracle="""
+    WITH rev AS (
+        SELECT s_name,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))) AS rev_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    ),
+    ranked AS (
+        SELECT s_name, rev_dec,
+               SUM(rev_dec) OVER (ORDER BY rev_dec DESC, s_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_dec,
+               SUM(rev_dec) OVER () AS tot_dec
+        FROM rev
+    )
+    SELECT s_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6)
+               AS cum_share,
+           CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)
+                     <= 0.8 THEN 'A'
+                WHEN CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)
+                     <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of suppliers by revenue: rank by
+    revenue, accumulate the running share, and bucket A (first 80%),
+    B (to 95%), C (tail) — the inventory-analytics staple.
+
+    The fact reduces to supplier cardinality first (combinable decimal
+    aggregate; supplier dim broadcasts); the cumulative window then
+    runs over the aggregate only. The running total stays DECIMAL so
+    the share is engine- and partition-order-exact. The unpartitioned
+    window is group-cardinality-sized — at 100 TB the aggregate is
+    |suppliers| rows, and a two-level cumsum (range-partition +
+    offset) is the stated swap if even that outgrows one task (the
+    text_pack_bins pattern).
+    """
+    lineitem, supplier = read_tables(spark, sf_dir, "lineitem", "supplier")
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum(dec(_revenue())).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), "s_name").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.withColumn("cum_dec", F.sum("rev_dec").over(w)).withColumn(
+        "tot_dec", F.sum("rev_dec").over(w_all)
+    )
+    share = F.col("cum_dec").cast("double") / F.col("tot_dec").cast("double")
+    return ranked.select(
+        "s_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -882,3 +882,92 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
     )
+
+
+@query(
+    "ind_forecast_trend",
+    # OLS sufficient statistics stay exact (decimal Σy/Σxy, int64
+    # Σx/Σx²); slope/intercept/forecast then compute in one IEEE
+    # expression shape on identical doubles.
+    oracle=f"""
+    WITH panel AS (
+        SELECT indicator_name, country_code, year,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS sv
+        FROM ({OBS_SQL}) obs
+        WHERE event_id % 3 > 0
+        GROUP BY indicator_name, country_code, year
+    ),
+    stats AS (
+        SELECT indicator_name, country_code,
+               COUNT(*) AS n,
+               SUM(CAST(year AS BIGINT)) AS sx,
+               SUM(CAST(year AS BIGINT) * CAST(year AS BIGINT)) AS sxx,
+               CAST(SUM(sv) AS DOUBLE) AS sy,
+               CAST(SUM(sv * year) AS DOUBLE) AS sxy,
+               MAX(year) AS last_year
+        FROM panel GROUP BY indicator_name, country_code
+    ),
+    fitted AS (
+        SELECT *,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        FROM stats WHERE n >= 2
+    )
+    SELECT indicator_name, country_code, CAST(n AS BIGINT) AS n,
+           round(slope, 6) AS slope,
+           CAST(last_year + 1 AS INTEGER) AS forecast_year,
+           round((sy - slope * sx) / n + slope * (last_year + 1), 6)
+               AS forecast
+    FROM fitted
+    """,
+)
+def ind_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear-trend nowcast: fit OLS value~year on each
+    (indicator, country) series and extrapolate one year past the last
+    report — the gap-year estimate published while providers lag.
+
+    One combinable aggregate to series cardinality carrying the OLS
+    sufficient statistics (Σx, Σx² as int64; Σy, Σxy as exact
+    decimals), then a narrow slope/forecast expression — no second
+    pass, no window, no driver state. Series with <2 reported years
+    drop (no trend).
+    """
+    panel = (
+        observations(spark, sf_dir)
+        .filter(F.col("event_id") % 3 > 0)
+        .groupBy("indicator_name", "country_code", "year")
+        .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
+    )
+    yr = F.col("year").cast("bigint")
+    stats = (
+        panel.groupBy("indicator_name", "country_code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(yr).alias("sx"),
+            F.sum(yr * yr).alias("sxx"),
+            F.sum("sv").cast("double").alias("sy"),
+            F.sum(F.col("sv") * F.col("year")).cast("double").alias("sxy"),
+            F.max("year").alias("last_year"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n, sx, sxx, sy, sxy = (
+        F.col("n"),
+        F.col("sx"),
+        F.col("sxx"),
+        F.col("sy"),
+        F.col("sxy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fitted = stats.withColumn("slope", slope)
+    s = F.col("slope")
+    return fitted.select(
+        "indicator_name",
+        "country_code",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(s, 6).alias("slope"),
+        (F.col("last_year") + 1).cast("int").alias("forecast_year"),
+        F.round(
+            (sy - s * sx) / n + s * (F.col("last_year") + 1), 6
+        ).alias("forecast"),
+    )

@@ -207,3 +207,18 @@ def test_incremental_agg_merges_exactly(spark, sf_dir):
         assert merged[k]["n"] == direct[k]["n"]
         assert merged[k]["sum_qty"] == direct[k]["sum_qty"]  # exact decimal merge
         assert merged[k]["avg_qty"] == direct[k]["sum_qty"] / direct[k]["n"]
+
+
+def test_abc_analysis_invariants(spark, sf_dir):
+    rows = QUERIES["q_abc_analysis"](spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r["cum_share"])
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
+    # classes are contiguous A..B..C in rank order
+    classes = "".join(r["abc_class"] for r in rows)
+    assert classes == "A" * classes.count("A") + "B" * classes.count("B") + "C" * classes.count("C")
+    # revenues are non-increasing in rank order
+    revs = [r["revenue"] for r in rows]
+    assert all(revs[i] >= revs[i + 1] - 1e-9 for i in range(len(revs) - 1))

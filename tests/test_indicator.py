@@ -148,3 +148,40 @@ def test_outlier_flags_semantics(spark, sf_dir):
     for zs in by_ind.values():
         assert abs(sum(zs) / len(zs)) < 0.01
         assert any(abs(z) > 1 for z in zs)  # non-degenerate spread
+
+
+def test_forecast_trend_exact_line(spark, tmp_path):
+    """A perfectly linear series must recover slope/intercept exactly
+    and forecast the next point on the line."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    # Build an events table whose panel reduces to value = 2*year - 4000
+    # for one series: user 0 -> NATION_0 via user_id % 25; each event
+    # lands in year 2000 + day(ts).
+    import datetime as dt
+
+    rows = []
+    eid = 1
+    for day in (1, 2, 3, 4, 5):
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12, 0, 0), 0, "click",
+             float(2 * (2000 + day) - 4000), "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = tmp_path / "lin"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.parquet(
+        str(sf / "nation.parquet")
+    )
+    out = QUERIES["ind_forecast_trend"](spark, str(sf)).collect()
+    # thinning keeps event_id % 3 > 0 -> years {2001,2002,2004,2005}
+    r = [x for x in out if x["indicator_name"] == "click"][0]
+    assert r["n"] == 4
+    assert r["slope"] == 2.0
+    assert r["forecast_year"] == 2006
+    assert r["forecast"] == float(2 * 2006 - 4000)

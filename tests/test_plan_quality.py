@@ -71,6 +71,8 @@ JVM_ONLY = [
     "ind_outlier_flags",
     "q_snapshot_diff",
     "q_incremental_agg",
+    "ind_forecast_trend",
+    "q_abc_analysis",
 ]
 
 

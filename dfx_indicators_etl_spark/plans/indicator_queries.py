@@ -805,19 +805,19 @@ def ind_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY indicator_name, country_code, year
     ),
     stats AS (
-        SELECT indicator_name,
-               CAST(SUM(sv) AS DOUBLE) AS s1,
-               CAST(SUM(sv * sv) AS DOUBLE) AS s2,
-               COUNT(*) AS n
-        FROM panel GROUP BY indicator_name
+        SELECT indicator_name, country_code, year,
+               CAST(sv AS DOUBLE) AS value,
+               CAST(SUM(sv) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(sv * sv) OVER w AS DOUBLE) AS s2,
+               COUNT(*) OVER w AS n
+        FROM panel
+        WINDOW w AS (PARTITION BY indicator_name)
     ),
     scored AS (
-        SELECT p.indicator_name, country_code, year,
-               CAST(sv AS DOUBLE) AS value,
+        SELECT indicator_name, country_code, year, value,
                s1 / n AS mean,
                sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)) AS std
-        FROM panel p JOIN stats USING (indicator_name)
-        WHERE n > 1
+        FROM stats WHERE n > 1
     )
     SELECT indicator_name, country_code, year, value,
            round(mean, 6) AS mean,
@@ -834,13 +834,14 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-indicator z-score outlier QA over the country-year panel —
     the validation sweep run before publishing a revision.
 
-    Sufficient statistics (Σx, Σx² as exact decimals, n) aggregate to
-    indicator cardinality, broadcast back onto the panel, and the
-    z-score is a narrow expression — one small aggregate + one
-    broadcast join at any scale. The panel measure is the exact
-    decimal yearly sum (never a double re-cast to decimal — see the
-    oracle comment). Degenerate groups guard: n ≤ 1 rows drop, zero
-    variance yields NULL z / FALSE flag.
+    Sufficient statistics (Σx, Σx² as exact decimals, n) come from a
+    window over the panel partitioned by indicator — the panel is
+    series-year cardinality, so the window input is bounded and the
+    whole query is one fact scan + the panel shuffle (the earlier
+    groupBy-then-join form scanned the fact twice). The panel measure
+    is the exact decimal yearly sum (never a double re-cast to decimal
+    — see the oracle comment). Degenerate groups guard: n ≤ 1 rows
+    drop, zero variance yields NULL z / FALSE flag.
     """
     panel = (
         observations(spark, sf_dir)
@@ -848,13 +849,16 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("indicator_name", "country_code", "year")
         .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
     )
-    stats = (
-        panel.groupBy("indicator_name")
-        .agg(
-            F.sum("sv").cast("double").alias("s1"),
-            F.sum(F.col("sv") * F.col("sv")).cast("double").alias("s2"),
-            F.count("*").alias("n"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("indicator_name")
+    scored = (
+        panel.withColumn("value", F.col("sv").cast("double"))
+        .withColumn("s1", F.sum("sv").over(w).cast("double"))
+        .withColumn(
+            "s2", F.sum(F.col("sv") * F.col("sv")).over(w).cast("double")
         )
+        .withColumn("n", F.count("*").over(w))
         .filter(F.col("n") > 1)
     )
     mean = F.col("s1") / F.col("n")
@@ -865,9 +869,7 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     z = (v - F.col("mean")) / F.col("std")
     return (
-        panel.join(F.broadcast(stats), "indicator_name")
-        .withColumn("value", F.col("sv").cast("double"))
-        .withColumn("mean", mean)
+        scored.withColumn("mean", mean)
         .withColumn("std", std)
         .select(
             "indicator_name",

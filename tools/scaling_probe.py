@@ -59,6 +59,17 @@ PROBES = {
     "text_bigram_logprob": ("documents",),
     "text_entropy": ("documents",),
     "sample_temperature": ("documents",),
+    # round 7, late additions: robust stats + SCD2 + fuzzy dedup +
+    # priority sampling + series nowcast + Pareto. Replica token
+    # suffixes change document prefixes, so the levenshtein blocking
+    # stays K× blocks (not K×-deep blocks); events replicas multiply
+    # per-user history depth (window-partition growth is the point).
+    "q_winsorize": ("lineitem",),
+    "q_abc_analysis": ("lineitem",),  # supplier dim stays: K× per-supplier volume
+    "q_scd2_intervals": ("events",),
+    "ind_forecast_trend": ("events",),
+    "dedup_fuzzy_levenshtein": ("documents",),
+    "sample_priority": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -384,10 +384,19 @@ def scd2_intervals(
     keys = list(key_cols)
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev = F.lag(attr_col).over(w)
+    # lag carries a sentinel struct so a genuine NULL attribute is
+    # distinguishable from "no previous row", and the comparison is
+    # null-safe: a change from/to NULL still opens a new interval.
+    prev = F.lag(F.col(attr_col)).over(w)
+    prev_exists = F.lag(F.lit(True)).over(w)
     changes = (
         df.withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .withColumn("__has_prev", prev_exists)
+        .filter(
+            F.col("__has_prev").isNull()
+            | ~F.col("__prev").eqNullSafe(F.col(attr_col))
+        )
+        .drop("__has_prev")
         .select(
             *keys,
             attr_col,

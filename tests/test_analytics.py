@@ -222,3 +222,36 @@ def test_abc_analysis_invariants(spark, sf_dir):
     # revenues are non-increasing in rank order
     revs = [r["revenue"] for r in rows]
     assert all(revs[i] >= revs[i + 1] - 1e-9 for i in range(len(revs) - 1))
+
+
+def test_scd2_intervals_null_attribute_changes(spark):
+    """A change from or to a NULL attribute value must open a new
+    interval (null-safe change detection), and consecutive NULLs must
+    collapse into one interval like any other run."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 1, None),    # open with NULL attr
+            (1, t(1), 2, None),    # same run
+            (1, t(2), 3, "a"),     # NULL -> a : change
+            (1, t(3), 4, None),    # a -> NULL : change
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    from dfx_indicators_etl_spark.operators.indicator import scd2_intervals
+
+    out = sorted(
+        (r["valid_from"].second,
+         None if r["valid_to"] is None else r["valid_to"].second,
+         r["event_type"], r["is_current"])
+        for r in scd2_intervals(
+            df, ["user_id"], "event_type", ts_col="ts", tiebreak_col="event_id"
+        ).collect()
+    )
+    assert out == [
+        (0, 2, None, False),
+        (2, 3, "a", False),
+        (3, None, None, True),
+    ]

@@ -185,6 +185,7 @@ HEADLINE = (
     "q_incremental_agg",
     "ind_forecast_trend",
     "q_abc_analysis",
+    "ind_panel_balance",
 )
 
 

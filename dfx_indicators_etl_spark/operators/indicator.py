@@ -282,6 +282,15 @@ def interpolate_years(
     (one ``lead`` window) and emits itself plus every missing year up
     to it (``sequence`` + explode), interpolating linearly between
     the two anchors. Adds a ``filled`` flag marking generated rows.
+    NULL-valued rows are dropped first, so a NULL report never becomes
+    an anchor — the gap bridges to the nearest real observation.
+
+    Input contract: one row per (keys, year) — the panel an upstream
+    group-by produces. The sequence bound is clamped (a duplicate year
+    would otherwise make ``sequence`` step backwards and fabricate
+    out-of-range years), so duplicate input degrades to duplicate
+    anchor rows rather than phantom years; dedupe upstream for a
+    clean panel.
 
     Scale shape: ONE pass — a single key-wise shuffle for the lead
     window (partitions are single series, bounded by decades), then a
@@ -296,7 +305,7 @@ def interpolate_years(
     year = F.col(year_col)
     next_v = F.lead(value_col).over(w)
     next_y = F.lead(year_col).over(w)
-    exploded = df.select(
+    exploded = df.filter(v.isNotNull()).select(
         *keys,
         year.alias("__y1"),
         v.alias("__v1"),
@@ -311,7 +320,10 @@ def interpolate_years(
         F.explode(
             F.sequence(
                 F.col("__y1"),
-                F.coalesce(F.col("__y2") - 1, F.col("__y1")),
+                F.greatest(
+                    F.coalesce(F.col("__y2") - 1, F.col("__y1")),
+                    F.col("__y1"),
+                ),
             )
         ).alias(year_col),
     )
@@ -344,14 +356,17 @@ def rebase_index(
 
     ``idx = 100 · value / value(min year)`` via a ``first`` window over
     the full series frame; a zero base yields NULL rather than ±inf so
-    downstream aggregates stay finite. Window partitions are single
-    series (bounded), so the transform is one key-wise shuffle at any
-    corpus size.
+    downstream aggregates stay finite. The window ordering tiebreaks
+    on the value, so a dirty panel with duplicate min-year rows still
+    picks a deterministic base (the smallest value) instead of
+    whichever duplicate an unstable sort emits first. Window
+    partitions are single series (bounded), so the transform is one
+    key-wise shuffle at any corpus size.
     """
     keys = list(key_cols)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(year_col)
+        .orderBy(year_col, value_col)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     base = F.first(value_col).over(w)

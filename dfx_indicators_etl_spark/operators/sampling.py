@@ -186,9 +186,15 @@ def priority_sample(
     key with a rank window whose per-partition state is the top-n heap
     — never corpus-sized. Ties are impossible in practice (64-bit
     priorities) but doubly broken on the key for total determinism.
+    The uniform is floored at 2⁻³³ (below its real resolution of
+    2⁻³²): a key whose md5 starts with eight zero hex chars draws
+    u = 0 — expected at billions of rows — and w/0 would throw under
+    ANSI or sort the row LAST as NULL when it should be a certain
+    include; the floor gives it the top priority it deserves.
     """
     groups = list(group_cols)
-    pr = F.col(weight_col).cast("double") / hash_uniform(key_col, salt)
+    u = F.greatest(hash_uniform(key_col, salt), F.lit(2.0 ** -33))
+    pr = F.col(weight_col).cast("double") / u
     ranked = df.withColumn("__priority", pr)
     w = Window.partitionBy(*groups).orderBy(
         F.col("__priority").desc(), F.col(key_col)

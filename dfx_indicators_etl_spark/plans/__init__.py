@@ -71,7 +71,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_survivors",
-    # (d) oldest (r4) driver evidence — 28 keys fill the window
+    # (d) oldest (r4) driver evidence — 16 keys fill the window
     "q5_local_supplier",
     "q13_customer_distribution",
     "q14_promo_revenue",

@@ -728,6 +728,31 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sum-measure twin of SERIES_SQL: the panel measure stays DECIMAL so a
+# second aggregation level never re-casts a double quotient to decimal
+# (the half-way-tie hazard in plans/numeric.py). Shared by the
+# statistics queries (outlier QA, trend nowcast).
+PANEL_SUM_SQL = f"""
+    SELECT indicator_name, country_code, year,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS sv
+    FROM ({OBS_SQL}) obs
+    WHERE event_id % 3 > 0
+    GROUP BY indicator_name, country_code, year
+"""
+
+
+def _panel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thinned panel with exact-decimal yearly SUMS — the Spark twin
+    of PANEL_SUM_SQL."""
+    return (
+        observations(spark, sf_dir)
+        .filter(F.col("event_id") % 3 > 0)
+        .groupBy("indicator_name", "country_code", "year")
+        .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
+    )
+
+
 @query(
     "ind_interpolate_years",
     # Same lead anchors + identical interpolation expression shape ->
@@ -743,8 +768,8 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
         SELECT indicator_name, country_code,
                year AS y1, value AS v1, v2, y2,
-               unnest(generate_series(year, coalesce(y2 - 1, year)))
-                   AS year
+               unnest(generate_series(year,
+                   greatest(coalesce(y2 - 1, year), year))) AS year
         FROM m
     )
     SELECT indicator_name, country_code, CAST(year AS INTEGER) AS year,
@@ -774,7 +799,8 @@ def ind_interpolate_years(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN round(100.0 * value / first_value(value) OVER w, 6)
            END AS idx
     FROM series
-    WINDOW w AS (PARTITION BY indicator_name, country_code ORDER BY year
+    WINDOW w AS (PARTITION BY indicator_name, country_code
+                 ORDER BY year, value
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -796,14 +822,7 @@ def ind_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Variance/z then compute in one IEEE expression shape on
     # identical doubles; sqrt is correctly-rounded on both.
     oracle=f"""
-    WITH panel AS (
-        SELECT indicator_name, country_code, year,
-               CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                    AS DECIMAL(18,4)) AS sv
-        FROM ({OBS_SQL}) obs
-        WHERE event_id % 3 > 0
-        GROUP BY indicator_name, country_code, year
-    ),
+    WITH panel AS ({PANEL_SUM_SQL}),
     stats AS (
         SELECT indicator_name, country_code, year,
                CAST(sv AS DOUBLE) AS value,
@@ -843,12 +862,7 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     — see the oracle comment). Degenerate groups guard: n ≤ 1 rows
     drop, zero variance yields NULL z / FALSE flag.
     """
-    panel = (
-        observations(spark, sf_dir)
-        .filter(F.col("event_id") % 3 > 0)
-        .groupBy("indicator_name", "country_code", "year")
-        .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
-    )
+    panel = _panel_sums(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("indicator_name")
@@ -892,14 +906,7 @@ def ind_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σx/Σx²); slope/intercept/forecast then compute in one IEEE
     # expression shape on identical doubles.
     oracle=f"""
-    WITH panel AS (
-        SELECT indicator_name, country_code, year,
-               CAST(SUM(CAST(value AS DECIMAL(18,4)))
-                    AS DECIMAL(18,4)) AS sv
-        FROM ({OBS_SQL}) obs
-        WHERE event_id % 3 > 0
-        GROUP BY indicator_name, country_code, year
-    ),
+    WITH panel AS ({PANEL_SUM_SQL}),
     stats AS (
         SELECT indicator_name, country_code,
                COUNT(*) AS n,
@@ -934,12 +941,7 @@ def ind_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no window, no driver state. Series with <2 reported years
     drop (no trend).
     """
-    panel = (
-        observations(spark, sf_dir)
-        .filter(F.col("event_id") % 3 > 0)
-        .groupBy("indicator_name", "country_code", "year")
-        .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
-    )
+    panel = _panel_sums(spark, sf_dir)
     yr = F.col("year").cast("bigint")
     stats = (
         panel.groupBy("indicator_name", "country_code")

@@ -1758,9 +1758,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT lang, doc_id, n_chars,
                CAST(n_chars AS DOUBLE) /
-               (CAST(concat('0x', substr(md5(concat('prio',
+               greatest(CAST(concat('0x', substr(md5(concat('prio',
                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-                / 4294967296.0) AS priority
+                / 4294967296.0, 1.1641532182693481e-10) AS priority
         FROM documents
     )
     SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rk,

@@ -185,3 +185,44 @@ def test_forecast_trend_exact_line(spark, tmp_path):
     assert r["slope"] == 2.0
     assert r["forecast_year"] == 2006
     assert r["forecast"] == float(2 * 2006 - 4000)
+
+
+def test_interpolate_years_dirty_input_guards(spark):
+    """Duplicate (key, year) rows must not fabricate out-of-range years
+    (the descending-sequence hazard) and NULL-valued reports must not
+    become interpolation anchors."""
+    df = spark.createDataFrame(
+        [
+            ("A", "X", 2000, 10.0),
+            ("A", "X", 2000, 20.0),   # duplicate year
+            ("A", "X", 2003, 40.0),
+            ("B", "Y", 2000, 1.0),
+            ("B", "Y", 2001, None),   # NULL report: skipped, not an anchor
+            ("B", "Y", 2002, 3.0),
+        ],
+        "ind string, cc string, year int, value double",
+    )
+    out = ops.interpolate_years(df, ["ind", "cc"]).collect()
+    years_a = sorted(r["year"] for r in out if r["ind"] == "A")
+    assert years_a == [2000, 2000, 2001, 2002, 2003]  # no phantom 1999
+    assert all(2000 <= r["year"] <= 2003 for r in out if r["ind"] == "A")
+    b = {r["year"]: (r["value"], r["filled"]) for r in out if r["ind"] == "B"}
+    # 2001 bridges 1.0 -> 3.0 (the NULL report did not anchor it to NULL)
+    assert b == {2000: (1.0, False), 2001: (2.0, True), 2002: (3.0, False)}
+
+
+def test_rebase_index_duplicate_min_year_deterministic(spark):
+    """Duplicate min-year rows pick the smallest value as base — the
+    same answer under any partitioning (repartition shuffle check)."""
+    rows = [("A", "X", 2000, 60.0), ("A", "X", 2000, 50.0), ("A", "X", 2001, 75.0)]
+    df = spark.createDataFrame(rows, "ind string, cc string, year int, value double")
+    for d in (df, df.repartition(7)):
+        got = sorted(
+            (r["year"], r["value"], r["idx"])
+            for r in ops.rebase_index(d, ["ind", "cc"]).collect()
+        )
+        assert got == [
+            (2000, 50.0, 100.0),
+            (2000, 60.0, 120.0),
+            (2001, 75.0, 150.0),
+        ]

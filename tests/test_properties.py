@@ -502,7 +502,7 @@ def test_priority_sample_matches_python_model(spark):
 
     def uniform(key: int) -> float:
         h = hashlib.md5(f"prio{key}".encode()).hexdigest()[:8]
-        return int(h, 16) / 2**32
+        return max(int(h, 16) / 2**32, 2.0 ** -33)  # operator's u-floor
 
     want: dict[str, set[int]] = {}
     for g in {r[1] for r in rows}:

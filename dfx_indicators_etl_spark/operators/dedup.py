@@ -1038,16 +1038,14 @@ def fuzzy_levenshtein_pairs(
         F.col("__probe").alias("__pb"),
         F.col("__plen").alias("__lb"),
     )
-    # Bounded-threshold DP (O(probe_len · max_dist) banded cells with
-    # early exit, ~3× cheaper than the full probe_len² table at the
-    # defaults; returns −1 above the bound, the exact distance below
-    # it) behind a free length prefilter — |len(a) − len(b)| already
-    # exceeds any edit distance.
+    # Bounded-threshold DP (banded O(probe_len · max_dist) cells with
+    # a built-in length early-exit; returns −1 above the bound, the
+    # exact distance below it) — measured ~1.35× the full-table form
+    # on the sf0.1 corpus, and the gap widens as max_dist shrinks.
     dist = F.levenshtein(F.col("__pa"), F.col("__pb"), max_dist)
     return (
         a.join(b, ["__blk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
         .withColumn("__d", dist)
         .filter(F.col("__d") >= 0)
         .select(

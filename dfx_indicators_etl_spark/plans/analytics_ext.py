@@ -1785,3 +1785,85 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "q_rfm_segmentation",
+    # ntile over TOTALLY-ordered windows (metric desc, custkey) is the
+    # same standard bucketing on both engines.
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    tiers AS (
+        SELECT *,
+            ntile(3) OVER (ORDER BY last_order DESC, custkey) AS r_tier,
+            ntile(3) OVER (ORDER BY freq DESC, custkey) AS f_tier,
+            ntile(3) OVER (ORDER BY monetary DESC, custkey) AS m_tier
+        FROM rfm
+    )
+    SELECT custkey, last_order, CAST(freq AS BIGINT) AS freq, monetary,
+           CAST(r_tier AS INTEGER) AS r_tier,
+           CAST(f_tier AS INTEGER) AS f_tier,
+           CAST(m_tier AS INTEGER) AS m_tier,
+           concat('R', r_tier, 'F', f_tier, 'M', m_tier) AS segment
+    FROM tiers
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary tiers via
+    ntile(3) over deterministic total orders, concatenated into the
+    classic R#F#M# segment label.
+
+    The fact reduces to customer cardinality first (one combinable
+    aggregate); the three unpartitioned ntile windows run over that
+    aggregate only. At 100 TB-customer scale the stated swap is
+    approx-percentile cutpoints broadcast as a narrow CASE — same
+    labels, no global sort; ties are broken on the key either way so
+    the assignment is reproducible.
+    """
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        dsum("o_totalprice", "monetary"),
+    )
+    tiers = (
+        rfm.withColumn(
+            "r_tier",
+            F.ntile(3).over(
+                Window.orderBy(F.col("last_order").desc(), "custkey")
+            ),
+        )
+        .withColumn(
+            "f_tier",
+            F.ntile(3).over(Window.orderBy(F.col("freq").desc(), "custkey")),
+        )
+        .withColumn(
+            "m_tier",
+            F.ntile(3).over(
+                Window.orderBy(F.col("monetary").desc(), "custkey")
+            ),
+        )
+    )
+    return tiers.select(
+        "custkey",
+        "last_order",
+        F.col("freq").cast("bigint").alias("freq"),
+        "monetary",
+        F.col("r_tier").cast("int").alias("r_tier"),
+        F.col("f_tier").cast("int").alias("f_tier"),
+        F.col("m_tier").cast("int").alias("m_tier"),
+        F.concat(
+            F.lit("R"), F.col("r_tier").cast("string"),
+            F.lit("F"), F.col("f_tier").cast("string"),
+            F.lit("M"), F.col("m_tier").cast("string"),
+        ).alias("segment"),
+    )

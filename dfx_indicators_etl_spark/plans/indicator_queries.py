@@ -1015,3 +1015,54 @@ def ind_panel_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") / (F.countDistinct("country_code") * span), 6
         ).alias("fill_rate"),
     )
+
+
+@query(
+    "ind_series_export",
+    # Struct-sorted collect_list == ORDER BY inside string_agg, and
+    # DECIMAL(18,4) renders with identical full-scale text on both
+    # engines ('24.6410'), so the export strings are byte-equal.
+    oracle=f"""
+    WITH panel AS ({PANEL_SUM_SQL})
+    SELECT indicator_name, country_code,
+           COUNT(*) AS n_years,
+           string_agg(year || '=' || CAST(sv AS VARCHAR), ';'
+                      ORDER BY year) AS series
+    FROM panel
+    GROUP BY indicator_name, country_code
+    """,
+)
+def ind_series_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series flattened to one ordered ``year=value;...`` string per
+    (indicator, country) — the provider-frame export/display form (and
+    the ordered-list-aggregation operator surface: collect_list is
+    unordered by contract, so determinism comes from array_sort on
+    (year, value) structs before joining).
+
+    One combinable aggregate; the per-group state is the series' year
+    list (bounded by decades). The decimal measure renders with full
+    scale, so export strings are engine-exact.
+    """
+    panel = _panel_sums(spark, sf_dir)
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("year"), F.col("sv")))
+    )
+    rendered = F.transform(
+        entries,
+        lambda e: F.concat(
+            e["year"].cast("string"), F.lit("="), e["sv"].cast("string")
+        ),
+    )
+    return (
+        panel.groupBy("indicator_name", "country_code")
+        .agg(
+            F.count("*").alias("n_years"),
+            F.array_join(rendered, ";").alias("series"),
+        )
+        .select(
+            "indicator_name",
+            "country_code",
+            F.col("n_years").cast("bigint").alias("n_years"),
+            "series",
+        )
+    )

@@ -74,6 +74,8 @@ JVM_ONLY = [
     "ind_forecast_trend",
     "q_abc_analysis",
     "ind_panel_balance",
+    "q_rfm_segmentation",
+    "ind_series_export",
 ]
 
 

@@ -518,3 +518,51 @@ def test_priority_sample_matches_python_model(spark):
     ).collect():
         got.setdefault(r["lang"], set()).add(r["doc_id"])
     assert got == want
+
+
+def ref_levenshtein(a: str, b: str) -> int:
+    """Textbook DP — the model for the operator's banded form."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abX ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_fuzzy_levenshtein_matches_python_model(spark, texts):
+    """Every emitted pair's distance must equal the textbook DP on the
+    same probes, and every same-block pair within the threshold must
+    be emitted (no false drops from the banded/thresholded form)."""
+    from dfx_indicators_etl_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    max_dist, prefix, cap = 5, 4, 20
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_levenshtein_pairs(
+            docs, max_dist=max_dist, prefix_len=prefix, probe_len=cap,
+            max_block=None,
+        ).collect()
+    }
+    want = {}
+    for i, ta in enumerate(texts):
+        for j, tb in enumerate(texts):
+            if i < j and ta[:prefix] == tb[:prefix]:
+                d = ref_levenshtein(ta[:cap], tb[:cap])
+                if d <= max_dist:
+                    want[(i, j)] = d
+    assert got == want

@@ -300,7 +300,9 @@ def interpolate_years(
     lineage).
     """
     keys = list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(year_col)
+    # value tiebreak: duplicate-year rows anchor deterministically
+    # (smallest value first) under any partitioning
+    w = Window.partitionBy(*keys).orderBy(year_col, value_col)
     v = F.col(value_col)
     year = F.col(year_col)
     next_v = F.lead(value_col).over(w)
@@ -356,14 +358,16 @@ def rebase_index(
 
     ``idx = 100 · value / value(min year)`` via a ``first`` window over
     the full series frame; a zero base yields NULL rather than ±inf so
-    downstream aggregates stay finite. The window ordering tiebreaks
-    on the value, so a dirty panel with duplicate min-year rows still
-    picks a deterministic base (the smallest value) instead of
-    whichever duplicate an unstable sort emits first. Window
-    partitions are single series (bounded), so the transform is one
-    key-wise shuffle at any corpus size.
+    downstream aggregates stay finite. NULL-valued rows drop first (a
+    NULL must never become the base — Spark orders NULLS FIRST, so
+    without the filter a dirty panel would poison the whole series),
+    and the window ordering tiebreaks on the value, so duplicate
+    min-year rows still pick a deterministic base (the smallest
+    value). Window partitions are single series (bounded), so the
+    transform is one key-wise shuffle at any corpus size.
     """
     keys = list(key_cols)
+    df = df.filter(F.col(value_col).isNotNull())
     w = (
         Window.partitionBy(*keys)
         .orderBy(year_col, value_col)
@@ -399,9 +403,10 @@ def scd2_intervals(
     keys = list(key_cols)
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    # lag carries a sentinel struct so a genuine NULL attribute is
-    # distinguishable from "no previous row", and the comparison is
-    # null-safe: a change from/to NULL still opens a new interval.
+    # a second lag over a constant marks "a previous row exists", so a
+    # genuine NULL attribute is distinguishable from no-previous-row,
+    # and the comparison is null-safe: a change from/to NULL still
+    # opens a new interval.
     prev = F.lag(F.col(attr_col)).over(w)
     prev_exists = F.lag(F.lit(True)).over(w)
     changes = (

@@ -1555,12 +1555,15 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id % 7 = 0
     ),
     m AS (
-        SELECT *, lag(event_type) OVER w AS prev
+        SELECT *, lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
         FROM sub WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     c AS (
+        -- null-safe, mirroring the operator: the first row always
+        -- opens, and a change from/to NULL opens a new interval
         SELECT user_id, event_type, ts AS valid_from, event_id
-        FROM m WHERE prev IS NULL OR prev <> event_type
+        FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER w2 AS valid_to,

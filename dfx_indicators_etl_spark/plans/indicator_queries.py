@@ -763,7 +763,7 @@ def _panel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, lead(value) OVER w AS v2, lead(year) OVER w AS y2
         FROM series
         WINDOW w AS (PARTITION BY indicator_name, country_code
-                     ORDER BY year)
+                     ORDER BY year, value)
     ),
     e AS (
         SELECT indicator_name, country_code,
@@ -798,7 +798,7 @@ def ind_interpolate_years(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN first_value(value) OVER w <> 0
                 THEN round(100.0 * value / first_value(value) OVER w, 6)
            END AS idx
-    FROM series
+    FROM series WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY indicator_name, country_code
                  ORDER BY year, value
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

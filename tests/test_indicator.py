@@ -175,7 +175,9 @@ def test_forecast_trend_exact_line(spark, tmp_path):
     sf = tmp_path / "lin"
     sf.mkdir()
     df.coalesce(1).write.parquet(str(sf / "events.parquet"))
-    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.parquet(
+    from .conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.parquet(
         str(sf / "nation.parquet")
     )
     out = QUERIES["ind_forecast_trend"](spark, str(sf)).collect()
@@ -206,6 +208,10 @@ def test_interpolate_years_dirty_input_guards(spark):
     years_a = sorted(r["year"] for r in out if r["ind"] == "A")
     assert years_a == [2000, 2000, 2001, 2002, 2003]  # no phantom 1999
     assert all(2000 <= r["year"] <= 2003 for r in out if r["ind"] == "A")
+    # the value tiebreak makes the gap anchor deterministic: the
+    # LARGER duplicate (20.0) sorts last and anchors the 20 -> 40 line
+    a = {r["year"]: r["value"] for r in out if r["ind"] == "A" and r["filled"]}
+    assert a == {2001: 26.666667, 2002: 33.333333}
     b = {r["year"]: (r["value"], r["filled"]) for r in out if r["ind"] == "B"}
     # 2001 bridges 1.0 -> 3.0 (the NULL report did not anchor it to NULL)
     assert b == {2000: (1.0, False), 2001: (2.0, True), 2002: (3.0, False)}

@@ -435,12 +435,14 @@ def test_temperature_sample_rate_properties(spark, group_sizes, temperature):
 
 
 def _round_half_up(x: float, places: int = 6) -> float:
-    """Spark's round(): HALF_UP on the double's exact binary expansion
-    (python's built-in round is half-to-even — hypothesis finds the
-    dyadic ties like 0.7265625 where they differ)."""
+    """Spark's round() on DoubleType: HALF_UP on the SHORTEST decimal
+    representation (BigDecimal.valueOf goes through Double.toString),
+    modeled via Decimal(repr(x)). Python's built-in round is
+    half-to-even on the binary value — hypothesis finds dyadic ties
+    like 0.7265625 where the two differ."""
     import decimal
 
-    q = decimal.Decimal(x).quantize(
+    q = decimal.Decimal(repr(x)).quantize(
         decimal.Decimal(1).scaleb(-places), rounding=decimal.ROUND_HALF_UP
     )
     return float(q)

@@ -62,8 +62,11 @@ PROBES = {
     # round 7, late additions: robust stats + SCD2 + fuzzy dedup +
     # priority sampling + series nowcast + Pareto. Replica token
     # suffixes change document prefixes, so the levenshtein blocking
-    # stays K× blocks (not K×-deep blocks); events replicas multiply
-    # per-user history depth (window-partition growth is the point).
+    # stays K× blocks (not K×-deep blocks) — this relies on first
+    # tokens being shorter than the 16-char blocking prefix, which
+    # holds for the whole sf0.1 corpus (verified: 0 of 5000 docs);
+    # events replicas multiply per-user history depth
+    # (window-partition growth is the point).
     "q_winsorize": ("lineitem",),
     "q_abc_analysis": ("lineitem",),  # supplier dim stays: K× per-supplier volume
     "q_scd2_intervals": ("events",),

@@ -188,6 +188,7 @@ HEADLINE = (
     "ind_panel_balance",
     "q_rfm_segmentation",
     "ind_series_export",
+    "q_event_transitions",
 )
 
 

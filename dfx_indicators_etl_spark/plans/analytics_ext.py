@@ -1870,3 +1870,59 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), F.col("m_tier").cast("string"),
         ).alias("segment"),
     )
+
+
+@query(
+    "q_event_transitions",
+    # Integer transition counts; probability is one division per pair
+    # on identical int64s.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev, event_type AS next, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    )
+    SELECT prev, next, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE), 6)
+               AS prob
+    FROM t
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (prev → next) event-type pair, the count and the
+    conditional transition probability — the path-analysis primitive
+    behind funnels and next-action models.
+
+    One key-wise shuffle for the per-user lag window (partitions are
+    per-user streams), then a combinable count to event-type² rows;
+    the normalizing window runs over that tiny matrix. Deterministic
+    ordering via (ts, event_id).
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+    w_prev = Window.partitionBy("prev")
+    return t.select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n") / F.sum("n").over(w_prev).cast("double"), 6
+        ).alias("prob"),
+    )

@@ -76,6 +76,7 @@ JVM_ONLY = [
     "ind_panel_balance",
     "q_rfm_segmentation",
     "ind_series_export",
+    "q_event_transitions",
 ]
 
 

@@ -189,6 +189,7 @@ HEADLINE = (
     "q_rfm_segmentation",
     "ind_series_export",
     "q_event_transitions",
+    "ind_changepoint_cusum",
 )
 
 

@@ -11,20 +11,21 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-7 rotation: (a) the 24 NEW round-7 keys
-# (first driver evidence — includes the 15 late-round additions:
+# in insertion order. Round-7 rotation: (a) the 25 NEW round-7 keys
+# (first driver evidence — includes the 16 late-round additions:
 # ind_interpolate_years, ind_rebase_index, q_winsorize,
 # q_scd2_intervals, dedup_fuzzy_levenshtein, sample_priority,
 # ind_outlier_flags, q_snapshot_diff, q_incremental_agg, ind_forecast_trend,
 # q_abc_analysis, ind_panel_balance, q_rfm_segmentation,
-# ind_series_export, q_event_transitions); (b) the
+# ind_series_export, q_event_transitions, ind_changepoint_cusum);
+# (b) the
 # 6 keys graduated from rows-only to full value oracles this round
 # (first hash-checked rows — the whole ANN/kmeans stack plus the EWMA
 # stream); (c) every key whose implementation round 7 touched (the
 # shingle null-contract coalesce feeds the dedup family; the
 # blocked-pairs expansion was factored out under
-# dedup_embedding_cosine and the cluster ops); (d) 13 of the 41 keys
-# whose latest driver evidence is r4 — the oldest cohort. The 28 r4
+# dedup_embedding_cosine and the cluster ops); (d) 12 of the 41 keys
+# whose latest driver evidence is r4 — the oldest cohort. The 29 r4
 # keys that didn't fit (q10_returned_item, q_top_suppliers,
 # q_unpivot, q_window_range, q_window_topk, q_pivot, q_rollup,
 # q_semi_join, q_cube, q_distinct_agg, q_anti_join, q_union_dedup,
@@ -33,10 +34,11 @@ from . import streaming_queries  # noqa: E402,F401
 # stream_stream_join, q_events_sessionize, q_grouping_sets,
 # q_correlated_scalar, q_asof_nearest, q7_bilateral_volume,
 # q9_nation_profit, q8_market_share, q6_forecast_revenue,
-# q4_priority_count) lead the round-8 rotation. Exactly 50 keys
+# q4_priority_count, q22_idle_customers) lead the round-8 rotation. Exactly 50 keys
 # precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 7 — 24 keys (15 added late-round)
+    # (a) new in round 7 — 25 keys (16 added late-round)
+    "ind_changepoint_cusum",
     "q_event_transitions",
     "q_rfm_segmentation",
     "ind_series_export",
@@ -76,7 +78,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_survivors",
-    # (d) oldest (r4) driver evidence — 13 keys fill the window
+    # (d) oldest (r4) driver evidence — 12 keys fill the window
     "q5_local_supplier",
     "q13_customer_distribution",
     "q14_promo_revenue",
@@ -87,7 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "q21_waiting_suppliers",
-    "q22_idle_customers",
     "stream_events_windowed",
     "stream_minhash_dedup",
     # --- window boundary: exactly 50 keys above this line ---

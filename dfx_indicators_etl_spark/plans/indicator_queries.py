@@ -1066,3 +1066,93 @@ def ind_series_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "series",
         )
     )
+
+
+@query(
+    "ind_changepoint_cusum",
+    # cusum_t = (decimal running sum)·double − t·mean: the running sum
+    # stays DECIMAL (window evaluation order cannot leak), and the
+    # subtraction is one IEEE expression on identical doubles.
+    oracle=f"""
+    WITH panel AS ({PANEL_SUM_SQL}),
+    series AS (
+        SELECT indicator_name, country_code, year,
+               CAST(sv AS DOUBLE) AS value,
+               CAST(SUM(sv) OVER w_cum AS DOUBLE) AS cum,
+               row_number() OVER w_cum AS t,
+               CAST(SUM(sv) OVER w_all AS DOUBLE) AS total,
+               COUNT(*) OVER w_all AS n
+        FROM panel
+        WINDOW
+        w_cum AS (PARTITION BY indicator_name, country_code
+                  ORDER BY year
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_all AS (PARTITION BY indicator_name, country_code)
+    ),
+    scored AS (
+        SELECT *, cum - t * (total / n) AS cusum FROM series WHERE n >= 3
+    )
+    SELECT indicator_name, country_code,
+           CAST(year AS INTEGER) AS change_year,
+           round(cusum, 6) AS cusum,
+           round(abs(cusum), 6) AS magnitude
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY indicator_name, country_code
+            ORDER BY abs(cusum) DESC, year
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk = 1
+    """,
+)
+def ind_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per series: the year where the
+    cumulative deviation from the series mean peaks — the classic
+    single-changepoint location statistic, run as a QA sweep to spot
+    level shifts (methodology changes, series breaks) before
+    publication.
+
+    cusum_t = Σ_{i≤t} x_i − t·mean computed from a DECIMAL running sum
+    (exact under any window evaluation strategy) and one IEEE
+    subtraction; the argmax is a rank window over the same bounded
+    series partitions. Two windows, one key-wise shuffle; series with
+    fewer than 3 years drop (no interior changepoint).
+    """
+    from pyspark.sql import Window
+
+    panel = _panel_sums(spark, sf_dir)
+    keys = ["indicator_name", "country_code"]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    series = (
+        panel.withColumn("value", F.col("sv").cast("double"))
+        .withColumn("cum", F.sum("sv").over(w_cum).cast("double"))
+        .withColumn(
+            "t",
+            F.row_number().over(Window.partitionBy(*keys).orderBy("year")),
+        )
+        .withColumn("total", F.sum("sv").over(w_all).cast("double"))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter(F.col("n") >= 3)
+    )
+    cusum = F.col("cum") - F.col("t") * (F.col("total") / F.col("n"))
+    ranked = series.withColumn("cusum", cusum).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(
+                F.abs(F.col("cusum")).desc(), "year"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "indicator_name",
+        "country_code",
+        F.col("year").cast("int").alias("change_year"),
+        F.round("cusum", 6).alias("cusum"),
+        F.round(F.abs(F.col("cusum")), 6).alias("magnitude"),
+    )

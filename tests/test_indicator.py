@@ -232,3 +232,44 @@ def test_rebase_index_duplicate_min_year_deterministic(spark):
             (2000, 60.0, 120.0),
             (2001, 75.0, 150.0),
         ]
+
+
+def test_changepoint_cusum_locates_level_shift(spark, tmp_path):
+    """A series with a clean level shift must peak its |CUSUM| at the
+    last year of the old level."""
+    import datetime as dt
+
+    # user 0 -> one series; value 10 for years 2001-2005, 30 for
+    # 2006-2010 -> CUSUM of deviations from the mean (20) peaks at 2005.
+    rows = []
+    eid = 1
+    for day in range(1, 11):
+        val = 10.0 if day <= 5 else 30.0
+        rows.append(
+            (eid, dt.datetime(2024, 1, day, 12, 0, 0), 0, "click", val, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    sf = tmp_path / "shift"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    from .conftest import SF_DIR
+
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.parquet(
+        str(sf / "nation.parquet")
+    )
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    out = [
+        r for r in QUERIES["ind_changepoint_cusum"](spark, str(sf)).collect()
+        if r["indicator_name"] == "click"
+    ]
+    assert len(out) == 1
+    r = out[0]
+    # thinning keeps event_id % 3 > 0: years {2001,2002,2004,2005} low
+    # + {2007,2008,2010} high — the peak still sits at the last low year
+    assert r["change_year"] == 2005
+    assert r["cusum"] < 0  # low-level prefix pulls cumulative below trend

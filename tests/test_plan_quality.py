@@ -77,6 +77,7 @@ JVM_ONLY = [
     "q_rfm_segmentation",
     "ind_series_export",
     "q_event_transitions",
+    "ind_changepoint_cusum",
 ]
 
 

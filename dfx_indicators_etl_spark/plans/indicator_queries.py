@@ -1077,7 +1077,6 @@ def ind_series_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH panel AS ({PANEL_SUM_SQL}),
     series AS (
         SELECT indicator_name, country_code, year,
-               CAST(sv AS DOUBLE) AS value,
                CAST(SUM(sv) OVER w_cum AS DOUBLE) AS cum,
                row_number() OVER w_cum AS t,
                CAST(SUM(sv) OVER w_all AS DOUBLE) AS total,
@@ -1090,11 +1089,14 @@ def ind_series_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_all AS (PARTITION BY indicator_name, country_code)
     ),
     scored AS (
-        SELECT *, cum - t * (total / n) AS cusum FROM series WHERE n >= 3
+        -- t < n: the endpoint's CUSUM is identically zero by
+        -- construction, never an interior changepoint
+        SELECT *, cum - t * (total / n) AS cusum
+        FROM series WHERE n >= 3 AND t < n
     )
     SELECT indicator_name, country_code,
            CAST(year AS INTEGER) AS change_year,
-           round(cusum, 6) AS cusum,
+           round(cusum, 6) + 0.0 AS cusum,
            round(abs(cusum), 6) AS magnitude
     FROM (
         SELECT *, row_number() OVER (
@@ -1116,7 +1118,8 @@ def ind_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cusum_t = Σ_{i≤t} x_i − t·mean computed from a DECIMAL running sum
     (exact under any window evaluation strategy) and one IEEE
     subtraction; the argmax is a rank window over the same bounded
-    series partitions. Two windows, one key-wise shuffle; series with
+    series partitions, excluding the endpoint (its CUSUM is zero by
+    construction). Two windows, one key-wise shuffle; series with
     fewer than 3 years drop (no interior changepoint).
     """
     from pyspark.sql import Window
@@ -1130,15 +1133,14 @@ def ind_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.partitionBy(*keys)
     series = (
-        panel.withColumn("value", F.col("sv").cast("double"))
-        .withColumn("cum", F.sum("sv").over(w_cum).cast("double"))
+        panel.withColumn("cum", F.sum("sv").over(w_cum).cast("double"))
         .withColumn(
             "t",
             F.row_number().over(Window.partitionBy(*keys).orderBy("year")),
         )
         .withColumn("total", F.sum("sv").over(w_all).cast("double"))
         .withColumn("n", F.count("*").over(w_all))
-        .filter(F.col("n") >= 3)
+        .filter((F.col("n") >= 3) & (F.col("t") < F.col("n")))
     )
     cusum = F.col("cum") - F.col("t") * (F.col("total") / F.col("n"))
     ranked = series.withColumn("cusum", cusum).withColumn(
@@ -1149,10 +1151,13 @@ def ind_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # + 0.0 canonicalizes −0.0: Spark's BigDecimal round and DuckDB's
+    # sign-preserving round disagree on the zero's sign for tiny
+    # negative inputs, and the compare's repr-sort would see it
     return ranked.filter(F.col("rk") == 1).select(
         "indicator_name",
         "country_code",
         F.col("year").cast("int").alias("change_year"),
-        F.round("cusum", 6).alias("cusum"),
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
         F.round(F.abs(F.col("cusum")), 6).alias("magnitude"),
     )

@@ -273,3 +273,43 @@ def test_changepoint_cusum_locates_level_shift(spark, tmp_path):
     # + {2007,2008,2010} high — the peak still sits at the last low year
     assert r["change_year"] == 2005
     assert r["cusum"] < 0  # low-level prefix pulls cumulative below trend
+
+
+def test_changepoint_cusum_flat_series_excluded_endpoint(spark):
+    """An exactly-constant series has zero CUSUM everywhere; the
+    endpoint (identically zero by construction) must not win, and the
+    signed zero must be canonical +0.0."""
+    import math
+
+    from dfx_indicators_etl_spark.plans import indicator_queries as iq
+    from pyspark.sql import functions as F
+
+    # Drive the operator logic directly on a hand-built panel by
+    # monkey-shaping: reuse the registered query's math on a tiny
+    # frame via the same expressions (flat series, 5 years).
+    from pyspark.sql import Window
+
+    panel = spark.createDataFrame(
+        [("i", "c", 2000 + k, 10.0) for k in range(5)],
+        "indicator_name string, country_code string, year int, v double",
+    ).withColumn("sv", F.col("v").cast("decimal(18,4)"))
+    keys = ["indicator_name", "country_code"]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    series = (
+        panel.withColumn("cum", F.sum("sv").over(w_cum).cast("double"))
+        .withColumn("t", F.row_number().over(Window.partitionBy(*keys).orderBy("year")))
+        .withColumn("total", F.sum("sv").over(w_all).cast("double"))
+        .withColumn("n", F.count("*").over(w_all))
+        .filter((F.col("n") >= 3) & (F.col("t") < F.col("n")))
+    )
+    cusum = F.col("cum") - F.col("t") * (F.col("total") / F.col("n"))
+    rows = series.withColumn("cusum", (F.round(cusum, 6) + F.lit(0.0))).collect()
+    assert {r["year"] for r in rows} == {2000, 2001, 2002, 2003}  # no endpoint
+    for r in rows:
+        assert r["cusum"] == 0.0
+        assert math.copysign(1.0, r["cusum"]) == 1.0  # +0.0, never -0.0

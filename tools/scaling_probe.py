@@ -73,6 +73,11 @@ PROBES = {
     "ind_forecast_trend": ("events",),
     "dedup_fuzzy_levenshtein": ("documents",),
     "sample_priority": ("documents",),
+    # closing additions: path analysis, RFM, changepoint, export
+    "q_event_transitions": ("events",),
+    "q_rfm_segmentation": ("orders",),
+    "ind_changepoint_cusum": ("events",),
+    "ind_series_export": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -100,7 +100,9 @@ def temperature_sample(
 
     Plan shape: one map-side-combinable group count (group-cardinality-
     sized), a broadcast of the tiny rate table, and a narrow filter —
-    no corpus shuffle at any scale.
+    no corpus shuffle at any scale. The rate join is NULL-safe: a NULL
+    group is a real group (counted, priced, and sampled like any
+    other), not a silent drop.
     """
     exponent = 1.0 - 1.0 / float(temperature)
     counts = df.groupBy(group_col).agg(F.count("*").alias("__c"))
@@ -112,13 +114,18 @@ def temperature_sample(
         else F.pow(ratio, F.lit(exponent))
     )
     rates = counts.join(F.broadcast(cmin)).select(
-        group_col, rate.alias("__rate")
+        F.col(group_col).alias("__g"), rate.alias("__rate")
     )
+    # Null-safe join (ADVICE r7): a NULL group is a real group — the
+    # counts aggregate already prices it, so its rows must reach their
+    # rate instead of silently vanishing through an equi-join.
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .filter(hash_uniform(key_col, salt) < F.col("__rate"))
         .withColumn("rate", F.round("__rate", 6))
-        .drop("__rate")
+        .drop("__rate", "__g")
     )
 
 

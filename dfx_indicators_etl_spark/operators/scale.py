@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join", "REAGG"]
+__all__ = ["salted_agg", "salted_join", "histogram_percentiles", "REAGG"]
 
 # How each partial aggregate re-aggregates in phase 2.
 REAGG = {
@@ -99,3 +99,68 @@ def salted_join(
         "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
     )
     return fact_salted.join(dim_rep, [key, "__salt"], how).drop("__salt")
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: dict[str, float],
+) -> DataFrame:
+    """EXACT per-group interpolated percentiles without buffering any
+    group's values in aggregation state — the giant-group-safe twin of
+    ``F.percentile``.
+
+    ``F.percentile`` keeps a value→count map per group in its agg
+    buffer, so a 100 TB fact with a handful of groups concentrates a
+    near-corpus-cardinality map in ONE task's memory. This operator
+    distributes that histogram instead: reduce to ``(group, value) →
+    count`` (one shuffle, map-side combinable), cumulative-count window
+    per group over DISTINCT values only, pick the two rows straddling
+    each target rank, and interpolate with ``F.percentile``'s own
+    arithmetic — ``position = p·(n−1)``;
+    ``(⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi`` on doubles — so the result is
+    bit-identical to the exact aggregate for any input. State per task
+    is O(1); the widest shuffle is distinct-value-sized, and for
+    bounded-domain measures (prices at 2 decimal places, ages, scores)
+    that is orders of magnitude below row count.
+
+    ``probs`` maps output column name → percentile in [0, 1]. Returns
+    one row per group: ``group_cols`` + one DOUBLE column per entry.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    v_dbl = F.col(value_col).cast("double")
+    hist = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = hist.groupBy(*groups).agg(F.sum("__c").alias("__n"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(v_dbl.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).join(
+        F.broadcast(totals), groups
+    )
+    # row covers 0-based ranks [__cum - __c, __cum - 1]
+    lo_rank = F.col("__cum") - F.col("__c")
+    aggs = []
+    for name, p in probs.items():
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        covers_lower = (lo_rank <= lower) & (lower < F.col("__cum"))
+        covers_higher = (lo_rank <= higher) & (higher < F.col("__cum"))
+        lo_val = F.max(F.when(covers_lower, v_dbl))
+        hi_val = F.max(F.when(covers_higher, v_dbl))
+        pos_a = F.max(F.when(covers_lower, pos))  # pos is group-constant
+        low_a = F.max(F.when(covers_lower, lower)).cast("double")
+        hig_a = F.max(F.when(covers_lower, higher)).cast("double")
+        aggs.append(
+            F.when(low_a == hig_a, lo_val)
+            .otherwise((hig_a - pos_a) * lo_val + (pos_a - low_a) * hi_val)
+            .alias(name)
+        )
+    return cum.groupBy(*groups).agg(*aggs)

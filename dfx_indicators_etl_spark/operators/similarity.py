@@ -284,15 +284,31 @@ def knn_graph(
     )
 
     def local_topk(ids_src, unit_src, ids_dst, unit_dst, diagonal):
+        # Fully vectorized (no per-row Python loop): the (sim desc,
+        # id asc) total order collapses into ONE int64 key per cell —
+        # sims are already 6dp-rounded so sim*10^decimals is an exact
+        # integer, and the dst ids map to a dense 0..m-1 rank that
+        # subtracts as the tie-break. argpartition cuts each row to k
+        # under that key, a k-wide argsort restores exact order.
         sims = np.round(unit_src @ unit_dst.T, decimals)
         if diagonal:
             sims[np.arange(len(ids_src)), np.arange(len(ids_dst))] = -2.0
-        out_s, out_d, out_c = [], [], []
-        for i in range(len(ids_src)):
-            order = np.lexsort((ids_dst, -sims[i]))[:k]
-            out_s.extend([ids_src[i]] * len(order))
-            out_d.extend(ids_dst[order])
-            out_c.extend(sims[i][order])
+        m = len(ids_dst)
+        id_rank = np.empty(m, dtype=np.int64)
+        id_rank[np.argsort(ids_dst, kind="stable")] = np.arange(m)
+        key = np.rint(sims * 10**decimals).astype(np.int64) * m - id_rank
+        kk = min(k, m)
+        if kk < m:
+            top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        else:
+            top = np.broadcast_to(np.arange(m), (len(ids_src), m))
+        order = np.argsort(
+            -np.take_along_axis(key, top, axis=1), axis=1, kind="stable"
+        )
+        cols = np.take_along_axis(top, order, axis=1)
+        out_s = np.repeat(ids_src, kk)
+        out_d = ids_dst[cols].ravel()
+        out_c = np.take_along_axis(sims, cols, axis=1).ravel()
         return out_s, out_d, out_c
 
     def score(key, pdf):
@@ -317,12 +333,19 @@ def knn_graph(
             # both directions: a-rows rank b-candidates and vice versa
             s, d, c = local_topk(ids_a, unit_a, ids_b, unit_b, False)
             s2, d2, c2 = local_topk(ids_b, unit_b, ids_a, unit_a, False)
-            s, d, c = s + s2, d + d2, c + c2
+            s = np.concatenate([s, s2])
+            d = np.concatenate([d, d2])
+            c = np.concatenate([c, c2])
         return pd.DataFrame({"src": s, "dst": d, "cos_sim": c})
 
     candidates = expanded.groupBy("pb_a", "pb_b").applyInPandas(
         score, "src long, dst long, cos_sim double"
     )
+    # Drop diagonal-mask sentinels BEFORE the rank: in a group with
+    # fewer than k+1 vectors the masked self entry (cos_sim = -2.0)
+    # survives the local top-k, and with mutual=False nothing else
+    # would remove it (ADVICE r7).
+    candidates = candidates.filter(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst")
     )

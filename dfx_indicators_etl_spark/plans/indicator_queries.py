@@ -760,8 +760,12 @@ def _panel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH series AS ({SERIES_SQL}),
     m AS (
+        -- mirrors the operator's NULL-row drop (interpolate_years
+        -- filters NULL values before the lead window), so a NULL
+        -- yearly mean can never become an interpolation anchor here
         SELECT *, lead(value) OVER w AS v2, lead(year) OVER w AS y2
         FROM series
+        WHERE value IS NOT NULL
         WINDOW w AS (PARTITION BY indicator_name, country_code
                      ORDER BY year, value)
     ),

@@ -407,7 +407,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c, m
     )
     SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
-    FROM documents d JOIN r USING (lang)
+    FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
     WHERE CAST(concat('0x', substr(md5(concat('temp',
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
           / 4294967296.0 < r.rate

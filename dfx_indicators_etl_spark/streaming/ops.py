@@ -636,7 +636,43 @@ def stream_minhash_dedup_banded(
         # orphan the lease and block every future compaction forever
         # (ADVICE r6). Past the TTL (generous — a real compaction runs
         # for seconds) the lease is presumed dead, stolen, and re-taken.
+        #
+        # The steal (delete+create) is NOT atomic as a pair, so two
+        # stealers can interleave (ADVICE r7: B ages a stale lease, A
+        # steals and starts compacting, B deletes A's fresh lease). An
+        # OWNER TOKEN arbitrates: every acquirer stamps its uuid into
+        # the lease and re-reads it (a) right after stamping and
+        # (b) again inside _compact_locked immediately before the
+        # destructive delete phase — at most one compactor can pass
+        # both reads, so concurrent claim-partition deletion is
+        # impossible. The worst surviving overlap is two compactors
+        # WRITING compacted partitions; the loser's orphan duplicates
+        # claim rows, which is semantically idempotent (claims are a
+        # presence set — the per-batch read's groupBy/max absorbs
+        # duplicates) and the next compaction merges it away.
         lease = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/_compact.lease")
+        own_token = uuid.uuid4().hex
+
+        def _read_token() -> str | None:
+            try:
+                stm = fs.open(lease)
+                try:
+                    n = fs.getFileStatus(lease).getLen()
+                    buf = bytearray()
+                    for _ in range(int(n)):
+                        b = stm.read()
+                        if b < 0:
+                            break
+                        buf.append(b)
+                    return buf.decode("utf-8", errors="replace")
+                finally:
+                    stm.close()
+            except Exception:  # noqa: BLE001 — racer deleted it mid-read
+                return None
+
+        def _owns() -> bool:
+            return _read_token() == own_token
+
         try:
             if not fs.createNewFile(lease):
                 import time
@@ -649,14 +685,27 @@ def stream_minhash_dedup_banded(
                 fs.delete(lease, False)  # stale — steal it
                 if not fs.createNewFile(lease):
                     return  # lost the steal race to another compactor
+            out = fs.create(lease, True)
+            out.write(bytearray(own_token.encode("utf-8")))
+            out.close()
+            if not _owns():
+                return  # a racer re-stamped between our write and read
         except Exception:
             return
         try:
-            _compact_locked(spark, fs, root, own, now_ts)
+            _compact_locked(spark, fs, root, own, now_ts, _owns)
         finally:
-            fs.delete(lease, False)
+            try:
+                # Release only OUR lease — a racer's fresh lease (which
+                # beat us at the token read) must survive our cleanup.
+                if _owns():
+                    fs.delete(lease, False)
+            except Exception:  # noqa: BLE001
+                pass
 
-    def _compact_locked(spark: SparkSession, fs, root, own: str, now_ts) -> None:
+    def _compact_locked(
+        spark: SparkSession, fs, root, own: str, now_ts, confirm_owner
+    ) -> None:
         old = [
             s.getPath()
             for s in fs.listStatus(root)
@@ -684,6 +733,20 @@ def stream_minhash_dedup_banded(
             .write.mode("overwrite")
             .parquet(f"{state_dir}/{gen}")
         )
+        if not confirm_owner():
+            # Lost the lease after the (idempotent) merge write but
+            # before the destructive phase: leave the inputs alone —
+            # the winner is reading them — and retract our orphan.
+            try:
+                fs.delete(
+                    spark._jvm.org.apache.hadoop.fs.Path(
+                        f"{state_dir}/{gen}"
+                    ),
+                    True,
+                )
+            except Exception:  # noqa: BLE001
+                pass
+            return
         for p in old:
             fs.delete(p, True)
 

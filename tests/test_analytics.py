@@ -121,6 +121,27 @@ def test_winsorize_bounds_and_counts(spark, sf_dir):
         assert r["n_hi"] <= r["n"] * 0.05 + 1
 
 
+def test_winsorize_adaptive_paths_identical(spark, sf_dir):
+    """The runtime-adaptive percentile swap (VERDICT r7): forcing the
+    large-fact histogram path yields BIT-IDENTICAL output to the exact
+    ``F.percentile`` path, and its plan carries no exact-percentile
+    aggregate (the giant-group OOM shape)."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import _winsorize_stats
+    from dfx_indicators_etl_spark.sources import read_tables
+
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+    exact = _winsorize_stats(lineitem)  # default: under threshold
+    large = _winsorize_stats(lineitem, exact_max_rows=0)
+    key = lambda r: r["l_returnflag"]  # noqa: E731
+    assert sorted(map(tuple, exact.collect()), key=repr) == sorted(
+        map(tuple, large.collect()), key=repr
+    )
+    exact_plan = exact._jdf.queryExecution().toString()
+    large_plan = large._jdf.queryExecution().toString()
+    assert "percentile" in exact_plan.lower()  # the small-SF oracle path
+    assert "percentile" not in large_plan.lower()
+
+
 def test_scd2_intervals_hand_built(spark):
     import datetime as dt
 

@@ -875,6 +875,23 @@ def test_temperature_sample_rates_and_determinism(spark):
     assert all_kept.count() == len(rows)
 
 
+def test_temperature_sample_null_group_reachable(spark):
+    """A NULL group is priced by the counts aggregate, so its rows must
+    reach that rate through the null-safe join instead of vanishing
+    (ADVICE r7). NULL here is the RAREST group → rate 1.0, all kept."""
+    from dfx_indicators_etl_spark.operators import sampling
+
+    rows = [(i, "en") for i in range(100)] + [(1000 + i, None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(docs, "lang", "doc_id", temperature=2.0)
+    got = out.collect()
+    null_rows = [r for r in got if r["lang"] is None]
+    assert len(null_rows) == 10  # rate 1.0 keeps the whole NULL group
+    assert all(r["rate"] == 1.0 for r in null_rows)
+    en_rate = next(r["rate"] for r in got if r["lang"] == "en")
+    assert abs(en_rate - round((10 / 100) ** 0.5, 6)) < 1e-9
+
+
 def test_bigram_logprob_known_value(spark):
     import math
 
@@ -913,6 +930,27 @@ def test_knn_graph_block_count_invariance(spark, sf_dir):
         )
 
     assert edges(1) == edges(7)
+
+
+def test_knn_graph_no_self_edges_tiny_corpus(spark):
+    """A corpus smaller than k+1 must not leak the diagonal-mask
+    sentinel as a self-edge in directed mode (ADVICE r7): every vector
+    has fewer than k real candidates, so the masked self entry
+    survives the local top-k and must be filtered before the rank."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    directed = similarity.knn_graph(emb, k=5, mutual=False).collect()
+    assert directed, "tiny corpus still produces directed edges"
+    for r in directed:
+        assert r["src"] != r["dst"]
+        assert r["cos_sim"] > -2.0
+    # each vector sees exactly the 2 real candidates, never itself
+    from collections import Counter
+
+    deg = Counter(r["src"] for r in directed)
+    assert deg == {0: 2, 1: 2, 2: 2}
 
 
 def test_char_entropy_partition_invariance(spark):

@@ -101,6 +101,84 @@ def salted_join(
     return fact_salted.join(dim_rep, [key, "__salt"], how).drop("__salt")
 
 
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: Sequence[Column],
+    out_col: str,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 8_000_000,
+) -> DataFrame:
+    """Globally-ordered ``ntile`` without a single-task global sort —
+    the scale twin of ``F.ntile().over(Window.orderBy(...))``.
+
+    An unpartitioned window funnels the whole frame through ONE task
+    (``Exchange SinglePartition``); fine for a dimension-sized frame,
+    an executor-killer at 10⁸–10⁹ rows. Above ``small_rows_threshold``
+    this swaps to the two-phase rank shape (same pattern as
+    ``text.pack_spans``): range-repartition on the TOTAL order (the
+    caller must include a tie-break column), ``row_number`` within
+    each range partition, add per-partition offsets collected as a
+    ≤-#partitions-row control-plane map, then map the exact global
+    rank through ntile's own fill rule — the first ``n mod k`` tiles
+    take ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋``. Bit-identical labels to
+    the window ntile for ANY input (both are pure functions of the
+    global rank), so the SQL oracle reproduces it.
+
+    ``order_by`` must totally order the frame or labels are undefined.
+    ``n_rows`` (if the caller already counted) skips the probe count.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(out_col, F.ntile(n_tiles).over(w))
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_parts, *order_by).localCheckpoint(
+        eager=False
+    )
+    keyed = parted.withColumn("__gnt_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__gnt_pid"], r["c"])
+        for r in keyed.groupBy("__gnt_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets, running = {}, 0
+    for pid, c in counts:
+        offsets[pid] = running
+        running += int(c)
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+            ),
+            F.col("__gnt_pid"),
+        ).cast("bigint")
+        if offsets
+        else F.lit(0).cast("bigint")
+    )
+    w = Window.partitionBy("__gnt_pid").orderBy(*order_by)
+    rank = F.row_number().over(w) + offset_expr  # exact global 1-based rank
+    # ntile fill rule: big tiles (⌈n/k⌉ rows) come first
+    size_small = n_rows // n_tiles
+    rem = n_rows % n_tiles
+    boundary = (size_small + 1) * rem  # ranks in big tiles
+    tile = F.when(
+        F.lit(rem > 0) & (rank <= F.lit(boundary)),
+        F.ceil(rank / F.lit(size_small + 1)),
+    ).otherwise(
+        # size_small == 0 ⇒ n < k ⇒ every rank lands in the big-tile
+        # branch above; this division is never evaluated with 0
+        F.lit(rem)
+        + F.ceil((rank - F.lit(boundary)) / F.lit(max(size_small, 1)))
+    )
+    return keyed.withColumn(out_col, tile.cast("int")).drop("__gnt_pid")
+
+
 def histogram_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],

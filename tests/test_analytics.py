@@ -142,6 +142,27 @@ def test_winsorize_adaptive_paths_identical(spark, sf_dir):
     assert "percentile" not in large_plan.lower()
 
 
+def test_rfm_adaptive_paths_identical(spark, sf_dir):
+    """The runtime-adaptive ntile swap (VERDICT r7): forcing the
+    two-phase-rank path yields BIT-IDENTICAL labels to the window
+    ntile path, and its plan has no ntile window and no single-task
+    sort (SinglePartition exchange)."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import _rfm_tiers
+    from dfx_indicators_etl_spark.sources import read_tables
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    small = _rfm_tiers(orders)  # default: under threshold, window ntile
+    large = _rfm_tiers(orders, window_max_rows=0)
+    assert sorted(map(tuple, small.collect()), key=repr) == sorted(
+        map(tuple, large.collect()), key=repr
+    )
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    large_plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in small_plan.lower()  # the window path at test SF
+    assert "ntile" not in large_plan.lower()
+    assert "SinglePartition" not in large_plan
+
+
 def test_scd2_intervals_hand_built(spark):
     import datetime as dt
 

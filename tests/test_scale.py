@@ -28,6 +28,64 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted == plain
 
 
+def test_global_ntile_matches_window_ntile(spark):
+    """Two-phase-rank ntile == window ntile for every residue shape:
+    n % k == 0, n % k != 0, n < k, and duplicate order keys broken by
+    the tie-break column."""
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import global_ntile
+
+    for n, k in [(12, 3), (10, 3), (2, 5), (7, 7), (1, 3)]:
+        rows = [(i, (i * 37) % 5) for i in range(n)]  # dup metric values
+        df = spark.createDataFrame(rows, "id long, m long")
+        order = [F.col("m").desc(), F.col("id")]
+        want = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["t"]
+            for r in global_ntile(
+                df.repartition(4), k, order, "t", small_rows_threshold=0
+            ).collect()
+        }
+        assert got == want, (n, k, got, want)
+
+
+def test_histogram_percentiles_single_and_dup_values(spark):
+    """Histogram path == F.percentile on degenerate shapes: one-row
+    groups, all-equal groups, heavy duplicates straddling the rank."""
+    from dfx_indicators_etl_spark.operators.scale import (
+        histogram_percentiles,
+    )
+
+    rows = (
+        [("one", 7.5)]
+        + [("flat", 3.0)] * 9
+        + [("dup", float(v)) for v in [1, 1, 1, 1, 2, 2, 2, 9, 9, 10]]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    exact = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", 0.25).alias("lo"),
+            F.percentile("v", 0.75).alias("hi"),
+        )
+        .collect()
+    }
+    hist = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in histogram_percentiles(
+            df, ["g"], "v", {"lo": 0.25, "hi": 0.75}
+        ).collect()
+    }
+    assert hist == exact
+
+
 def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="non-decomposable"):

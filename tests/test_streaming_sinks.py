@@ -253,6 +253,46 @@ def test_load_m49(spark, tmp_path):
     assert dim["SOM"].id == 706 and dim["DZA"].iso_2 == "DZ"
 
 
+def test_vendored_m49_parity(spark):
+    """The vendored public UNSD table (VERDICT r7 #4): ``load_m49()``
+    works with NO path, and the driver-side helpers honor the
+    reference's ``get_country_metadata`` column contract
+    (utils.py:84-155) — name ↔ m49 ↔ iso-alpha-2 ↔ iso-alpha-3,
+    Namibia's 'NA' kept as a string, zero-padded m49 codes stripped."""
+    from dfx_indicators_etl_spark.sources.m49 import (
+        get_country_metadata,
+        load_m49,
+        replace_country_metadata,
+    )
+
+    names = get_country_metadata("name", sort=False)
+    m49s = get_country_metadata("m49", sort=False)
+    iso2 = get_country_metadata("iso-alpha-2", sort=False)
+    iso3 = get_country_metadata("iso-alpha-3", sort=False)
+    # one value per row in every field, rows aligned across fields
+    assert len(names) == len(m49s) == len(iso2) == len(iso3) >= 240
+    by_iso3 = dict(zip(iso3, names))
+    assert by_iso3["DZA"] == "Algeria" and by_iso3["NAM"] == "Namibia"
+    assert "NA" in iso2  # Namibia survives pandas-style NaN parsing
+    assert dict(zip(iso3, m49s))["DZA"] == "12"  # '012' → '12'
+    assert all(m.isdigit() and not m.startswith("0") for m in m49s if m)
+    # the reference's own doctest for replace_country_metadata
+    assert replace_country_metadata(
+        ["DZA", None, "AUT", "usa"], "iso-alpha-3", "name"
+    ) == ["Algeria", None, "Austria", None]
+    # default sort=True mirrors the reference
+    assert get_country_metadata("iso-alpha-3") == sorted(iso3)
+
+    # the no-arg Spark frame agrees with the driver-side lists
+    frame = load_m49(spark)
+    rows = {r.iso_alpha_3: r for r in frame.collect()}
+    with_iso3 = [i for i in iso3 if i]
+    assert set(rows) == set(with_iso3) and len(rows) == len(with_iso3)
+    assert rows["NAM"].iso_alpha_2 == "NA"
+    assert rows["DZA"].m49 == "12" and rows["DZA"].region == "Africa"
+    assert rows["SOM"].ldc is True and rows["DEU"].ldc is False
+
+
 def test_hll_sketch_accuracy(spark, sf_dir):
     """Merged daily sketches estimate exact per-type user counts ±5%."""
     got = {

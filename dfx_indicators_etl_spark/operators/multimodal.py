@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "attach_binary_payload",
     "decode_features",
+    "phash_pairs",
+    "phash_words",
     "resize_images",
     "sample_frames",
     "DECODE_SCHEMA",
     "RESIZE_SCHEMA",
     "FRAME_SCHEMA",
+    "PHASH_BITS",
 ]
 
 # Output schema of the decode step: id + typed media metadata.
@@ -145,3 +148,147 @@ def sample_frames(df: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# Perceptual-hash width: an 8×8 average-hash grid, the classic image
+# near-dup signature (pHash family — aHash variant).
+PHASH_BITS = 64
+
+
+def phash_words(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit perceptual hash (average-hash) per binary payload, packed
+    into two 32-bit words ``w0/w1`` (each Σ bit·2ᵏ stays positive in a
+    signed 64-bit — same packing convention as ``dedup.simhash_portable``).
+
+    The "decode" is the deterministic fake codec shared by this module:
+    the 8×8 gray grid's 64 samples are the payload bytes at stride
+    positions ``⌊i·n/64⌋`` (a real decoder would hand back actual
+    downsampled luma here — swapping it in changes none of the
+    banding/Hamming machinery downstream). Bit i is
+    ``gray_i > mean(gray)`` — the aHash rule. Everything is integer
+    arithmetic over ``hex(payload)`` slices, pure JVM codegen
+    (no Python), and bit-identically replayable in SQL: byte k of the
+    payload is hex chars [2k−1, 2k], and the '00' pad only ever serves
+    the empty payload. NULL payloads hash like empty ones (all-zero
+    grid → hash 0).
+
+    Narrow, shuffle-free: one projection over the corpus scan.
+    """
+    payload = F.col(payload_col)
+    hexs = F.concat(F.coalesce(F.hex(payload), F.lit("")), F.lit("00"))
+    n = F.coalesce(F.length(payload).cast("long"), F.lit(0).cast("long"))
+    grays = []
+    for i in range(PHASH_BITS):
+        p = F.floor(F.lit(i) * n / F.lit(PHASH_BITS)) + 1
+        start = (p * 2 - 1).cast("int")
+        grays.append(
+            F.coalesce(
+                F.conv(hexs.substr(start, F.lit(2)), 16, 10).cast("int"),
+                F.lit(0),
+            )
+        )
+    mean = sum(grays).cast("double") / F.lit(float(PHASH_BITS))
+    bits = [(g > mean).cast("long") for g in grays]
+    word = lambda lo: sum(  # noqa: E731 — Σ bit·2ᵏ over one 32-bit word
+        bits[lo + k] * F.lit(1 << k) for k in range(32)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word(0).alias("w0"),
+        word(32).alias("w1"),
+    )
+
+
+def phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads:
+    banded Hamming search on the 64-bit aHash — the standard image-dedup
+    primitive of a multimodal training pipeline.
+
+    Same scale shape as ``dedup.simhash_pairs_portable``: each doc
+    explodes into ``bands`` (band_idx, band_key) rows, candidates come
+    from equi-joining band buckets (never all pairs), and the exact
+    Hamming check (``bit_count(xor)`` over the packed words) filters.
+    ``bands > max_hamming`` keeps the pigeonhole recall guarantee: a
+    pair within ``max_hamming`` differs in ≤ max_hamming bands, so at
+    least one band matches. 8-bit band keys mean 256 buckets per band —
+    at corpus scale pass ``max_band_bucket`` to cap hot buckets (the
+    skew-cap pattern of ``operators.dedup``); a wider grid (16×16 →
+    256-bit hash, 16-bit keys) is the drop-in growth path.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {bands} bands "
+            "for guaranteed recall (pigeonhole)."
+        )
+    if PHASH_BITS % bands or 32 % (PHASH_BITS // bands):
+        raise ValueError(
+            f"bands={bands} must divide {PHASH_BITS} with a band width "
+            "dividing 32 (band slices may not straddle the packed words)."
+        )
+    sk = phash_words(df, payload_col, id_col).localCheckpoint(eager=False)
+    bits_per_band = PHASH_BITS // bands
+    mask = (1 << bits_per_band) - 1
+
+    def band_key(b: int):
+        lo = b * bits_per_band
+        return F.shiftright(F.col(f"w{lo // 32}"), lo % 32).bitwiseAND(
+            F.lit(mask)
+        )
+
+    banded = sk.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    if max_band_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_key")
+            .count()
+            .filter(F.col("count") <= max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(ok, ["band_idx", "band_key"], "left_semi")
+    candidates = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+        .join(
+            banded.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sk.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"),
+    )
+    b = sk.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("w0").alias("c0"),
+        F.col("w1").alias("c1"),
+    )
+    hamming = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+    ).cast("bigint")
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1168,6 +1168,81 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mm_phash_dedup oracle fragments (64-bit aHash, 8×8-bit bands) ----
+_PH_G = ", ".join(
+    f"CAST(concat('0x', substring(hx, "
+    f"CAST(2*(FLOOR({i}*n/64.0)+1)-1 AS INT), 2)) AS INT) AS g{i}"
+    for i in range(64)
+)
+_PH_SUM = "+".join(f"g{i}" for i in range(64))
+_PH_W0 = " + ".join(f"CAST(g{k} > mean AS BIGINT) * {1 << k}" for k in range(32))
+_PH_W1 = " + ".join(
+    f"CAST(g{32 + k} > mean AS BIGINT) * {1 << k}" for k in range(32)
+)
+_PH_BANDS = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"((w{(b * 8) // 32} >> {(b * 8) % 32}) & 255) AS band_key FROM words"
+    for b in range(8)
+)
+_PH_HAMMING = "bit_count(xor(sa.w0, sb.w0)) + bit_count(xor(sa.w1, sb.w1))"
+
+
+@query(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', 'f') FROM documents
+    ),
+    p AS (
+        SELECT doc_id, concat(hex(encode(coalesce(text,''))), '00') AS hx,
+               octet_length(encode(coalesce(text,''))) AS n
+        FROM corpus
+    ),
+    g AS (SELECT doc_id, {_PH_G} FROM p),
+    m AS (SELECT *, ({_PH_SUM})/64.0 AS mean FROM g),
+    words AS (SELECT doc_id, {_PH_W0} AS w0, {_PH_W1} AS w1 FROM m),
+    bands AS (
+    {_PH_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, CAST({_PH_HAMMING} AS BIGINT) AS hamming
+        FROM cand
+        JOIN words sa ON doc_a = sa.doc_id
+        JOIN words sb ON doc_b = sb.doc_id
+    ) WHERE hamming <= 6
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media
+    payloads (VERDICT r7 #6 — the multimodal family's first real
+    operator): 64-bit average-hash per payload, banded Hamming-≤6
+    search, FULL value oracle.
+
+    The demo corpus pairs every document payload with a benignly
+    "re-encoded" variant (``replace(text,'e','f')`` — a +1 nudge on
+    sampled bytes, the fake-codec analog of re-encoding noise);
+    the banded search recovers original↔variant pairs at low Hamming
+    while byte-identical machinery (hex-slice sampling, mean
+    threshold, packed words, pigeonhole banding) replays in DuckDB.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("replace(text, 'e', 'f')").alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    return multimodal.phash_pairs(corpus, max_hamming=6)
+
+
 def _jl_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     """DuckDB twin of ``similarity.sign_projection``: same formula
     matrix, same left-to-right list fold (``list_sum`` over an

@@ -953,6 +953,86 @@ def test_knn_graph_no_self_edges_tiny_corpus(spark):
     assert deg == {0: 2, 1: 2, 2: 2}
 
 
+def test_phash_banded_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole exactness: with bands > max_hamming and no bucket
+    cap, the banded pair set equals brute-force Hamming-≤k over the
+    full signature table — banding loses nothing."""
+    from dfx_indicators_etl_spark.operators import multimodal as M
+    from dfx_indicators_etl_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(120)
+    corpus = M.attach_binary_payload(docs).localCheckpoint()
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in M.phash_pairs(corpus, max_hamming=6).collect()
+    }
+    words = M.phash_words(corpus).collect()
+    brute = set()
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            h = bin((a["w0"] ^ b["w0"]) | ((a["w1"] ^ b["w1"]) << 32)).count("1")
+            if h <= 6:
+                lo, hi = sorted((a["doc_id"], b["doc_id"]))
+                brute.add((lo, hi, h))
+    assert banded == brute
+
+
+def test_phash_reencode_recall_and_brightness_invariance(spark):
+    """aHash semantics: a constant brightness shift (+c on every gray
+    that stays in range) leaves the hash unchanged (mean shifts
+    equally), and tiny per-byte nudges keep Hamming small — the
+    re-encode robustness the mm_phash_dedup demo relies on."""
+    from dfx_indicators_etl_spark.operators import multimodal as M
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog " * 8),
+        (2, "Pack my box with five dozen liquor jugs today " * 8),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    # brightness shift: every lowercase letter -> uppercase is -32 on
+    # ALL alpha bytes; use a clean +1-on-everything instead via chr map
+    shifted = spark.createDataFrame(
+        [(i + 10, "".join(chr(ord(c) + 1) for c in t)) for i, t in texts],
+        "doc_id long, text string",
+    )
+    words = {
+        r["doc_id"]: (r["w0"], r["w1"])
+        for r in M.phash_words(
+            M.attach_binary_payload(docs.unionByName(shifted))
+        ).collect()
+    }
+    # +1 on every byte shifts every gray and the mean by exactly 1:
+    # bit pattern identical
+    assert words[1] == words[11] and words[2] == words[12]
+    # distinct texts produce far-apart hashes (no trivial collisions)
+    h = bin(
+        (words[1][0] ^ words[2][0]) | ((words[1][1] ^ words[2][1]) << 32)
+    ).count("1")
+    assert h > 6
+
+
+def test_phash_bucket_cap_and_guards(spark):
+    """max_band_bucket drops hot buckets (candidates shrink), and the
+    pigeonhole/band-width guards reject bad configurations."""
+    import pytest
+
+    from dfx_indicators_etl_spark.operators import multimodal as M
+
+    same = spark.createDataFrame(
+        [(i, "identical payload text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = M.attach_binary_payload(same)
+    uncapped = M.phash_pairs(corpus, max_hamming=6).count()
+    assert uncapped == 12 * 11 // 2  # all-identical: every pair
+    capped = M.phash_pairs(corpus, max_hamming=6, max_band_bucket=5).count()
+    assert capped == 0  # every bucket is hot -> all dropped
+    with pytest.raises(ValueError):
+        M.phash_pairs(corpus, max_hamming=8, bands=8)
+    with pytest.raises(ValueError):
+        M.phash_pairs(corpus, bands=3)
+
+
 def test_char_entropy_partition_invariance(spark):
     """DECIMAL term summation: identical entropy under any input
     partitioning (a double sum would drift in the last ulp)."""

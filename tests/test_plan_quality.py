@@ -47,6 +47,7 @@ JVM_ONLY = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "mm_phash_dedup",
     "dedup_ngram_jaccard",
     "text_tokens",
     "text_quality",

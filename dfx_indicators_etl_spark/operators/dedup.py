@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "fuzzy_levenshtein_pairs",
     "containment_pairs",
+    "shared_spans",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_signatures_portable",
@@ -304,6 +305,83 @@ def containment_pairs(
         )
         .filter(F.greatest("containment_a", "containment_b") >= threshold)
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Maximal shared verbatim token spans between document pairs —
+    substring-level exact dedup (duplicated-span detection), the
+    Lee-et-al.-style "dedup the span, not the document" primitive the
+    token-SET family (Jaccard/MinHash/containment) structurally
+    misses: a long quoted passage inside two otherwise-distinct docs.
+
+    Positioned hashed-shingle index → inverted-index self-join →
+    diagonal run merge, all SQL-expressible: each matching n-gram at
+    positions (pa, pb) lies on the diagonal ``delta = pb − pa``; within
+    one (doc_a, doc_b, delta) group, consecutive pa values form a
+    shared run, merged by the gaps-and-islands trick
+    (``pa − row_number()`` is constant exactly on a run). A run of m
+    consecutive matching n-grams certifies a shared span of
+    ``m + n − 1`` tokens. Emits one row per maximal span ≥
+    ``min_span_tokens`` with both start offsets (0-based token
+    positions), ready for span excision or weighting.
+
+    Scale shape: candidate volume is bounded by the per-shingle
+    frequency cap (hot boilerplate shingles dropped, same rationale as
+    ``DEFAULT_MAX_SHINGLE_FREQ`` everywhere else); the islands window
+    partitions by (pair, delta) — one matched diagonal, never a
+    corpus-sized partition. No all-pairs anything.
+    """
+    tokenized = _spread(df).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    grams = shingles_from_tokens(F.col("__toks"), n)
+    ix = tokenized.select(
+        "doc_id", F.posexplode(grams).alias("pos", "shingle")
+    ).localCheckpoint(eager=False)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            ix.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        ix = ix.join(freq_ok, "shingle", "left_semi")
+    left = ix.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    right = ix.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    matches = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb",
+            (F.col("pb") - F.col("pa")).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    islands = matches.withColumn(
+        "__grp", F.col("pa") - F.row_number().over(w)
+    )
+    spans = (
+        islands.groupBy("doc_a", "doc_b", "delta", "__grp")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + (n - 1)).cast("bigint").alias("span_tokens"),
+        )
+    )
+    return spans.filter(
+        F.col("span_tokens") >= min_span_tokens
+    ).select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
 
 
 NUM_PERMS = 64

@@ -47,6 +47,7 @@ JVM_ONLY = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_shared_spans",
     "mm_phash_dedup",
     "dedup_ngram_jaccard",
     "text_tokens",

@@ -568,3 +568,95 @@ def test_fuzzy_levenshtein_matches_python_model(spark, texts):
                 if d <= max_dist:
                     want[(i, j)] = d
     assert got == want
+
+
+# --- shared_spans vs a direct Python model ---------------------------
+
+
+def ref_shared_spans(texts, n=3, min_span=4):
+    """Direct model: all-pairs n-gram position matches grouped by
+    diagonal, consecutive runs merged into maximal spans."""
+    toks = {i: [t for t in tx.split(" ") if t] for i, tx in enumerate(texts)}
+    out = set()
+    for a in toks:
+        for b in toks:
+            if a >= b:
+                continue
+            wa, wb = toks[a], toks[b]
+            by_delta = {}
+            for pa in range(len(wa) - n + 1):
+                for pb in range(len(wb) - n + 1):
+                    if wa[pa:pa + n] == wb[pb:pb + n]:
+                        by_delta.setdefault(pb - pa, []).append(pa)
+            for delta, pas in by_delta.items():
+                pas.sort()
+                run_start, prev = pas[0], pas[0]
+                for p in pas[1:] + [None]:
+                    if p is not None and p == prev + 1:
+                        prev = p
+                        continue
+                    span = prev - run_start + n
+                    if span >= min_span:
+                        out.add(
+                            (a, b, run_start, run_start + delta, span)
+                        )
+                    if p is not None:
+                        run_start = prev = p
+    return out
+
+
+def test_shared_spans_hand_built_plants(spark):
+    """A planted common phrase inside otherwise-disjoint docs comes
+    back as exactly ONE maximal span with the right offsets/length;
+    a repeated plant yields one span per diagonal occurrence."""
+    from dfx_indicators_etl_spark.operators.dedup import shared_spans
+
+    plant = "alpha beta gamma delta epsilon"  # 5 tokens
+    texts = [
+        "a1 a2 a3 " + plant + " a4 a5",            # plant at pos 3
+        "b1 " + plant + " b2 b3 b4 b5 b6",         # plant at pos 1
+        "c1 c2 c3 c4 c5 c6 c7 c8 c9",              # no plant
+        "d1 " + plant + " d2 " + plant + " d3",    # plant twice
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in shared_spans(
+            docs, min_span_tokens=4, max_shingle_freq=None
+        ).collect()
+    }
+    assert got == ref_shared_spans(texts, min_span=4)
+    # spot-check the headline pair: docs 0 and 1 share exactly the plant
+    assert (0, 1, 3, 1, 5) in got
+    # doc 3 contains the plant twice -> two diagonals vs doc 0
+    assert (0, 3, 3, 1, 5) in got and (0, 3, 3, 7, 5) in got
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=14
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_shared_spans_matches_reference(spark, token_lists):
+    """Random small-alphabet docs (dense repeats, overlapping
+    diagonals, degenerate runs): Spark == the direct Python model."""
+    from dfx_indicators_etl_spark.operators.dedup import shared_spans
+
+    texts = [" ".join(ts) for ts in token_lists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in shared_spans(
+            docs, min_span_tokens=4, max_shingle_freq=None
+        ).collect()
+    }
+    assert got == ref_shared_spans(texts, min_span=4)

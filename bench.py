@@ -190,6 +190,9 @@ HEADLINE = (
     "ind_series_export",
     "q_event_transitions",
     "ind_changepoint_cusum",
+    # round 8: new surface
+    "mm_phash_dedup",
+    "dedup_shared_spans",
 )
 
 
@@ -252,7 +255,33 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    _write_full_result(result)
     spark.stop()
+
+
+def _write_full_result(result: dict) -> None:
+    """Also persist the COMPLETE per-query map next to the repo root
+    (VERDICT r7 #8): the driver's BENCH_r{N}.json artifact truncates
+    stdout to a 2000-char tail, which made round-over-round comparisons
+    reconstructions from fragments. The round index is inferred as
+    1 + the highest committed BENCH_r{N}.json."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    out = os.path.join(here, f"BENCH_full_r{n:02d}.json")
+    try:
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # bench output on stdout remains the primary artifact
 
 
 if __name__ == "__main__":

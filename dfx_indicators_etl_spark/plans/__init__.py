@@ -11,88 +11,83 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-7 rotation: (a) the 25 NEW round-7 keys
-# (first driver evidence — includes the 16 late-round additions:
-# ind_interpolate_years, ind_rebase_index, q_winsorize,
-# q_scd2_intervals, dedup_fuzzy_levenshtein, sample_priority,
-# ind_outlier_flags, q_snapshot_diff, q_incremental_agg, ind_forecast_trend,
-# q_abc_analysis, ind_panel_balance, q_rfm_segmentation,
-# ind_series_export, q_event_transitions, ind_changepoint_cusum);
-# (b) the
-# 6 keys graduated from rows-only to full value oracles this round
-# (first hash-checked rows — the whole ANN/kmeans stack plus the EWMA
-# stream); (c) every key whose implementation round 7 touched (the
-# shingle null-contract coalesce feeds the dedup family; the
-# blocked-pairs expansion was factored out under
-# dedup_embedding_cosine and the cluster ops); (d) 12 of the 41 keys
-# whose latest driver evidence is r4 — the oldest cohort. The 29 r4
-# keys that didn't fit (q10_returned_item, q_top_suppliers,
-# q_unpivot, q_window_range, q_window_topk, q_pivot, q_rollup,
-# q_semi_join, q_cube, q_distinct_agg, q_anti_join, q_union_dedup,
-# q_orders_enriched, q_percentile, q_skew_salted_agg,
-# q_sql_interface, q_window_frame, stream_static_enrich,
-# stream_stream_join, q_events_sessionize, q_grouping_sets,
-# q_correlated_scalar, q_asof_nearest, q7_bilateral_volume,
-# q9_nation_profit, q8_market_share, q6_forecast_revenue,
-# q4_priority_count, q22_idle_customers) lead the round-8 rotation. Exactly 50 keys
-# precede the boundary comment.
+# in insertion order. Round-8 rotation (VERDICT r7 #1): (a) the 2 NEW
+# round-8 keys (first driver evidence); (b) stream_minhash_dedup_banded,
+# whose round-7 oracle graduation was never driver-stamped (it was left
+# out of the r7 window); (c) ALL 29 keys whose latest driver evidence
+# is r4 — the entire oldest cohort, retiring r4 evidence completely;
+# (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
+# temperature null-safe join, interpolate oracle NULL filter, the
+# winsorize/rfm adaptive swaps, and dedup_incremental behind the
+# compaction-lease hardening); (e) 12 of the 37 r5-evidence keys — the
+# indicator-model cohort — so the rolling retirement continues (the
+# remaining 25 r5 keys lead the round-9 rotation: q_events_daily,
+# q_asof_join, q_skew_salted_join, q_time_rollup, q_funnel_conversion,
+# q_retention_cohort, q_session_window_native, q_custom_agg_geomean,
+# q_table_profile, q11_important_stock, text_tfidf, text_chunk,
+# text_pack_bins, emb_int8_quantize, stream_dedup, stream_sessionize,
+# sink_schema_evolution, sink_orc_roundtrip, q_approx_distinct,
+# q_approx_percentile, q_hll_sketch, q_triangle_count,
+# ind_indicator_format, ind_pipeline_e2e, q_range_join).
+# Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 7 — 25 keys (16 added late-round)
-    "ind_changepoint_cusum",
-    "q_event_transitions",
-    "q_rfm_segmentation",
-    "ind_series_export",
-    "ind_panel_balance",
-    "ind_forecast_trend",
-    "q_abc_analysis",
-    "q_incremental_agg",
-    "ind_outlier_flags",
-    "q_snapshot_diff",
-    "ind_interpolate_years",
-    "ind_rebase_index",
-    "q_winsorize",
-    "q_scd2_intervals",
-    "dedup_fuzzy_levenshtein",
-    "sample_priority",
+    # (a) new in round 8 — 2 keys
+    "mm_phash_dedup",
+    "dedup_shared_spans",
+    # (b) r7-graduated oracle, never driver-stamped
+    "stream_minhash_dedup_banded",
+    # (c) the full r4-evidence cohort — 29 keys
+    "q10_returned_item",
+    "q_top_suppliers",
+    "q_unpivot",
+    "q_window_range",
+    "q_window_topk",
+    "q_pivot",
+    "q_rollup",
+    "q_semi_join",
+    "q_cube",
+    "q_distinct_agg",
+    "q_anti_join",
+    "q_union_dedup",
+    "q_orders_enriched",
+    "q_percentile",
+    "q_skew_salted_agg",
+    "q_sql_interface",
+    "q_window_frame",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "q_events_sessionize",
+    "q_grouping_sets",
+    "q_correlated_scalar",
+    "q_asof_nearest",
+    "q7_bilateral_volume",
+    "q9_nation_profit",
+    "q8_market_share",
+    "q6_forecast_revenue",
+    "q4_priority_count",
+    "q22_idle_customers",
+    # (d) implementation touched in round 8 — 6 keys
     "emb_knn_graph",
-    "text_pmi_bigrams",
-    "text_entropy",
-    "text_bigram_logprob",
     "sample_temperature",
+    "ind_interpolate_years",
+    "q_winsorize",
+    "q_rfm_segmentation",
     "dedup_incremental",
-    "sink_compact_roundtrip",
-    "q_histogram",
-    "q_yoy_growth",
-    # (b) oracle graduations in round 7 — 6 keys
-    "sim_lsh_ann",
-    "stream_anomaly",
-    "emb_kmeans",
-    "sim_ivf_ann",
-    "emb_pq_codes",
-    "sim_ivfpq_ann",
-    # (c) implementation touched in round 7 — 7 keys
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_survivors",
-    # (d) oldest (r4) driver evidence — 12 keys fill the window
-    "q5_local_supplier",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "stream_events_windowed",
-    "stream_minhash_dedup",
+    # (e) oldest r5 driver evidence — 12 indicator keys fill the window
+    "ind_standardize",
+    "ind_observation_view",
+    "ind_combine_dimensions",
+    "ind_melt",
+    "ind_country_map",
+    "ind_country_filter",
+    "ind_year_filter",
+    "ind_dedup_first",
+    "ind_insert_ignore",
+    "ind_metadata_dedup",
+    "ind_validate",
+    "ind_value_stats",
     # --- window boundary: exactly 50 keys above this line ---
-    # r5/r6-green keys follow in registration order (fresh evidence)
+    # fresher keys follow in registration order
 ]
 
 

@@ -121,6 +121,104 @@ def upscale(spark, table: str, k: int, out_dir: str) -> None:
     out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
 
 
+def skew_probe(spark, k: int) -> dict:
+    """Hot-key stress probe (VERDICT r7 #10): a deliberately 80%-skewed
+    join key at K×, salted vs unsalted, with AQE's skew-join splitter
+    on and off — the measured number behind SCALE.md §4's skew claim.
+
+    The fact is the K×-upscaled events table with ``user_mod = 0`` for
+    80% of rows (the hot key) and a 1..999 spread otherwise; the dim
+    has one row per key. Broadcast is disabled for the probe (a
+    broadcastable dim is skew-immune anyway — the explicit tools exist
+    for the shuffle-join regime). groupBy skew is probed too, mostly to
+    document that map-side partial aggregation already absorbs it.
+    """
+    from dfx_indicators_etl_spark.operators.scale import salted_agg, salted_join
+
+    # events sf0.1 is 100k rows — far too small for skew to bite, even
+    # ×8. Amplify to k×100k×16 rows (12.8M at k=8) via an explode
+    # multiplier so the hot key's partition is genuinely task-crushing
+    # (~10M rows through ONE reducer unsalted).
+    amplify = 16
+    fact = read_table(spark, BASE, "events").select("event_id", "user_id")
+    parts = []
+    for i in range(k):
+        parts.append(
+            fact.withColumn("event_id", F.col("event_id") + F.lit(i * OFFSET))
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(amplify - 1).cast("long"))
+        ).alias("rep"),
+    ).withColumn("event_id", F.col("event_id") * amplify + F.col("rep"))
+    skewed = big.withColumn(
+        "user_mod",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(5)) < 4, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(999)) + 1),
+    ).localCheckpoint()  # materialize once; probe joins, not the build
+    dim = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("user_mod"),
+        F.concat(F.lit("seg_"), F.col("id")).alias("segment"),
+    ).localCheckpoint()
+
+    def timed(fn):
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    out = {}
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # warm both plan shapes once: codegen/JIT compile would
+        # otherwise land entirely on the first timed variant
+        skewed.join(dim, "user_mod").select("segment").count()
+        salted_join(
+            skewed, dim, "user_mod", salt_buckets=16, salt_on="event_id"
+        ).select("segment").count()
+        for skew_join in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_join)
+            plain = timed(
+                lambda: skewed.join(dim, "user_mod").select("segment").count()
+            )
+            salted = timed(
+                lambda: salted_join(
+                    skewed, dim, "user_mod", salt_buckets=16,
+                    salt_on="event_id",
+                ).select("segment").count()
+            )
+            out[f"join_aqe_skew_{skew_join}"] = {
+                "plain_sec": plain,
+                "salted_sec": salted,
+                "speedup": round(plain / max(salted, 1e-9), 2),
+            }
+        plain_agg = timed(
+            lambda: skewed.groupBy("user_mod")
+            .agg(F.sum("user_id").alias("s"))
+            .count()
+        )
+        salted_agg_s = timed(
+            lambda: salted_agg(
+                skewed, ["user_mod"], {"s": ("sum", "user_id")},
+                salt_buckets=16, salt_on="event_id",
+            ).count()
+        )
+        out["agg"] = {
+            "plain_sec": plain_agg,
+            "salted_sec": salted_agg_s,
+            "speedup": round(plain_agg / max(salted_agg_s, 1e-9), 2),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return out
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark("scaling-probe")
@@ -156,7 +254,9 @@ def main() -> int:
                 "ratio": round(big_s / max(base_s, 1e-9), 2),
             }
             print(name, results[name], file=sys.stderr)
-        print(json.dumps({"k": k, "probes": results}))
+        skew = skew_probe(spark, k)
+        print("skew", skew, file=sys.stderr)
+        print(json.dumps({"k": k, "probes": results, "skew": skew}))
         return 0
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

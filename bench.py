@@ -193,6 +193,7 @@ HEADLINE = (
     # round 8: new surface
     "mm_phash_dedup",
     "dedup_shared_spans",
+    "dedup_span_excise",
 )
 
 

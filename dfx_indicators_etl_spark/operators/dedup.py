@@ -34,6 +34,7 @@ __all__ = [
     "fuzzy_levenshtein_pairs",
     "containment_pairs",
     "shared_spans",
+    "excise_shared_spans",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_signatures_portable",
@@ -382,6 +383,86 @@ def shared_spans(
     return spans.filter(
         F.col("span_tokens") >= min_span_tokens
     ).select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+
+
+def excise_shared_spans(
+    df: DataFrame,
+    n: int = 3,
+    min_span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Remove duplicated spans from documents — the excision step that
+    completes ``shared_spans`` into Lee-et-al.-style substring dedup:
+    for every shared span, the FIRST document (smaller id) keeps its
+    copy and every later document loses the covered tokens.
+
+    One row per AFFECTED document: the remaining text (tokens outside
+    every excised range, original order), plus before/removed token
+    counts. Untouched documents are omitted — at corpus scale the
+    excision output is patch-sized, never a corpus rewrite; apply it
+    as a left join + coalesce over the corpus downstream.
+
+    Plan: ``shared_spans`` (bounded by the shingle-frequency caps) →
+    explode span ranges into a distinct (doc, pos) removal set → anti
+    join against positioned tokens → per-doc ordered re-assembly
+    (array_sort over (pos, token) structs — partitions are single
+    documents, bounded by document length).
+    """
+    spans = shared_spans(
+        df, n, min_span_tokens, text_col, id_col, max_shingle_freq
+    )
+    remove = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_tokens") - 1,
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the anti join AND counts
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    affected = remove.select("doc_id").distinct()
+    kept = (
+        toks.join(affected, "doc_id", "left_semi")
+        .join(remove, ["doc_id", "pos"], "left_anti")
+    )
+    n_removed = remove.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # a doc whose EVERY token was excised has no kept rows — outer join
+    # so it still reports (n_kept = 0, empty text)
+    return (
+        n_removed.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_kept"), F.lit(0)) + F.col("n_removed"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
 
 
 NUM_PERMS = 64

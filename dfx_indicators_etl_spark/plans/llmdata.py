@@ -1106,6 +1106,80 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_excise",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    ix AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(w[i+1:i+3], ' ') AS shingle
+        FROM toks, LATERAL unnest(range(0, greatest(len(w) - 2, 0))) t(i)
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb, b.pos - a.pos AS delta
+        FROM ix a
+        JOIN ix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    g AS (
+        SELECT *, pa - row_number() OVER (
+            PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+        FROM m
+    ),
+    s AS (
+        SELECT doc_a, doc_b, MIN(pb) AS start_b,
+               COUNT(*) + 2 AS span_tokens
+        FROM g GROUP BY doc_a, doc_b, delta, grp
+        HAVING COUNT(*) + 2 >= 8
+    ),
+    rm AS (
+        SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+        FROM s, LATERAL unnest(range(start_b, start_b + span_tokens)) t(p)
+    ),
+    toks_pos AS (
+        SELECT tk.doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS tok
+        FROM toks tk
+        JOIN (SELECT DISTINCT doc_id FROM rm) aff USING (doc_id),
+        LATERAL unnest(range(0, len(w))) t(i)
+    ),
+    kept AS (
+        SELECT tp.* FROM toks_pos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM rm
+            WHERE rm.doc_id = tp.doc_id AND rm.pos = tp.pos
+        )
+    ),
+    nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(coalesce(n_kept, 0) + n_removed AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           coalesce(cleaned_text, '') AS cleaned_text
+    FROM nrem LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span excision (round 8): remove each duplicated ≥ 8-token span
+    from every document after its first occurrence — the step that
+    turns shared-span DETECTION into substring-level dedup. One row
+    per affected doc (patch-sized output, never a corpus rewrite) with
+    the cleaned text and before/removed token counts; FULL value
+    oracle replays spans, removal ranges, anti join, and the ordered
+    re-assembly."""
+    return dedup.excise_shared_spans(
+        read_table(spark, sf_dir, "documents"),
+        min_span_tokens=8,
+        max_shingle_freq=None,
+    )
+
+
+@query(
     "text_word_vocab",
     oracle="""
     WITH words AS (

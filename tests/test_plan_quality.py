@@ -48,6 +48,7 @@ JVM_ONLY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_shared_spans",
+    "dedup_span_excise",
     "mm_phash_dedup",
     "dedup_ngram_jaccard",
     "text_tokens",

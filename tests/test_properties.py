@@ -660,3 +660,31 @@ def test_shared_spans_matches_reference(spark, token_lists):
         ).collect()
     }
     assert got == ref_shared_spans(texts, min_span=4)
+
+
+def test_excise_shared_spans_hand_built(spark):
+    """Excision: the later doc loses exactly the planted span (first
+    occurrence stays canonical); a fully-contained doc empties out."""
+    from dfx_indicators_etl_spark.operators.dedup import excise_shared_spans
+
+    plant = "alpha beta gamma delta epsilon"  # 5 tokens
+    texts = {
+        0: "a1 a2 a3 " + plant + " a4 a5",
+        1: "b1 " + plant + " b2 b3",
+        2: plant,                    # doc 2 IS the span -> empties
+        3: "c1 c2 c3 c4 c5 c6 c7",   # untouched -> omitted
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in excise_shared_spans(
+            docs, min_span_tokens=4, max_shingle_freq=None
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # doc 0 keeps the canonical copy
+    assert out[1]["cleaned_text"] == "b1 b2 b3"
+    assert out[1]["n_tokens"] == 8 and out[1]["n_removed"] == 5
+    assert out[2]["cleaned_text"] == "" and out[2]["n_tokens"] == 5
+    assert out[2]["n_removed"] == 5

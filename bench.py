@@ -194,6 +194,7 @@ HEADLINE = (
     "mm_phash_dedup",
     "dedup_shared_spans",
     "dedup_span_excise",
+    "ind_m49_dim",
 )
 
 

@@ -11,7 +11,7 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-8 rotation (VERDICT r7 #1): (a) the 3 NEW
+# in insertion order. Round-8 rotation (VERDICT r7 #1): (a) the 4 NEW
 # round-8 keys (first driver evidence); (b) stream_minhash_dedup_banded,
 # whose round-7 oracle graduation was never driver-stamped (it was left
 # out of the r7 window); (c) ALL 29 keys whose latest driver evidence
@@ -19,10 +19,10 @@ from . import streaming_queries  # noqa: E402,F401
 # (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
 # temperature null-safe join, interpolate oracle NULL filter, the
 # winsorize/rfm adaptive swaps, and dedup_incremental behind the
-# compaction-lease hardening); (e) 11 of the 37 r5-evidence keys — the
+# compaction-lease hardening); (e) 10 of the 37 r5-evidence keys — the
 # indicator-model cohort — so the rolling retirement continues (the
-# remaining 26 r5 keys lead the round-9 rotation: ind_value_stats,
-# q_events_daily,
+# remaining 27 r5 keys lead the round-9 rotation: ind_value_stats,
+# ind_validate, q_events_daily,
 # q_asof_join, q_skew_salted_join, q_time_rollup, q_funnel_conversion,
 # q_retention_cohort, q_session_window_native, q_custom_agg_geomean,
 # q_table_profile, q11_important_stock, text_tfidf, text_chunk,
@@ -32,10 +32,11 @@ from . import streaming_queries  # noqa: E402,F401
 # ind_indicator_format, ind_pipeline_e2e, q_range_join).
 # Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 8 — 3 keys
+    # (a) new in round 8 — 4 keys
     "mm_phash_dedup",
     "dedup_shared_spans",
     "dedup_span_excise",
+    "ind_m49_dim",
     # (b) r7-graduated oracle, never driver-stamped
     "stream_minhash_dedup_banded",
     # (c) the full r4-evidence cohort — 29 keys
@@ -75,7 +76,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_winsorize",
     "q_rfm_segmentation",
     "dedup_incremental",
-    # (e) oldest r5 driver evidence — 11 indicator keys fill the window
+    # (e) oldest r5 driver evidence — 10 indicator keys fill the window
     "ind_standardize",
     "ind_observation_view",
     "ind_combine_dimensions",
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_dedup_first",
     "ind_insert_ignore",
     "ind_metadata_dedup",
-    "ind_validate",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -274,6 +274,43 @@ def ind_country_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "country")
 
 
+def _m49_dim_oracle() -> str:
+    """Oracle over the VENDORED public UNSD table itself (round 8):
+    DuckDB re-reads the packaged CSV, so the driver stamps the
+    vendored data AND the loader's column contract, not a testdata
+    stand-in."""
+    from ..sources.m49 import PACKAGED_M49_PATH
+
+    flag = (
+        lambda c: f'("{c}" IS NOT NULL AND trim("{c}") <> \'\')'
+    )
+    return f"""
+    SELECT CAST("M49 Code" AS INT) AS id,
+           "ISO-alpha2 Code" AS iso_2,
+           "ISO-alpha3 Code" AS iso_3,
+           "Country or Area" AS name,
+           "Sub-region Name" AS subregion,
+           "Region Name" AS region,
+           {flag("Least Developed Countries (LDC)")} AS ldc,
+           {flag("Land Locked Developing Countries (LLDC)")} AS lldc,
+           {flag("Small Island Developing States (SIDS)")} AS sids
+    FROM read_csv('{PACKAGED_M49_PATH}', delim=';', header=true,
+                  all_varchar=true)
+    WHERE "ISO-alpha3 Code" IS NOT NULL
+    """
+
+
+@query("ind_m49_dim", oracle=_m49_dim_oracle())
+def ind_m49_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country dim from the vendored UNSD M49 table (no path — the
+    out-of-the-box standardization surface the reference ships via its
+    packaged CSV, utils.py:64/84-155 + entities.py:30-47). ``sf_dir``
+    is unused: the dim is environment data, not scale data."""
+    from ..sources.m49 import load_m49, m49_country_dim
+
+    return m49_country_dim(load_m49(spark))
+
+
 @query(
     "ind_country_filter",
     oracle=f"""

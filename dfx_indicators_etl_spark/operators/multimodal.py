@@ -150,9 +150,14 @@ def sample_frames(df: DataFrame, stride: int = 2) -> DataFrame:
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
-# Perceptual-hash width: an 8×8 average-hash grid, the classic image
-# near-dup signature (pHash family — aHash variant).
-PHASH_BITS = 64
+# Perceptual-hash width: a 16×8 average-hash grid. 128 bits (vs the
+# classic 8×8 = 64) is the SCALE choice, same argument as
+# ``dedup.simhash_portable``: banded Hamming search over 8 bands needs
+# band keys wide enough that random bucket collisions don't dominate —
+# 8-bit keys (64-bit hash) give 256 buckets per band and Θ(n²/256)
+# candidates (measured: 6M pairs / 12 s at a 20k corpus); 16-bit keys
+# (128-bit hash) give 65 536 buckets and drop collisions 256-fold.
+PHASH_BITS = 128
 
 
 def phash_words(
@@ -160,13 +165,14 @@ def phash_words(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit perceptual hash (average-hash) per binary payload, packed
-    into two 32-bit words ``w0/w1`` (each Σ bit·2ᵏ stays positive in a
-    signed 64-bit — same packing convention as ``dedup.simhash_portable``).
+    """128-bit perceptual hash (average-hash) per binary payload,
+    packed into four 32-bit words ``w0…w3`` (each Σ bit·2ᵏ stays
+    positive in a signed 64-bit — same packing convention as
+    ``dedup.simhash_portable``).
 
     The "decode" is the deterministic fake codec shared by this module:
-    the 8×8 gray grid's 64 samples are the payload bytes at stride
-    positions ``⌊i·n/64⌋`` (a real decoder would hand back actual
+    the 16×8 gray grid's 128 samples are the payload bytes at stride
+    positions ``⌊i·n/128⌋`` (a real decoder would hand back actual
     downsampled luma here — swapping it in changes none of the
     banding/Hamming machinery downstream). Bit i is
     ``gray_i > mean(gray)`` — the aHash rule. Everything is integer
@@ -176,30 +182,93 @@ def phash_words(
     the empty payload. NULL payloads hash like empty ones (all-zero
     grid → hash 0).
 
-    Narrow, shuffle-free: one projection over the corpus scan.
+    Narrow, shuffle-free: one projection over the corpus scan. The hex
+    string is materialized through a 1-element ``explode`` first —
+    CollapseProject would otherwise inline ``hex(payload)`` into all 64
+    gray extractions (64× the string work per row; measured ~15× wall
+    on the sf0.1 corpus — the same expression-level hazard as
+    ``similarity.int8_quantization_audit``'s scale subtree, fixed with
+    the same Generate barrier).
     """
     payload = F.col(payload_col)
-    hexs = F.concat(F.coalesce(F.hex(payload), F.lit("")), F.lit("00"))
-    n = F.coalesce(F.length(payload).cast("long"), F.lit(0).cast("long"))
-    grays = []
-    for i in range(PHASH_BITS):
-        p = F.floor(F.lit(i) * n / F.lit(PHASH_BITS)) + 1
-        start = (p * 2 - 1).cast("int")
-        grays.append(
-            F.coalesce(
-                F.conv(hexs.substr(start, F.lit(2)), 16, 10).cast("int"),
-                F.lit(0),
+    src = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.coalesce(F.hex(payload), F.lit("")), F.lit("00")
+                    ).alias("hx"),
+                    F.coalesce(
+                        F.length(payload).cast("long"), F.lit(0).cast("long")
+                    ).alias("n"),
+                )
             )
-        )
-    mean = sum(grays).cast("double") / F.lit(float(PHASH_BITS))
-    bits = [(g > mean).cast("long") for g in grays]
-    word = lambda lo: sum(  # noqa: E731 — Σ bit·2ᵏ over one 32-bit word
-        bits[lo + k] * F.lit(1 << k) for k in range(32)
+        ).alias("__ph"),
     )
-    return df.select(
+    hexs = F.col("__ph.hx")
+    n = F.col("__ph.n")
+    # One TRANSFORM instead of 128 unrolled extraction expressions:
+    # the unrolled form generated a >20k-line codegen method, janino
+    # refused to compile it, and the whole projection fell back to
+    # interpreted evaluation (~2.5× wall). A higher-order transform is
+    # a runtime loop — constant-size generated code at any PHASH_BITS.
+    grays = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(PHASH_BITS - 1).cast("long")),
+        lambda i: F.coalesce(
+            F.conv(
+                hexs.substr(
+                    (
+                        (F.floor(i * n / F.lit(PHASH_BITS)) + 1) * 2 - 1
+                    ).cast("int"),
+                    F.lit(2),
+                ),
+                16,
+                10,
+            ).cast("int"),
+            F.lit(0),
+        ),
+    )
+    # Second barrier: every aHash bit compares one gray against the
+    # whole-grid MEAN — inlined, the grid would re-extract per word.
+    # Materialize the gray array and its exact integer sum once; past
+    # this Generate the bits are integer compares over the array.
+    graybar = src.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    grays.alias("g"),
+                    F.aggregate(
+                        grays,
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("gsum"),
+                )
+            )
+        ).alias("__g"),
+    )
+    mean = F.col("__g.gsum").cast("double") / F.lit(float(PHASH_BITS))
+    # word m = Σ bit·2ᵏ over its 32-bit slice, as one runtime fold:
+    # the struct accumulator carries (packed word, current power of 2)
+    word = lambda m: F.aggregate(  # noqa: E731
+        F.slice(F.col("__g.g"), 32 * m + 1, 32),
+        F.struct(
+            F.lit(0).cast("long").alias("acc"),
+            F.lit(1).cast("long").alias("pw"),
+        ),
+        lambda s, g: F.struct(
+            (
+                s["acc"]
+                + F.when(g > mean, s["pw"]).otherwise(F.lit(0).cast("long"))
+            ).alias("acc"),
+            (s["pw"] * 2).alias("pw"),
+        ),
+        lambda s: s["acc"],
+    )
+    return graybar.select(
         F.col(id_col).alias("doc_id"),
-        word(0).alias("w0"),
-        word(32).alias("w1"),
+        *[word(m).alias(f"w{m}") for m in range(PHASH_BITS // 32)],
     )
 
 
@@ -212,8 +281,8 @@ def phash_pairs(
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads:
-    banded Hamming search on the 64-bit aHash — the standard image-dedup
-    primitive of a multimodal training pipeline.
+    banded Hamming search on the 128-bit aHash — the standard
+    image-dedup primitive of a multimodal training pipeline.
 
     Same scale shape as ``dedup.simhash_pairs_portable``: each doc
     explodes into ``bands`` (band_idx, band_key) rows, candidates come
@@ -221,10 +290,11 @@ def phash_pairs(
     Hamming check (``bit_count(xor)`` over the packed words) filters.
     ``bands > max_hamming`` keeps the pigeonhole recall guarantee: a
     pair within ``max_hamming`` differs in ≤ max_hamming bands, so at
-    least one band matches. 8-bit band keys mean 256 buckets per band —
-    at corpus scale pass ``max_band_bucket`` to cap hot buckets (the
-    skew-cap pattern of ``operators.dedup``); a wider grid (16×16 →
-    256-bit hash, 16-bit keys) is the drop-in growth path.
+    least one band matches. The default 8 bands over 128 bits give
+    16-bit keys — 65 536 buckets per band, so random collisions stay
+    negligible up to ~10⁵-doc shuffle partitions; beyond that pass
+    ``max_band_bucket`` to cap hot buckets (the skew-cap pattern of
+    ``operators.dedup``) — a 256-bit grid is the next growth step.
     """
     if max_hamming >= bands:
         raise ValueError(
@@ -272,19 +342,18 @@ def phash_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    n_words = PHASH_BITS // 32
     a = sk.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("w0").alias("a0"),
-        F.col("w1").alias("a1"),
+        *[F.col(f"w{m}").alias(f"a{m}") for m in range(n_words)],
     )
     b = sk.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("w0").alias("c0"),
-        F.col("w1").alias("c1"),
+        *[F.col(f"w{m}").alias(f"c{m}") for m in range(n_words)],
     )
-    hamming = (
-        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
-        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+    hamming = sum(
+        F.bit_count(F.col(f"a{m}").bitwiseXOR(F.col(f"c{m}")))
+        for m in range(n_words)
     ).cast("bigint")
     return (
         candidates.join(a, "doc_a")

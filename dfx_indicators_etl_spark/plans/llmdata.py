@@ -1291,23 +1291,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- mm_phash_dedup oracle fragments (64-bit aHash, 8×8-bit bands) ----
+# -- mm_phash_dedup oracle fragments (derived from the operator's
+# PHASH_BITS: 128-bit aHash → 4 packed words, 8 bands × 16-bit keys) --
+_PH_NBITS = multimodal.PHASH_BITS
+_PH_NWORDS = _PH_NBITS // 32
+_PH_NBANDS = 8
+_PH_BAND_WIDTH = _PH_NBITS // _PH_NBANDS
 _PH_G = ", ".join(
     f"CAST(concat('0x', substring(hx, "
-    f"CAST(2*(FLOOR({i}*n/64.0)+1)-1 AS INT), 2)) AS INT) AS g{i}"
-    for i in range(64)
+    f"CAST(2*(FLOOR({i}*n/{_PH_NBITS}.0)+1)-1 AS INT), 2)) AS INT) AS g{i}"
+    for i in range(_PH_NBITS)
 )
-_PH_SUM = "+".join(f"g{i}" for i in range(64))
-_PH_W0 = " + ".join(f"CAST(g{k} > mean AS BIGINT) * {1 << k}" for k in range(32))
-_PH_W1 = " + ".join(
-    f"CAST(g{32 + k} > mean AS BIGINT) * {1 << k}" for k in range(32)
+# chunked sum: a flat 128-term chain exceeds DuckDB's 128-deep binder
+# recursion limit; 32-term parenthesized chunks keep depth ≤ 35
+_PH_SUM = " + ".join(
+    "(" + "+".join(f"g{i}" for i in range(lo, lo + 32)) + ")"
+    for lo in range(0, _PH_NBITS, 32)
+)
+_PH_WORDS = ", ".join(
+    " + ".join(
+        f"CAST(g{32 * m + k} > mean AS BIGINT) * {1 << k}"
+        for k in range(32)
+    )
+    + f" AS w{m}"
+    for m in range(_PH_NWORDS)
 )
 _PH_BANDS = "\n    UNION ALL\n    ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"((w{(b * 8) // 32} >> {(b * 8) % 32}) & 255) AS band_key FROM words"
-    for b in range(8)
+    f"((w{(b * _PH_BAND_WIDTH) // 32} >> {(b * _PH_BAND_WIDTH) % 32})"
+    f" & {(1 << _PH_BAND_WIDTH) - 1}) AS band_key FROM words"
+    for b in range(_PH_NBANDS)
 )
-_PH_HAMMING = "bit_count(xor(sa.w0, sb.w0)) + bit_count(xor(sa.w1, sb.w1))"
+_PH_HAMMING = " + ".join(
+    f"bit_count(xor(sa.w{m}, sb.w{m}))" for m in range(_PH_NWORDS)
+)
 
 
 @query(
@@ -1324,8 +1341,8 @@ _PH_HAMMING = "bit_count(xor(sa.w0, sb.w0)) + bit_count(xor(sa.w1, sb.w1))"
         FROM corpus
     ),
     g AS (SELECT doc_id, {_PH_G} FROM p),
-    m AS (SELECT *, ({_PH_SUM})/64.0 AS mean FROM g),
-    words AS (SELECT doc_id, {_PH_W0} AS w0, {_PH_W1} AS w1 FROM m),
+    m AS (SELECT *, ({_PH_SUM})/{_PH_NBITS}.0 AS mean FROM g),
+    words AS (SELECT doc_id, {_PH_WORDS} FROM m),
     bands AS (
     {_PH_BANDS}
     ),

@@ -967,10 +967,14 @@ def test_phash_banded_equals_bruteforce(spark, sf_dir):
         for r in M.phash_pairs(corpus, max_hamming=6).collect()
     }
     words = M.phash_words(corpus).collect()
+    n_words = M.PHASH_BITS // 32
     brute = set()
     for i, a in enumerate(words):
         for b in words[i + 1:]:
-            h = bin((a["w0"] ^ b["w0"]) | ((a["w1"] ^ b["w1"]) << 32)).count("1")
+            h = sum(
+                bin(a[f"w{m}"] ^ b[f"w{m}"]).count("1")
+                for m in range(n_words)
+            )
             if h <= 6:
                 lo, hi = sorted((a["doc_id"], b["doc_id"]))
                 brute.add((lo, hi, h))
@@ -995,8 +999,9 @@ def test_phash_reencode_recall_and_brightness_invariance(spark):
         [(i + 10, "".join(chr(ord(c) + 1) for c in t)) for i, t in texts],
         "doc_id long, text string",
     )
+    n_words = M.PHASH_BITS // 32
     words = {
-        r["doc_id"]: (r["w0"], r["w1"])
+        r["doc_id"]: tuple(r[f"w{m}"] for m in range(n_words))
         for r in M.phash_words(
             M.attach_binary_payload(docs.unionByName(shifted))
         ).collect()
@@ -1005,9 +1010,9 @@ def test_phash_reencode_recall_and_brightness_invariance(spark):
     # bit pattern identical
     assert words[1] == words[11] and words[2] == words[12]
     # distinct texts produce far-apart hashes (no trivial collisions)
-    h = bin(
-        (words[1][0] ^ words[2][0]) | ((words[1][1] ^ words[2][1]) << 32)
-    ).count("1")
+    h = sum(
+        bin(words[1][m] ^ words[2][m]).count("1") for m in range(n_words)
+    )
     assert h > 6
 
 

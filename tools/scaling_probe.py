@@ -78,6 +78,12 @@ PROBES = {
     "q_rfm_segmentation": ("orders",),
     "ind_changepoint_cusum": ("events",),
     "ind_series_export": ("events",),
+    # round 8: perceptual-hash banding + positioned-shingle span ops.
+    # Token suffixes keep replicas from being near-dups of each other,
+    # so candidate volume grows with docs (K× buckets), not pairs (K²).
+    "mm_phash_dedup": ("documents",),
+    "dedup_shared_spans": ("documents",),
+    "dedup_span_excise": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset
@@ -220,12 +226,17 @@ def skew_probe(spark, k: int) -> dict:
 
 
 def main() -> int:
+    """``python tools/scaling_probe.py [K] [key ...]`` — with keys
+    given, probe only those PROBES entries and skip the skew probe
+    (targeted re-measurement of a new operator family)."""
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = sys.argv[2:]
+    probes = {n: PROBES[n] for n in only} if only else PROBES
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     scratch = Path(tempfile.mkdtemp(prefix="dfx_scale_"))
     try:
-        needed = sorted({t for ts in PROBES.values() for t in ts})
+        needed = sorted({t for ts in probes.values() for t in ts})
         # dims the queries read but we don't upscale: copy as-is
         all_tables = (
             "region nation customer supplier part orders lineitem "
@@ -239,7 +250,7 @@ def main() -> int:
                     f"{scratch}/{t}.parquet"
                 )
         results = {}
-        for name in PROBES:
+        for name in probes:
             fn = QUERIES[name]
             fn(spark, BASE).count()  # warm plan/JIT
             t0 = time.time()
@@ -254,8 +265,9 @@ def main() -> int:
                 "ratio": round(big_s / max(base_s, 1e-9), 2),
             }
             print(name, results[name], file=sys.stderr)
-        skew = skew_probe(spark, k)
-        print("skew", skew, file=sys.stderr)
+        skew = None if only else skew_probe(spark, k)
+        if skew is not None:
+            print("skew", skew, file=sys.stderr)
         print(json.dumps({"k": k, "probes": results, "skew": skew}))
         return 0
     finally:

@@ -192,6 +192,8 @@ HEADLINE = (
     "ind_changepoint_cusum",
     # round 8: new surface
     "mm_phash_dedup",
+    "mm_scene_cuts",
+    "mm_audio_match",
     "dedup_shared_spans",
     "dedup_span_excise",
     "ind_m49_dim",

@@ -14,16 +14,20 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary_payload",
+    "audio_offset_matches",
+    "audio_windows",
     "decode_features",
+    "frame_checksums",
     "phash_pairs",
     "phash_words",
     "resize_images",
     "sample_frames",
+    "scene_cuts",
     "DECODE_SCHEMA",
     "RESIZE_SCHEMA",
     "FRAME_SCHEMA",
@@ -356,4 +360,235 @@ def phash_pairs(
         .join(b, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _payload_hex(
+    df: DataFrame, payload_col: str, id_col: str
+) -> DataFrame:
+    """(id, __p.hx, __p.n) behind a Generate barrier — the shared
+    entry step of every codegen fake-decode below. Without the barrier
+    CollapseProject inlines ``hex(payload)`` into every downstream
+    byte extraction (the hazard measured in ``phash_words``). NULL
+    payloads decode like empty ones; the '00' pad only ever serves
+    out-of-range guards."""
+    payload = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.coalesce(F.hex(payload), F.lit("")), F.lit("00")
+                    ).alias("hx"),
+                    F.coalesce(
+                        F.length(payload).cast("long"), F.lit(0).cast("long")
+                    ).alias("n"),
+                )
+            )
+        ).alias("__p"),
+    )
+
+
+def _byte_at(hexs, pos):
+    """Byte value at 0-based position ``pos`` of the hex-encoded
+    payload (hex chars 2·pos+1 … 2·pos+2, 1-based substr)."""
+    return F.coalesce(
+        F.conv(
+            hexs.substr((pos * 2 + 1).cast("int"), F.lit(2)), 16, 10
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def frame_checksums(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stride-1 frame extraction as pure JVM codegen (no Python):
+    the same fake codec as ``sample_frames`` — ``n_frames = n%30+1``
+    frames, frame i's checksum is the payload byte at ``i·(n//n_frames)``
+    — but expressed as explode + integer arithmetic over the hex
+    payload, so downstream per-frame analytics (scene cuts) stay in
+    whole-stage codegen. A real decoder swaps in at the
+    ``sample_frames`` mapInPandas boundary instead; this path exists
+    for the fake-codec analytics that must be SQL-replayable.
+
+    Narrow 1→N (explode), shuffle-free.
+    """
+    src = _payload_hex(df, payload_col, id_col)
+    hexs, n = F.col("__p.hx"), F.col("__p.n")
+    n_frames = n % 30 + 1
+    frames = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n > 0,
+                F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("__i"),
+        hexs.alias("__hx"),
+        F.floor(n / n_frames).alias("__step"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("__i").cast("int").alias("frame_idx"),
+        _byte_at(F.col("__hx"), F.col("__i") * F.col("__step")).alias(
+            "frame_checksum"
+        ),
+    )
+
+
+def scene_cuts(
+    df: DataFrame,
+    threshold: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video scene segmentation over the fake codec's frame stream:
+    a cut opens wherever the frame-to-frame checksum jump exceeds
+    ``threshold`` (a real pipeline thresholds a histogram/SSIM
+    distance here — same plan shape), and consecutive frames between
+    cuts roll up into one scene row (scene_idx, start/end frame,
+    length) via the running-sum-of-cuts trick.
+
+    Scale: the windows partition by doc_id and a document has at most
+    30 frames under the fake codec (a real one is minutes × fps — still
+    a single-video partition, the natural unit), so no corpus-sized
+    partition exists; the rollup is one groupBy on (doc, scene).
+    """
+    fr = frame_checksums(df, payload_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diff = F.abs(
+        F.col("frame_checksum") - F.lag("frame_checksum").over(w)
+    )
+    flagged = fr.withColumn(
+        "__cut",
+        F.when(diff.isNull() | (diff > threshold), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    numbered = flagged.withColumn(
+        "scene_idx",
+        (
+            F.sum("__cut").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("bigint"),
+    )
+    return (
+        numbered.groupBy("doc_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+    )
+
+
+# Audio sub-fingerprint geometry: 15-byte windows every 5 bytes, each
+# packed as 15 high nibbles → a 60-bit key (signed-64 safe; 16 nibbles
+# would overflow). High-nibble quantization is the fake-codec analog of
+# spectral-peak quantization: robust to small amplitude nudges.
+# Measured on the sf0.1 corpus: 37 494 distinct fingerprints, hottest
+# 185 occurrences, Σc² ≈ 6.5 M candidate join rows — bounded well below
+# the 500 cap.
+AUDIO_WINDOW_BYTES = 15
+AUDIO_STRIDE = 5
+DEFAULT_MAX_FP_FREQ = 500
+
+
+def audio_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-fingerprints per audio payload: one 60-bit quantized key
+    per ``AUDIO_STRIDE``-byte step (the Haitsma-Kalker / landmark
+    sub-fingerprint shape). The fake codec reads payload bytes as PCM
+    samples; a real frontend computes per-window spectral energies and
+    quantizes those — identical downstream machinery.
+
+    Narrow 1→N: explode over window starts, one Horner fold per window
+    (constant-size codegen at any window width).
+    """
+    src = _payload_hex(df, payload_col, id_col)
+    hexs, n = F.col("__p.hx"), F.col("__p.n")
+    width, stride = AUDIO_WINDOW_BYTES, AUDIO_STRIDE
+    n_windows = F.floor((n - width) / stride) + 1
+    win = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                n >= width,
+                F.sequence(F.lit(0).cast("long"), n_windows - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("t"),
+        hexs.alias("__hx"),
+    )
+    # fp = Σⱼ nibbleⱼ·16ʲ as a Horner fold over j descending — the
+    # plain-long accumulator shape (struct accumulators double the
+    # generated lambda code; see phash_words).
+    fp = F.aggregate(
+        F.reverse(F.sequence(F.lit(0), F.lit(width - 1))),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 16
+        + F.shiftright(
+            _byte_at(F.col("__hx"), F.col("t") * stride + j), 4
+        ),
+    )
+    return win.select(
+        "doc_id", F.col("t").cast("bigint").alias("t"), fp.alias("fp")
+    )
+
+
+def audio_offset_matches(
+    df: DataFrame,
+    min_votes: int = 5,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_fp_freq: int | None = DEFAULT_MAX_FP_FREQ,
+) -> DataFrame:
+    """Shazam-style audio matching: two clips match when many window
+    fingerprints agree at one consistent time offset. The inverted
+    index joins equal fingerprints (never all pairs), each hit votes
+    for its diagonal ``offset = t_b − t_a``, and a (pair, offset)
+    bucket with ≥ ``min_votes`` votes is a match — the offset-voting
+    alignment that makes fingerprint search robust to clipping: a
+    clip's windows all land on one diagonal. (The offset column is
+    named ``t_offset`` — OFFSET is reserved in ANSI SQL.)
+
+    Scale: identical shape to the positioned-shingle span index —
+    per-fingerprint frequency cap (hot keys are digital silence /
+    boilerplate jingles), candidate volume Σ c² over capped counts,
+    one groupBy on (pair, offset). Emits (doc_a, doc_b, offset, votes),
+    doc_a < doc_b.
+    """
+    wtab = audio_windows(df, payload_col, id_col).localCheckpoint(
+        eager=False
+    )
+    if max_fp_freq is not None:
+        ok = (
+            wtab.groupBy("fp")
+            .count()
+            .filter(F.col("count") <= max_fp_freq)
+            .select("fp")
+        )
+        wtab = wtab.join(ok, "fp", "left_semi")
+    left = wtab.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), "fp"
+    )
+    right = wtab.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), "fp"
+    )
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            (F.col("tb") - F.col("ta")).alias("t_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
     )

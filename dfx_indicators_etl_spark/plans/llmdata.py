@@ -1383,6 +1383,109 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_pairs(corpus, max_hamming=6)
 
 
+
+@query(
+    "mm_scene_cuts",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, text, length(text) AS n, length(text) % 30 + 1 AS n_frames
+        FROM documents WHERE length(text) > 0
+    ),
+    fr AS (
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(ascii(text[CAST(i * (n // n_frames) AS INT) + 1]) AS BIGINT)
+                   AS cs
+        FROM meta, LATERAL unnest(range(0, n_frames)) t(i)
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, cs,
+               abs(cs - lag(cs) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+                   AS diff
+        FROM fr
+    ),
+    c AS (
+        SELECT doc_id, frame_idx,
+               CASE WHEN diff IS NULL OR diff > 64 THEN 1 ELSE 0 END AS cut
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, frame_idx,
+               SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS scene_idx
+        FROM c
+    )
+    SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM s GROUP BY doc_id, scene_idx
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation: frame-to-frame checksum jumps above a
+    threshold open scene cuts; consecutive frames roll up into scene
+    rows (running-sum-of-cuts). Frame extraction is the codegen twin of
+    the ``sample_frames`` fake codec (``operators.multimodal.
+    frame_checksums``) so the whole pipeline — decode, diff, cut,
+    rollup — replays bit-identically in the oracle. Windows partition
+    by doc_id (one video = one partition, ≤30 fake frames)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return multimodal.scene_cuts(
+        multimodal.attach_binary_payload(docs), threshold=64
+    )
+
+
+@query(
+    "mm_audio_match",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, substr(text, 16) FROM documents
+    ),
+    p AS (
+        SELECT doc_id, text, length(coalesce(text, '')) AS n FROM corpus
+    ),
+    w AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS t,
+            list_sum(list_transform(range(0, 15),
+                j -> CAST(ascii(text[CAST(i*5+j AS INT)+1]) // 16 AS BIGINT)
+                     * (CAST(1 AS BIGINT) << CAST(4*j AS INT)))) AS fp
+        FROM p, LATERAL unnest(range(0, greatest((n-15)//5 + 1, 0))) u(i)
+        WHERE n >= 15
+    ),
+    ok AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(*) <= 500),
+    wc AS (SELECT w.* FROM w JOIN ok USING (fp)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.t - a.t AS t_offset
+        FROM wc a JOIN wc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, t_offset, CAST(COUNT(*) AS BIGINT) AS votes
+    FROM m GROUP BY doc_a, doc_b, t_offset
+    HAVING COUNT(*) >= 5
+    """,
+)
+def mm_audio_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style audio fingerprint matching: 60-bit quantized
+    sub-fingerprints every AUDIO_STRIDE bytes, inverted-index join,
+    diagonal offset voting (``operators.multimodal.
+    audio_offset_matches``). The demo corpus pairs every payload with
+    a CLIPPED variant (first 15 bytes dropped = 3 whole strides), so
+    true matches land on the t_offset = −3 diagonal with ~full-clip
+    votes — the alignment property that makes fingerprinting robust
+    to clipping. FULL value oracle replays windows, quantization,
+    frequency cap, and voting."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clipped = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, 16)").alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(clipped))
+    return multimodal.audio_offset_matches(corpus, min_votes=5)
+
+
+
 def _jl_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
     """DuckDB twin of ``similarity.sign_projection``: same formula
     matrix, same left-to-right list fold (``list_sum`` over an

@@ -84,6 +84,13 @@ PROBES = {
     "mm_phash_dedup": ("documents",),
     "dedup_shared_spans": ("documents",),
     "dedup_span_excise": ("documents",),
+    # round 8, late: AV fake-codec analytics. Scene cuts is a narrow
+    # explode + per-video window (linear is the bound to beat); audio
+    # match's candidate volume is Σc² over capped fingerprint counts —
+    # suffixed replicas share few windows, so candidates grow ~K×
+    # (each replica matching its own clipped variant), not K².
+    "mm_scene_cuts": ("documents",),
+    "mm_audio_match": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -363,24 +363,34 @@ def phash_pairs(
     )
 
 
-def _payload_hex(
+def _payload_bytes(
     df: DataFrame, payload_col: str, id_col: str
 ) -> DataFrame:
-    """(id, __p.hx, __p.n) behind a Generate barrier — the shared
-    entry step of every codegen fake-decode below. Without the barrier
-    CollapseProject inlines ``hex(payload)`` into every downstream
-    byte extraction (the hazard measured in ``phash_words``). NULL
-    payloads decode like empty ones; the '00' pad only ever serves
-    out-of-range guards."""
+    """(id, __p.bs array<long> of byte values, __p.n) behind a Generate
+    barrier — the shared entry step of the codegen fake-decodes below.
+    The barrier stops CollapseProject from inlining the decode into
+    every downstream extraction (the hazard measured in
+    ``phash_words``); the byte ARRAY (latin-1 decode → per-char
+    codepoints) makes every later access an O(1) ``element_at`` —
+    ``substr`` over a long string is an O(position) UTF-8 scan, which
+    measured 5× slower across half a million window rows. Latin-1 maps
+    bytes 0–255 to codepoints 0–255 losslessly, so ``ascii`` recovers
+    exact byte values. NULL payloads decode like empty ones."""
     payload = F.col(payload_col)
     return df.select(
         F.col(id_col),
         F.explode(
             F.array(
                 F.struct(
-                    F.concat(
-                        F.coalesce(F.hex(payload), F.lit("")), F.lit("00")
-                    ).alias("hx"),
+                    F.transform(
+                        F.split(
+                            F.coalesce(
+                                F.decode(payload, "ISO-8859-1"), F.lit("")
+                            ),
+                            "",
+                        ),
+                        lambda c: F.ascii(c).cast("long"),
+                    ).alias("bs"),
                     F.coalesce(
                         F.length(payload).cast("long"), F.lit(0).cast("long")
                     ).alias("n"),
@@ -390,51 +400,41 @@ def _payload_hex(
     )
 
 
-def _byte_at(hexs, pos):
-    """Byte value at 0-based position ``pos`` of the hex-encoded
-    payload (hex chars 2·pos+1 … 2·pos+2, 1-based substr)."""
-    return F.coalesce(
-        F.conv(
-            hexs.substr((pos * 2 + 1).cast("int"), F.lit(2)), 16, 10
-        ).cast("long"),
-        F.lit(0).cast("long"),
-    )
-
-
 def frame_checksums(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """Stride-1 frame extraction as pure JVM codegen (no Python):
     the same fake codec as ``sample_frames`` — ``n_frames = n%30+1``
     frames, frame i's checksum is the payload byte at ``i·(n//n_frames)``
-    — but expressed as explode + integer arithmetic over the hex
-    payload, so downstream per-frame analytics (scene cuts) stay in
-    whole-stage codegen. A real decoder swaps in at the
+    — but expressed as integer arithmetic over the payload byte array,
+    so downstream per-frame analytics (scene cuts, shingle dedup) stay
+    in whole-stage codegen. A real decoder swaps in at the
     ``sample_frames`` mapInPandas boundary instead; this path exists
     for the fake-codec analytics that must be SQL-replayable.
 
-    Narrow 1→N (explode), shuffle-free.
+    Narrow 1→N: checksums are computed per DOC (one transform over the
+    frame indices), then ``posexplode`` emits frame rows — only the
+    ≤30-long checksum array replicates through the Generate, never the
+    payload. Shuffle-free.
     """
-    src = _payload_hex(df, payload_col, id_col)
-    hexs, n = F.col("__p.hx"), F.col("__p.n")
+    src = _payload_bytes(df, payload_col, id_col)
+    bs, n = F.col("__p.bs"), F.col("__p.n")
     n_frames = n % 30 + 1
-    frames = src.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                n > 0,
-                F.sequence(F.lit(0).cast("long"), n_frames - 1),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("__i"),
-        hexs.alias("__hx"),
-        F.floor(n / n_frames).alias("__step"),
-    )
-    return frames.select(
-        "doc_id",
-        F.col("__i").cast("int").alias("frame_idx"),
-        _byte_at(F.col("__hx"), F.col("__i") * F.col("__step")).alias(
-            "frame_checksum"
+    step = F.floor(n / n_frames)
+    checksums = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            lambda i: F.element_at(bs, (i * step + 1).cast("int")),
         ),
+    ).otherwise(F.array().cast("array<long>"))
+    return src.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(checksums).alias("frame_idx", "frame_checksum"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "frame_checksum",
     )
 
 
@@ -509,37 +509,39 @@ def audio_windows(
     samples; a real frontend computes per-window spectral energies and
     quantizes those — identical downstream machinery.
 
-    Narrow 1→N: explode over window starts, one Horner fold per window
-    (constant-size codegen at any window width).
+    Narrow 1→N: all of a doc's fingerprints are computed in one
+    transform-of-Horner-folds over the byte array (constant-size
+    codegen at any window width), then ``posexplode`` emits window
+    rows — only the fp array replicates, never the payload. The input
+    is ``_spread`` first: fingerprinting is CPU-bound per row and a
+    small parquet arrives as one partition.
     """
-    src = _payload_hex(df, payload_col, id_col)
-    hexs, n = F.col("__p.hx"), F.col("__p.n")
+    from .dedup import _spread
+
+    src = _payload_bytes(_spread(df), payload_col, id_col)
+    bs, n = F.col("__p.bs"), F.col("__p.n")
     width, stride = AUDIO_WINDOW_BYTES, AUDIO_STRIDE
     n_windows = F.floor((n - width) / stride) + 1
-    win = src.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.when(
-                n >= width,
-                F.sequence(F.lit(0).cast("long"), n_windows - 1),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("t"),
-        hexs.alias("__hx"),
-    )
     # fp = Σⱼ nibbleⱼ·16ʲ as a Horner fold over j descending — the
     # plain-long accumulator shape (struct accumulators double the
     # generated lambda code; see phash_words).
-    fp = F.aggregate(
-        F.reverse(F.sequence(F.lit(0), F.lit(width - 1))),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc * 16
-        + F.shiftright(
-            _byte_at(F.col("__hx"), F.col("t") * stride + j), 4
+    fps = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_windows - 1),
+            lambda t: F.aggregate(
+                F.reverse(F.sequence(F.lit(0), F.lit(width - 1))),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 16
+                + F.shiftright(
+                    F.element_at(bs, (t * stride + j + 1).cast("int")), 4
+                ),
+            ),
         ),
-    )
-    return win.select(
-        "doc_id", F.col("t").cast("bigint").alias("t"), fp.alias("fp")
-    )
+    ).otherwise(F.array().cast("array<long>"))
+    return src.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(fps).alias("t", "fp")
+    ).select("doc_id", F.col("t").cast("bigint").alias("t"), "fp")
 
 
 def audio_offset_matches(

@@ -194,6 +194,7 @@ HEADLINE = (
     "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",
+    "q_interval_overlap",
     "dedup_shared_spans",
     "dedup_span_excise",
     "ind_m49_dim",

@@ -19,9 +19,10 @@ from . import streaming_queries  # noqa: E402,F401
 # (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
 # temperature null-safe join, interpolate oracle NULL filter, the
 # winsorize/rfm adaptive swaps, and dedup_incremental behind the
-# compaction-lease hardening); (e) 8 of the 37 r5-evidence keys — the
+# compaction-lease hardening); (e) 7 of the 37 r5-evidence keys — the
 # indicator-model cohort — so the rolling retirement continues (the
-# remaining 29 r5 keys lead the round-9 rotation: ind_insert_ignore,
+# remaining 30 r5 keys lead the round-9 rotation: ind_dedup_first,
+# ind_insert_ignore,
 # ind_metadata_dedup, ind_value_stats,
 # ind_validate, q_events_daily,
 # q_asof_join, q_skew_salted_join, q_time_rollup, q_funnel_conversion,
@@ -33,10 +34,11 @@ from . import streaming_queries  # noqa: E402,F401
 # ind_indicator_format, ind_pipeline_e2e, q_range_join).
 # Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 8 — 6 keys
+    # (a) new in round 8 — 7 keys
     "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",
+    "q_interval_overlap",
     "dedup_shared_spans",
     "dedup_span_excise",
     "ind_m49_dim",
@@ -79,7 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_winsorize",
     "q_rfm_segmentation",
     "dedup_incremental",
-    # (e) oldest r5 driver evidence — 8 indicator keys fill the window
+    # (e) oldest r5 driver evidence — 7 indicator keys fill the window
     "ind_standardize",
     "ind_observation_view",
     "ind_combine_dimensions",
@@ -87,7 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_country_map",
     "ind_country_filter",
     "ind_year_filter",
-    "ind_dedup_first",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -1973,3 +1973,79 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(w_prev).cast("double"), 6
         ).alias("prob"),
     )
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                              ts) AS BIGINT) AS s
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    a AS (
+        SELECT event_id, s AS start_a, s + (event_id % 5 + 1) * 60 AS end_a
+        FROM base WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT event_id, s AS start_b, s + (event_id % 7 + 1) * 60 AS end_b
+        FROM base WHERE event_type = 'click'
+    )
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           greatest(start_a, start_b) AS overlap_start,
+           least(end_a, end_b) - greatest(start_a, start_b)
+               AS overlap_seconds
+    FROM a JOIN b
+      ON start_a <= end_b AND start_b <= end_a
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equality key — the join Spark's
+    optimizer can only plan as a nested-loop cross product. Purchase
+    activity windows ([ts, ts + 1–5 min], deterministic per-event
+    length) are matched against click windows ([ts, ts + 1–7 min])
+    wherever the closed intervals overlap, via
+    ``operators.intervals.interval_overlap_join``: each interval
+    replicates onto the 4-minute time bins it spans, the join is a
+    plain shuffled equi-join on the bin id, and each pair is emitted
+    exactly once from the bin containing ``greatest(start_a,
+    start_b)`` — candidate volume tracks temporal density, never n·m.
+    The oracle runs the naive inequality join (DuckDB plans it as an
+    IEJoin).
+
+    Timestamps reduce to epoch seconds RELATIVE to a fixed literal —
+    a same-session-TZ difference, portable across engines and physical
+    timestamp types. Closed-interval semantics: touching endpoints
+    count (overlap_seconds = 0).
+    """
+    from ..operators.intervals import interval_overlap_join
+    from ..sources import read_table as _rt
+
+    events = _rt(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    s = (
+        F.unix_timestamp(F.col("ts")) - F.unix_timestamp(origin)
+    ).alias("s")
+    base = events.select("event_id", "event_type", s)
+    a = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("s").alias("start"),
+        (F.col("s") + (F.col("event_id") % 5 + 1) * 60).alias("end"),
+    )
+    b = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id"),
+        F.col("s").alias("start"),
+        (F.col("s") + (F.col("event_id") % 7 + 1) * 60).alias("end"),
+    )
+    pairs = interval_overlap_join(a, b, bin_width=240)
+    return pairs.select(
+        F.col("event_id_a").alias("event_a"),
+        F.col("event_id_b").alias("event_b"),
+        F.greatest("start_a", "start_b").alias("overlap_start"),
+        (
+            F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+        ).alias("overlap_seconds"),
+    )

@@ -91,6 +91,10 @@ PROBES = {
     # (each replica matching its own clipped variant), not K².
     "mm_scene_cuts": ("documents",),
     "mm_audio_match": ("documents",),
+    # events replicas multiply temporal density K× at fixed span, so
+    # candidate pairs (and output) grow ~K²/K… measured to verify the
+    # bin join tracks density, not n·m
+    "q_interval_overlap": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

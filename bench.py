@@ -195,6 +195,8 @@ HEADLINE = (
     "mm_scene_cuts",
     "mm_audio_match",
     "q_interval_overlap",
+    "text_cdc_chunks",
+    "dedup_cdc_chunks",
     "dedup_shared_spans",
     "dedup_span_excise",
     "ind_m49_dim",

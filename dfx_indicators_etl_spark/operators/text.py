@@ -28,8 +28,14 @@ __all__ = [
     "bigram_logprob",
     "pmi_bigrams",
     "char_entropy",
+    "cdc_chunks",
+    "cdc_chunk_pairs",
     "STOPWORDS",
     "LANG_MARKERS",
+    "CDC_WINDOW",
+    "CDC_BASE",
+    "CDC_MOD",
+    "CDC_POWS",
 ]
 
 # Word-ish / punctuation pattern — a BPE-style pre-tokenizer split.
@@ -732,4 +738,151 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         exploded.groupBy("doc_id")
         .agg((F.sum(contrib) % FP_MOD).cast("bigint").alias("fingerprint"))
+    )
+
+
+# Content-defined chunking (CDC): boundaries are a pure LOCAL property
+# of the text — position i ends a chunk when the rolling hash of the
+# CDC_WINDOW chars ending at i lands on 0 mod the divisor — so an
+# insertion near the front shifts every fixed-size chunk but CDC
+# boundaries re-synchronize at the next hash hit. That shift-robustness
+# is why dedup storage systems (LBFS, Venti, restic/borg) and
+# training-corpus pipelines chunk this way. Gear/FastCDC swap in a
+# cheaper rolling hash; the plan shape is identical.
+CDC_WINDOW = 8
+CDC_BASE = 257
+CDC_MOD = 1 << 25  # max term 121·2²⁵ ≈ 2³², 8-term sum ≈ 2³⁵ — int64-safe
+CDC_POWS = tuple(pow(CDC_BASE, j, CDC_MOD) for j in range(CDC_WINDOW))
+
+
+def _cdc_hash(codes: Column, i: Column) -> Column:
+    """Polynomial hash of the CDC_WINDOW codepoints ending at 1-based
+    position ``i``: (Σⱼ code[i−W+1+j] · BASEʲ mod M) mod M. An inlined
+    8-term sum (constant-size codegen), identical in ANSI SQL."""
+    total = F.lit(0).cast("long")
+    for j, p in enumerate(CDC_POWS):
+        total = total + F.element_at(
+            codes, (i - CDC_WINDOW + 1 + j).cast("int")
+        ) * F.lit(p)
+    return total % CDC_MOD
+
+
+def cdc_chunks(
+    df: DataFrame,
+    divisor: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunk table: (doc_id, chunk_idx, chunk_start
+    0-based, chunk_len, chunk_sha). Expected chunk length ≈ divisor
+    chars; documents shorter than the hash window are one whole-doc
+    chunk; empty documents emit nothing.
+
+    One shuffle-free narrow pass: per doc, the codepoint array is
+    built once, boundary positions fall out of a filter over candidate
+    positions, and the chunk structs (offsets + sha256) are assembled
+    doc-side so only the small chunk array replicates through the
+    ``posexplode`` — the corpus text never fans out 1-per-chunk. At
+    100 TB this is embarrassingly parallel; downstream consumers join
+    or aggregate on ``chunk_sha``.
+    """
+    from .dedup import _spread
+
+    n = F.col("__n")
+    codes = F.col("__codes")
+    src = _spread(df.filter(F.length(text_col) > 0)).select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("__n"),
+        F.transform(
+            F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
+        ).alias("__codes"),
+    )
+    bounds = F.filter(
+        F.when(
+            n >= CDC_WINDOW,
+            F.sequence(F.lit(CDC_WINDOW).cast("long"), n),
+        ).otherwise(F.array().cast("array<long>")),
+        lambda i: _cdc_hash(codes, i) % divisor == 0,
+    )
+    ends = F.array_sort(F.array_distinct(F.concat(bounds, F.array(n))))
+    chunks = F.transform(
+        ends,
+        lambda e, k: F.struct(
+            k.cast("int").alias("idx"),
+            F.when(k == 0, F.lit(0).cast("long"))
+            .otherwise(F.element_at(F.col("__ends"), k.cast("int")))
+            .alias("start"),
+            e.alias("end"),
+        ),
+    )
+    doc_chunks = (
+        src.withColumn("__ends", ends)
+        .select(id_col, "__t", F.explode(chunks).alias("__c"))
+    )
+    start, end = F.col("__c.start"), F.col("__c.end")
+    piece = F.expr("substring(__t, CAST(__c.start AS INT) + 1, CAST(__c.end - __c.start AS INT))")
+    return doc_chunks.select(
+        id_col,
+        F.col("__c.idx").alias("chunk_idx"),
+        start.alias("chunk_start"),
+        (end - start).alias("chunk_len"),
+        F.sha2(piece, 256).alias("chunk_sha"),
+    )
+
+
+def cdc_chunk_pairs(
+    df: DataFrame,
+    min_containment: float = 0.4,
+    divisor: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chunk_freq: int | None = 500,
+) -> DataFrame:
+    """Document pairs sharing CDC chunks: (doc_a, doc_b, n_shared,
+    containment) with containment = |shared| / min(|A|, |B|) ≥ the
+    threshold — chunk-level dedup that survives prefix insertions and
+    edits, which fixed-offset chunk comparison cannot.
+
+    Inverted-index plan (the dedup.py shape): distinct (doc, chunk_sha)
+    → per-sha frequency cap (boilerplate chunks shared by everyone
+    would create c² join rows) → self-join on sha → per-pair counts.
+    """
+    tab = (
+        cdc_chunks(df, divisor=divisor, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("doc_id"), "chunk_sha")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_chunk_freq is not None:
+        ok = (
+            tab.groupBy("chunk_sha")
+            .count()
+            .filter(F.col("count") <= max_chunk_freq)
+            .select("chunk_sha")
+        )
+        tab = tab.join(ok, "chunk_sha", "left_semi")
+    sizes = tab.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    left = tab.select(F.col("doc_id").alias("doc_a"), "chunk_sha")
+    right = tab.select(F.col("doc_id").alias("doc_b"), "chunk_sha")
+    shared = (
+        left.join(right, "chunk_sha")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    containment = F.round(
+        F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_shared", containment.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
     )

@@ -2102,3 +2102,126 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, weight_col="n_chars", key_col="doc_id", n=20,
         group_cols=["lang"],
     ).select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"), "priority")
+
+
+def _cdc_boundary_sql(divisor: int = 32) -> str:
+    """DuckDB predicate deciding whether 1-based position ``i`` ends a
+    CDC chunk — the same 8-term polynomial the Spark operator inlines
+    (``operators.text._cdc_hash``), built from the same constants."""
+    terms = " + ".join(
+        f"CAST(ascii(text[CAST(i - {text.CDC_WINDOW - 1 - j} AS INT)])"
+        f" AS BIGINT) * {p}"
+        for j, p in enumerate(text.CDC_POWS)
+    )
+    return f"({terms}) % {text.CDC_MOD} % {divisor} = 0"
+
+
+def _cdc_chunk_sql(corpus_cte: str, divisor: int = 32) -> str:
+    """Chunk-table SQL over a named corpus CTE with (doc_id, text)."""
+    return f"""
+    d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM {corpus_cte} WHERE length(text) > 0
+    ),
+    b AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS e
+        FROM d, LATERAL unnest(range({text.CDC_WINDOW}, n + 1)) t(i)
+        WHERE {_cdc_boundary_sql(divisor)}
+        UNION
+        SELECT doc_id, n FROM d
+    ),
+    s AS (
+        SELECT doc_id, e AS chunk_end,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+                   AS chunk_start,
+               row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+                   AS chunk_idx
+        FROM b
+    ),
+    chunks AS (
+        SELECT s.doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_start AS BIGINT) AS chunk_start,
+               CAST(chunk_end - chunk_start AS BIGINT) AS chunk_len,
+               sha256(substr(text, CAST(chunk_start + 1 AS INT),
+                             CAST(chunk_end - chunk_start AS INT)))
+                   AS chunk_sha
+        FROM s JOIN d USING (doc_id)
+    )
+    """
+
+
+@query(
+    "text_cdc_chunks",
+    oracle="WITH "
+    + _cdc_chunk_sql("documents")
+    + "SELECT * FROM chunks",
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (``operators.text.cdc_chunks``):
+    boundaries where the rolling 8-char polynomial hash hits 0 mod 32,
+    so chunk edges are a local content property and re-synchronize
+    after insertions — the storage-dedup primitive fixed-size chunking
+    can't provide. One shuffle-free narrow pass; the FULL value oracle
+    replays the hash, boundary set, offsets, and per-chunk sha256."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text.cdc_chunks(docs)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               repeat('x', CAST(doc_id % 17 + 3 AS INT)) || ' ' || text
+        FROM documents
+    ),
+    """
+    + _cdc_chunk_sql("corpus")
+    + """,
+    tab AS (SELECT DISTINCT doc_id, chunk_sha FROM chunks),
+    ok AS (
+        SELECT chunk_sha FROM tab GROUP BY chunk_sha
+        HAVING COUNT(*) <= 500
+    ),
+    capped AS (SELECT tab.* FROM tab JOIN ok USING (chunk_sha)),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_chunks FROM capped GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.chunk_sha = b.chunk_sha AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / CAST(least(sa.n_chunks, sb.n_chunks) AS DOUBLE),
+                 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / CAST(least(sa.n_chunks, sb.n_chunks) AS DOUBLE)
+          >= 0.4
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over CDC chunks
+    (``operators.text.cdc_chunk_pairs``): pairs sharing enough content
+    chunks, containment = |shared| / min(|A|, |B|). The demo corpus
+    pairs every document with a variant carrying a PER-DOC-LENGTH
+    prefix insertion — exactly the edit that defeats fixed-offset
+    chunk comparison; CDC boundaries re-sync at the first hash hit, so
+    originals and variants still share nearly all chunks. Same
+    freq-capped inverted-index plan as the n-gram dedup family."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("repeat('x', CAST(doc_id % 17 + 3 AS INT))"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return text.cdc_chunk_pairs(docs.unionByName(variants))

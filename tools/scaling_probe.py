@@ -95,6 +95,10 @@ PROBES = {
     # candidate pairs (and output) grow ~K²/K… measured to verify the
     # bin join tracks density, not n·m
     "q_interval_overlap": ("events",),
+    # CDC chunking is a narrow per-doc pass (linear bound); the pair
+    # key adds the freq-capped chunk_sha inverted index
+    "text_cdc_chunks": ("documents",),
+    "dedup_cdc_chunks": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

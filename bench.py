@@ -194,6 +194,7 @@ HEADLINE = (
     "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",
+    "mm_video_dedup",
     "q_interval_overlap",
     "text_cdc_chunks",
     "dedup_cdc_chunks",

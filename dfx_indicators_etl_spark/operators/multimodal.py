@@ -28,6 +28,8 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "scene_cuts",
+    "video_shingles",
+    "video_dedup_pairs",
     "DECODE_SCHEMA",
     "RESIZE_SCHEMA",
     "FRAME_SCHEMA",
@@ -593,4 +595,123 @@ def audio_offset_matches(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
         .filter(F.col("votes") >= min_votes)
+    )
+
+
+# Video delta-shingle geometry: 3 consecutive frame-to-frame checksum
+# DELTAS pack into one shingle (each delta ∈ [-255, 255], offset +256 →
+# 9 bits, 3 fields → 27-bit keys). Deltas, not absolute checksums:
+# a uniform brightness/level shift moves every frame checksum by the
+# same amount and cancels in the differences — the invariance property
+# absolute-value signatures (phash words, raw checksums) don't have.
+VIDEO_SHINGLE_FRAMES = 3
+DEFAULT_MAX_VIDEO_SHINGLE_FREQ = 500
+
+
+def video_shingles(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows: 3-delta shingles over the fake
+    codec's frame-checksum sequence. Videos with fewer than 5 frames
+    (< 4 deltas… < 3 usable) emit nothing.
+
+    Everything is computed doc-side from the payload byte array —
+    checksums, deltas, shingle packing — in one narrow codegen pass;
+    only the ≤26-long shingle array replicates through the explode.
+    A real pipeline swaps per-frame luminance histograms in for the
+    checksum; the delta/shingle machinery is unchanged.
+    """
+    from .dedup import _spread
+
+    src = _payload_bytes(_spread(df), payload_col, id_col)
+    bs, n = F.col("__p.bs"), F.col("__p.n")
+    n_frames = n % 30 + 1
+    step = F.floor(n / n_frames)
+    # deltas straight off the byte array — ONE nesting level. An
+    # intermediate checksums array would be re-evaluated wholesale by
+    # every element_at that references it (array expressions inline,
+    # the in-projection analog of the CollapseProject hazard: measured
+    # 40 s vs 2 s at sf0.1 for the three-level version).
+    deltas = F.transform(
+        F.sequence(F.lit(1).cast("long"), n_frames - 1),
+        lambda i: F.element_at(bs, (i * step + 1).cast("int"))
+        - F.element_at(bs, ((i - 1) * step + 1).cast("int")),
+    )
+    # second Generate barrier: materialize the delta array before the
+    # shingle transform indexes into it 3× per element
+    staged = src.filter(n > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(F.struct(deltas.alias("ds")))).alias("__d"),
+    )
+    ds = F.col("__d.ds")
+    k = VIDEO_SHINGLE_FRAMES
+    shingles = F.when(
+        F.size(ds) >= k,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.size(ds).cast("long") - k),
+            lambda t: (
+                (F.element_at(ds, (t + 1).cast("int")) + 256) * 262144
+                + (F.element_at(ds, (t + 2).cast("int")) + 256) * 512
+                + (F.element_at(ds, (t + 3).cast("int")) + 256)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).distinct()
+
+
+def video_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = DEFAULT_MAX_VIDEO_SHINGLE_FREQ,
+) -> DataFrame:
+    """Video near-duplicate pairs by Jaccard over delta shingles —
+    content-based video copy detection, robust to uniform level shifts
+    (re-encodes under the fake codec). Emits (doc_a, doc_b, jaccard ≥
+    threshold), doc_a < doc_b.
+
+    Same freq-capped inverted-index plan as the n-gram text dedup:
+    distinct shingle table → hot-shingle cap (static scenes /
+    boilerplate intros) → equi-self-join → per-pair counts — candidate
+    volume is Σ c² over capped counts, never videos².
+    """
+    tab = video_shingles(df, payload_col, id_col).localCheckpoint(
+        eager=False
+    )
+    if max_shingle_freq is not None:
+        ok = (
+            tab.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        tab = tab.join(ok, "shingle", "left_semi")
+    sizes = tab.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = tab.select(F.col("doc_id").alias("doc_a"), "shingle")
+    right = tab.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -19,9 +19,10 @@ from . import streaming_queries  # noqa: E402,F401
 # (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
 # temperature null-safe join, interpolate oracle NULL filter, the
 # winsorize/rfm adaptive swaps, and dedup_incremental behind the
-# compaction-lease hardening); (e) 5 of the 37 r5-evidence keys — the
+# compaction-lease hardening); (e) 4 of the 37 r5-evidence keys — the
 # indicator-model cohort — so the rolling retirement continues (the
-# remaining 32 r5 keys lead the round-9 rotation: ind_country_filter,
+# remaining 33 r5 keys lead the round-9 rotation: ind_country_map,
+# ind_country_filter,
 # ind_year_filter, ind_dedup_first,
 # ind_insert_ignore,
 # ind_metadata_dedup, ind_value_stats,
@@ -35,10 +36,11 @@ from . import streaming_queries  # noqa: E402,F401
 # ind_indicator_format, ind_pipeline_e2e, q_range_join).
 # Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 8 — 9 keys
+    # (a) new in round 8 — 10 keys
     "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",
+    "mm_video_dedup",
     "q_interval_overlap",
     "text_cdc_chunks",
     "dedup_cdc_chunks",
@@ -84,12 +86,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_winsorize",
     "q_rfm_segmentation",
     "dedup_incremental",
-    # (e) oldest r5 driver evidence — 5 indicator keys fill the window
+    # (e) oldest r5 driver evidence — 4 indicator keys fill the window
     "ind_standardize",
     "ind_observation_view",
     "ind_combine_dimensions",
     "ind_melt",
-    "ind_country_map",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -2225,3 +2225,96 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.cdc_chunk_pairs(docs.unionByName(variants))
+
+
+# Brightness-shift "re-encode" for the video-dedup demo: every
+# printable char maps one codepoint up (32…125 → 33…126) — a uniform
+# +1 on every payload byte, the fake-codec analog of a level/gamma
+# shift. Identical translate() alphabets feed Spark and the oracle.
+_SHIFT_FROM = "".join(chr(c) for c in range(32, 126))
+_SHIFT_TO = "".join(chr(c + 1) for c in range(32, 126))
+
+
+def _video_dedup_oracle() -> str:
+    """DuckDB twin of ``multimodal.video_dedup_pairs`` over the
+    original ∪ brightness-shifted corpus: replays frames, deltas,
+    27-bit shingle packing, the hot-shingle cap, and Jaccard."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               translate(text, '{esc(_SHIFT_FROM)}', '{esc(_SHIFT_TO)}')
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 30 + 1 AS n_frames
+        FROM corpus WHERE length(text) > 0
+    ),
+    fr AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST(ascii(text[CAST(i * (n // n_frames) AS INT) + 1])
+                    AS BIGINT) AS cs,
+               n_frames
+        FROM meta, LATERAL unnest(range(0, n_frames)) t(i)
+    ),
+    de AS (
+        SELECT doc_id, i,
+               cs - lag(cs) OVER (PARTITION BY doc_id ORDER BY i) AS d,
+               n_frames
+        FROM fr
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               (d1 + 256) * 262144 + (d2 + 256) * 512 + (d3 + 256)
+                   AS shingle
+        FROM (
+            SELECT doc_id, d AS d1,
+                   lead(d, 1) OVER w AS d2, lead(d, 2) OVER w AS d3
+            FROM de WHERE d IS NOT NULL
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        )
+        WHERE d2 IS NOT NULL AND d3 IS NOT NULL
+    ),
+    ok AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 500
+    ),
+    capped AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) /
+               CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) /
+              CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.8
+    """
+
+
+@query("mm_video_dedup", oracle=_video_dedup_oracle())
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based video copy detection
+    (``operators.multimodal.video_dedup_pairs``): Jaccard over 3-frame
+    checksum-DELTA shingles — deltas cancel uniform level shifts, so
+    the demo's brightness-shifted re-encodes (translate, +1 on every
+    payload byte) match their originals at jaccard 1.0 even though
+    every absolute signature (phash words, raw checksums) differs.
+    Freq-capped inverted-index plan, same shape as the n-gram text
+    dedup; FULL value oracle replays frames → deltas → 27-bit shingles
+    → cap → Jaccard."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.translate(F.col("text"), _SHIFT_FROM, _SHIFT_TO).alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    return multimodal.video_dedup_pairs(corpus, threshold=0.8)

@@ -99,6 +99,7 @@ PROBES = {
     # key adds the freq-capped chunk_sha inverted index
     "text_cdc_chunks": ("documents",),
     "dedup_cdc_chunks": ("documents",),
+    "mm_video_dedup": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

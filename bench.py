@@ -201,6 +201,7 @@ HEADLINE = (
     "dedup_shared_spans",
     "dedup_span_excise",
     "ind_m49_dim",
+    "sink_bucketed_join",
 )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .. import streaming
 from ..sources import read_csv, read_jsonl, read_table, sinks
 from .llmdata import _MH_BANDS, _MH_MINS, _PORTABLE_HASHES_SQL
+from .numeric import dec
 from .registry import query
 
 
@@ -709,3 +710,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # headroom so a loaded machine doesn't flip a correct plan to a
     # spurious TimeoutError.
     return streaming.run_available_now(joined, output_mode="append", timeout_sec=300)
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §4 fact–fact join strategy, demonstrated end-to-end: both
+    fact tables land as bucketed managed tables
+    (``sinks.write_bucketed_table``, same key, same bucket count), and
+    the revenue join over the READ-BACK runs bucket-local — broadcast
+    disabled to force the at-scale regime, and the executed plan is
+    asserted Exchange-free on both join inputs (the assertion a 100 TB
+    job lives or dies by; tests/test_streaming_sinks.py pins the same
+    property independently). The oracle joins the raw parquet, so the
+    equality also proves the bucketed round-trip lost nothing.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    sinks.write_bucketed_table(
+        orders, "t_bj_orders", ("o_orderkey",), num_buckets=8
+    )
+    sinks.write_bucketed_table(
+        lineitem, "t_bj_lineitem", ("l_orderkey",), num_buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bj_lineitem").join(
+            spark.table("t_bj_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        revenue = (
+            dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        ).cast("decimal(18,4)")
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin", 1)[-1]
+        if "Exchange" in join_part:
+            raise AssertionError(
+                "bucketed fact-fact join gained a shuffle Exchange"
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bj_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bj_lineitem")

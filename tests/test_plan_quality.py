@@ -81,6 +81,13 @@ JVM_ONLY = [
     "ind_series_export",
     "q_event_transitions",
     "ind_changepoint_cusum",
+    # round-8 additions — codegen AV analytics, CDC, interval join
+    "mm_scene_cuts",
+    "mm_audio_match",
+    "mm_video_dedup",
+    "q_interval_overlap",
+    "text_cdc_chunks",
+    "dedup_cdc_chunks",
 ]
 
 

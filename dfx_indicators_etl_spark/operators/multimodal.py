@@ -182,11 +182,9 @@ def phash_words(
     downsampled luma here — swapping it in changes none of the
     banding/Hamming machinery downstream). Bit i is
     ``gray_i > mean(gray)`` — the aHash rule. Everything is integer
-    arithmetic over ``hex(payload)`` slices, pure JVM codegen
-    (no Python), and bit-identically replayable in SQL: byte k of the
-    payload is hex chars [2k−1, 2k], and the '00' pad only ever serves
-    the empty payload. NULL payloads hash like empty ones (all-zero
-    grid → hash 0).
+    arithmetic over the shared ``_payload_bytes`` byte array, pure JVM
+    codegen (no Python), and bit-identically replayable in SQL. NULL
+    payloads hash like empty ones (all-zero grid → hash 0).
 
     Narrow, shuffle-free: one projection over the corpus scan. The hex
     string is materialized through a 1-element ``explode`` first —
@@ -196,44 +194,33 @@ def phash_words(
     ``similarity.int8_quantization_audit``'s scale subtree, fixed with
     the same Generate barrier).
     """
-    payload = F.col(payload_col)
-    src = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.concat(
-                        F.coalesce(F.hex(payload), F.lit("")), F.lit("00")
-                    ).alias("hx"),
-                    F.coalesce(
-                        F.length(payload).cast("long"), F.lit(0).cast("long")
-                    ).alias("n"),
-                )
-            )
-        ).alias("__ph"),
-    )
-    hexs = F.col("__ph.hx")
-    n = F.col("__ph.n")
+    from .dedup import _spread
+
+    src = _payload_bytes(_spread(df), payload_col, id_col)
+    bs = F.col("__p.bs")
+    n = F.col("__p.n")
     # One TRANSFORM instead of 128 unrolled extraction expressions:
     # the unrolled form generated a >20k-line codegen method, janino
     # refused to compile it, and the whole projection fell back to
     # interpreted evaluation (~2.5× wall). A higher-order transform is
     # a runtime loop — constant-size generated code at any PHASH_BITS.
-    grays = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.lit(PHASH_BITS - 1).cast("long")),
-        lambda i: F.coalesce(
-            F.conv(
-                hexs.substr(
-                    (
-                        (F.floor(i * n / F.lit(PHASH_BITS)) + 1) * 2 - 1
-                    ).cast("int"),
-                    F.lit(2),
-                ),
-                16,
-                10,
+    # Grid samples read the shared byte array (O(1) element_at; the
+    # prior hex-substr form was an O(position) scan per sample —
+    # measured ~3× on this operator at sf0.1). Empty/NULL payloads
+    # take the all-zero grid explicitly: element_at never evaluates
+    # out of bounds, so the expression is ANSI-safe.
+    grays = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(PHASH_BITS - 1).cast("long")
+            ),
+            lambda i: F.element_at(
+                bs, (F.floor(i * n / F.lit(PHASH_BITS)) + 1).cast("int")
             ).cast("int"),
-            F.lit(0),
         ),
+    ).otherwise(
+        F.array_repeat(F.lit(0).cast("int"), PHASH_BITS)
     )
     # Second barrier: every aHash bit compares one gray against the
     # whole-grid MEAN — inlined, the grid would re-extract per word.

@@ -806,20 +806,28 @@ def cdc_chunks(
         lambda i: _cdc_hash(codes, i) % divisor == 0,
     )
     ends = F.array_sort(F.array_distinct(F.concat(bounds, F.array(n))))
+    # Generate barrier before the chunk transform indexes into the
+    # boundary array: element_at over a derived array re-evaluates the
+    # whole upstream expression per element (SURVEY §4, measured on
+    # mm_video_dedup) — here that would re-run the full boundary-hash
+    # filter once per chunk.
+    staged = src.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(F.array(F.struct(ends.alias("ends")))).alias("__e"),
+    )
+    materialized = F.col("__e.ends")
     chunks = F.transform(
-        ends,
+        materialized,
         lambda e, k: F.struct(
             k.cast("int").alias("idx"),
             F.when(k == 0, F.lit(0).cast("long"))
-            .otherwise(F.element_at(F.col("__ends"), k.cast("int")))
+            .otherwise(F.element_at(materialized, k.cast("int")))
             .alias("start"),
             e.alias("end"),
         ),
     )
-    doc_chunks = (
-        src.withColumn("__ends", ends)
-        .select(id_col, "__t", F.explode(chunks).alias("__c"))
-    )
+    doc_chunks = staged.select(id_col, "__t", F.explode(chunks).alias("__c"))
     start, end = F.col("__c.start"), F.col("__c.end")
     piece = F.expr("substring(__t, CAST(__c.start AS INT) + 1, CAST(__c.end - __c.start AS INT))")
     return doc_chunks.select(

@@ -202,6 +202,8 @@ HEADLINE = (
     "dedup_span_excise",
     "ind_m49_dim",
     "sink_bucketed_join",
+    "q_market_basket",
+    "ind_seasonal_index",
 )
 
 

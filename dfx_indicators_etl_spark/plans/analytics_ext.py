@@ -2049,3 +2049,96 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
         ).alias("overlap_seconds"),
     )
+
+
+@query(
+    "q_market_basket",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM baskets),
+    item_counts AS (
+        SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+    ),
+    pair_counts AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, n_both,
+           round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support,
+           round(CAST(n_both AS DOUBLE) * n_baskets /
+                 (CAST(ca.n_item AS DOUBLE) * cb.n_item), 6) AS lift
+    FROM pair_counts, n
+    JOIN item_counts ca ON ca.item = item_a
+    JOIN item_counts cb ON cb.item = item_b
+    WHERE n_both >= 5
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence analysis (association-rule mining's
+    counting core): brand pairs bought in the same order, with support
+    and lift. Plan: distinct (basket, item) via one broadcast dim join,
+    basket-local self-join (co-partitioned on the basket key; pair
+    volume is Σ items-per-basket², naturally capped by order width —
+    a monster basket would take the dedup-family frequency cap),
+    combinable pair/item counts, basket total as an in-plan 1-row
+    broadcast scalar — no collect anywhere.
+    """
+    from ..sources import read_table as _rt
+
+    li = _rt(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _rt(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = baskets.select(
+        F.count_distinct("basket").alias("n_baskets")
+    )
+    item_counts = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = baskets.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

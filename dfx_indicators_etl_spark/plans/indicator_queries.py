@@ -1202,3 +1202,63 @@ def ind_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
         F.round(F.abs(F.col("cusum")), 6).alias("magnitude"),
     )
+
+
+@query(
+    "ind_seasonal_index",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type AS indicator_name,
+               isodow(ts) AS dow,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_dow AS (
+        SELECT indicator_name, dow,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS d_mean
+        FROM obs GROUP BY indicator_name, dow
+    ),
+    grand AS (
+        SELECT indicator_name,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS g_mean
+        FROM obs GROUP BY indicator_name
+    )
+    SELECT p.indicator_name, CAST(p.dow AS INT) AS dow, p.n_obs,
+           round(p.d_mean / g.g_mean, 6) AS seasonal_index
+    FROM per_dow p JOIN grand g USING (indicator_name)
+    """,
+)
+def ind_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal index per indicator series:
+    period mean over the series' grand mean — the
+    ratio-to-average shortcut every statistical office applies before
+    deseasonalizing (X-13's opening move). The period is day-of-week
+    (ISO, Mon=1) because the events corpus spans one month — a yearly
+    series swaps in month(ts) unchanged. Two combinable decimal-sum
+    aggregations joined on the series key (grand means are
+    series-cardinality, broadcast); the quotient stays in doubles —
+    decimal sums make both means exact, and the IEEE divisions are
+    engine-identical (never re-cast a quotient to DECIMAL — the
+    two-level-aggregate tie hazard)."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    obs = events.select(
+        F.col("event_type").alias("indicator_name"),
+        (F.weekday("ts") + 1).alias("dow"),
+        dec("value").alias("v"),
+    )
+    per_dow = obs.groupBy("indicator_name", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("d_mean"),
+    )
+    grand = obs.groupBy("indicator_name").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    )
+    return per_dow.join(F.broadcast(grand), "indicator_name").select(
+        "indicator_name",
+        F.col("dow").cast("int").alias("dow"),
+        "n_obs",
+        F.round(F.col("d_mean") / F.col("g_mean"), 6).alias("seasonal_index"),
+    )

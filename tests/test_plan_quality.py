@@ -88,6 +88,8 @@ JVM_ONLY = [
     "q_interval_overlap",
     "text_cdc_chunks",
     "dedup_cdc_chunks",
+    "q_market_basket",
+    "ind_seasonal_index",
 ]
 
 

@@ -100,6 +100,9 @@ PROBES = {
     "text_cdc_chunks": ("documents",),
     "dedup_cdc_chunks": ("documents",),
     "mm_video_dedup": ("documents",),
+    # basket self-join volume is per-basket-width-bounded; replicas
+    # add K× baskets of the same width
+    "q_market_basket": ("lineitem",),
 }
 
 # per-table key columns to offset per replica — join keys offset

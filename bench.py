@@ -204,6 +204,7 @@ HEADLINE = (
     "sink_bucketed_join",
     "q_market_basket",
     "ind_seasonal_index",
+    "dedup_cdc_excise",
 )
 
 

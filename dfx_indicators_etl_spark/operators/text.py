@@ -30,6 +30,7 @@ __all__ = [
     "char_entropy",
     "cdc_chunks",
     "cdc_chunk_pairs",
+    "cdc_excise",
     "STOPWORDS",
     "LANG_MARKERS",
     "CDC_WINDOW",
@@ -893,4 +894,70 @@ def cdc_chunk_pairs(
         )
         .select("doc_a", "doc_b", "n_shared", containment.alias("containment"))
         .filter(F.col("containment") >= min_containment)
+    )
+
+
+def cdc_excise(
+    df: DataFrame,
+    divisor: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level dedup excision: every CDC chunk whose content
+    (sha256) already occurred EARLIER in the corpus — ordered by
+    (doc_id, chunk_start), the deterministic twin of
+    ``dedup.excise_shared_spans``'s first-occurrence rule — is removed,
+    and each affected document is re-assembled from its kept chunks.
+    Emits only affected docs: (doc_id, n_removed, new_len, new_sha),
+    patch-sized output; a fully-duplicated doc empties out
+    (new_sha = sha256('')) rather than disappearing.
+
+    Plan: chunk table (one narrow pass) → first-occurrence rank, a
+    window partitioned BY CHUNK SHA (corpus-wide cardinality, tiny
+    partitions — hot shas are exactly the duplicates being excised,
+    bounded per sha by the corpus's true duplication) → per-doc ordered
+    re-assembly via sort_array(collect_list(struct(start, piece)))
+    (the deterministic ordered-agg pattern of ``ind_series_export``;
+    kept text moves through the shuffle once, bounded by doc length).
+    """
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(df, divisor=divisor, text_col=text_col, id_col=id_col)
+    docs = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    w = Window.partitionBy("chunk_sha").orderBy(id_col, "chunk_start")
+    ranked = chunks.withColumn("__rk", F.row_number().over(w))
+    flagged = ranked.join(docs, id_col).select(
+        id_col,
+        "chunk_start",
+        (F.col("__rk") > 1).alias("__removed"),
+        F.expr(
+            "substring(__t, CAST(chunk_start AS INT) + 1,"
+            " CAST(chunk_len AS INT))"
+        ).alias("__piece"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.sum(F.col("__removed").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__removed"),
+                            F.struct(
+                                F.col("chunk_start").alias("s"),
+                                F.col("__piece").alias("p"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            "",
+        ).alias("__new"),
+    )
+    return rebuilt.filter(F.col("n_removed") > 0).select(
+        id_col,
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.length("__new").cast("bigint").alias("new_len"),
+        F.sha2(F.col("__new"), 256).alias("new_sha"),
     )

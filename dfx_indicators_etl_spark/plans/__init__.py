@@ -19,9 +19,10 @@ from . import streaming_queries  # noqa: E402,F401
 # (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
 # temperature null-safe join, interpolate oracle NULL filter, the
 # winsorize/rfm adaptive swaps, and dedup_incremental behind the
-# compaction-lease hardening); (e) 1 of the 37 r5-evidence keys — the
-# indicator-model cohort — so the rolling retirement continues (the
-# remaining 36 r5 keys lead the round-9 rotation: ind_observation_view,
+# compaction-lease hardening). The r5-evidence cohort retirement
+# defers entirely to round 9 — every slot went to first-stamp keys
+# (the 37 r5 keys lead the round-9 rotation: ind_standardize,
+# ind_observation_view,
 # ind_combine_dimensions, ind_melt,
 # ind_country_map,
 # ind_country_filter,
@@ -38,11 +39,12 @@ from . import streaming_queries  # noqa: E402,F401
 # ind_indicator_format, ind_pipeline_e2e, q_range_join).
 # Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 8 — 13 keys
+    # (a) new in round 8 — 14 keys
     "mm_phash_dedup",
     "sink_bucketed_join",
     "q_market_basket",
     "ind_seasonal_index",
+    "dedup_cdc_excise",
     "mm_scene_cuts",
     "mm_audio_match",
     "mm_video_dedup",
@@ -91,8 +93,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_winsorize",
     "q_rfm_segmentation",
     "dedup_incremental",
-    # (e) oldest r5 driver evidence — 1 indicator key fills the window
-    "ind_standardize",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -2318,3 +2318,66 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
     return multimodal.video_dedup_pairs(corpus, threshold=0.8)
+
+
+@query(
+    "dedup_cdc_excise",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               repeat('x', CAST(doc_id % 17 + 3 AS INT)) || ' ' || text
+        FROM documents
+    ),
+    """
+    + _cdc_chunk_sql("corpus")
+    + """,
+    r AS (
+        SELECT doc_id, chunk_start, chunk_len, chunk_sha,
+               row_number() OVER (PARTITION BY chunk_sha
+                                  ORDER BY doc_id, chunk_start) AS rk
+        FROM chunks
+    ),
+    f AS (
+        SELECT r.doc_id, chunk_start, rk > 1 AS removed,
+               substr(text, CAST(chunk_start + 1 AS INT),
+                      CAST(chunk_len AS INT)) AS piece
+        FROM r JOIN d USING (doc_id)
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT removed THEN piece END,
+                                   '' ORDER BY chunk_start), '')
+                   AS new_text
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_removed,
+           CAST(length(new_text) AS BIGINT) AS new_len,
+           sha256(new_text) AS new_sha
+    FROM g WHERE n_removed > 0
+    """,
+)
+def dedup_cdc_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup EXCISION (``operators.text.cdc_excise``):
+    every CDC chunk whose content already occurred earlier in the
+    corpus — (doc_id, chunk_start) order, the first-occurrence rule of
+    dedup_span_excise at chunk granularity — is removed and affected
+    docs re-assemble from their kept chunks (patch-sized output;
+    fully-duplicated docs empty out rather than disappear). Same demo
+    corpus as dedup_cdc_chunks: prefix-inserted variants lose their
+    post-resync duplicate chunks and keep roughly the prefix. FULL
+    value oracle replays ranking, excision, ordered re-assembly, and
+    the rebuilt docs' sha256."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("repeat('x', CAST(doc_id % 17 + 3 AS INT))"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return text.cdc_excise(docs.unionByName(variants))

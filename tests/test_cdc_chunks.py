@@ -115,3 +115,55 @@ def test_hot_chunk_cap(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert cdc_chunk_pairs(df, max_chunk_freq=4).count() == 0
     assert cdc_chunk_pairs(df, max_chunk_freq=None).count() == 10 * 9 // 2
+
+
+def test_cdc_excise_model(spark):
+    """First-occurrence excision against a hand-built corpus: a full
+    copy empties out, a prefixed variant keeps ~just the prefix, a
+    unique doc is absent from the (patch-sized) output."""
+    import random as _random
+
+    from dfx_indicators_etl_spark.operators.text import cdc_excise
+
+    rng = _random.Random(7)
+    base = " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "omega"])
+        for _ in range(150)
+    )
+    corpus = [
+        (1, base),            # first occurrence: untouched, not emitted
+        (2, base),            # full copy: every chunk removed, empties
+        (3, "zz " + base),    # prefix insert: post-resync chunks removed
+        (4, "totally unrelated content here"),  # unique: absent
+    ]
+
+    def chunks(s):
+        return _chunks_model(s)
+
+    # python model of the first-occurrence rule over (doc_id, start)
+    seen, model = set(), {}
+    for doc_id, s in corpus:
+        kept, removed = [], 0
+        for _idx, start, length, sha in chunks(s):
+            if sha in seen:
+                removed += 1
+            else:
+                seen.add(sha)
+                kept.append(s[start : start + length])
+        if removed:
+            new = "".join(kept)
+            model[doc_id] = (
+                removed,
+                len(new),
+                hashlib.sha256(new.encode()).hexdigest(),
+            )
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_removed"], r["new_len"], r["new_sha"])
+        for r in cdc_excise(df, divisor=DIVISOR).collect()
+    }
+    assert got == model
+    assert 1 not in got and 4 not in got
+    assert got[2][1] == 0  # full copy emptied out
+    assert 0 < got[3][1] < len("zz " + base)  # prefix survivor is partial

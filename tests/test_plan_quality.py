@@ -90,6 +90,7 @@ JVM_ONLY = [
     "dedup_cdc_chunks",
     "q_market_basket",
     "ind_seasonal_index",
+    "dedup_cdc_excise",
 ]
 
 

@@ -103,6 +103,7 @@ PROBES = {
     # basket self-join volume is per-basket-width-bounded; replicas
     # add K× baskets of the same width
     "q_market_basket": ("lineitem",),
+    "dedup_cdc_excise": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

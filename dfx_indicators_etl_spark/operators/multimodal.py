@@ -186,13 +186,14 @@ def phash_words(
     codegen (no Python), and bit-identically replayable in SQL. NULL
     payloads hash like empty ones (all-zero grid → hash 0).
 
-    Narrow, shuffle-free: one projection over the corpus scan. The hex
-    string is materialized through a 1-element ``explode`` first —
-    CollapseProject would otherwise inline ``hex(payload)`` into all 64
-    gray extractions (64× the string work per row; measured ~15× wall
-    on the sf0.1 corpus — the same expression-level hazard as
-    ``similarity.int8_quantization_audit``'s scale subtree, fixed with
-    the same Generate barrier).
+    Narrow, shuffle-free: one projection over the corpus scan. The
+    shared ``_payload_bytes`` byte ARRAY is materialized through a
+    1-element ``explode`` first — CollapseProject would otherwise
+    inline the payload decode into every gray extraction (the same
+    expression-level hazard as ``similarity.int8_quantization_audit``'s
+    scale subtree, fixed with the same Generate barrier); a second
+    barrier materializes the gray array + its sum before the per-word
+    bit folds.
     """
     from .dedup import _spread
 
@@ -621,11 +622,17 @@ def video_shingles(
     # every element_at that references it (array expressions inline,
     # the in-projection analog of the CollapseProject hazard: measured
     # 40 s vs 2 s at sf0.1 for the three-level version).
-    deltas = F.transform(
-        F.sequence(F.lit(1).cast("long"), n_frames - 1),
-        lambda i: F.element_at(bs, (i * step + 1).cast("int"))
-        - F.element_at(bs, ((i - 1) * step + 1).cast("int")),
-    )
+    # Guard the single-frame case: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0] — two bogus deltas, one via a negative element_at
+    # index), not empty. n_frames == 1 must yield zero deltas.
+    deltas = F.when(
+        n_frames > 1,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n_frames - 1),
+            lambda i: F.element_at(bs, (i * step + 1).cast("int"))
+            - F.element_at(bs, ((i - 1) * step + 1).cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     # second Generate barrier: materialize the delta array before the
     # shingle transform indexes into it 3× per element
     staged = src.filter(n > 0).select(

@@ -15,7 +15,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join", "histogram_percentiles", "REAGG"]
+__all__ = [
+    "salted_agg",
+    "salted_join",
+    "global_ntile",
+    "histogram_percentiles",
+    "REAGG",
+]
 
 # How each partial aggregate re-aggregates in phase 2.
 REAGG = {

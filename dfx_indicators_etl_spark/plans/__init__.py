@@ -11,88 +11,69 @@ from . import llmdata  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-8 rotation (VERDICT r7 #1): (a) the 4 NEW
-# round-8 keys (first driver evidence); (b) stream_minhash_dedup_banded,
-# whose round-7 oracle graduation was never driver-stamped (it was left
-# out of the r7 window); (c) ALL 29 keys whose latest driver evidence
-# is r4 — the entire oldest cohort, retiring r4 evidence completely;
-# (d) the 6 keys round 8 touched (knn vectorization + self-edge fix,
-# temperature null-safe join, interpolate oracle NULL filter, the
-# winsorize/rfm adaptive swaps, and dedup_incremental behind the
-# compaction-lease hardening). The r5-evidence cohort retirement
-# defers entirely to round 9 — every slot went to first-stamp keys
-# (the 37 r5 keys lead the round-9 rotation: ind_standardize,
-# ind_observation_view,
-# ind_combine_dimensions, ind_melt,
-# ind_country_map,
-# ind_country_filter,
-# ind_year_filter, ind_dedup_first,
-# ind_insert_ignore,
-# ind_metadata_dedup, ind_value_stats,
-# ind_validate, q_events_daily,
-# q_asof_join, q_skew_salted_join, q_time_rollup, q_funnel_conversion,
-# q_retention_cohort, q_session_window_native, q_custom_agg_geomean,
-# q_table_profile, q11_important_stock, text_tfidf, text_chunk,
-# text_pack_bins, emb_int8_quantize, stream_dedup, stream_sessionize,
-# sink_schema_evolution, sink_orc_roundtrip, q_approx_distinct,
-# q_approx_percentile, q_hll_sketch, q_triangle_count,
-# ind_indicator_format, ind_pipeline_e2e, q_range_join).
+# in insertion order. Round-9 rotation (VERDICT r8 #1): (a) the ENTIRE
+# 37-key r5-evidence cohort — the registry's oldest evidence, named as
+# the round-9 queue at round-8 close — so after this round no key's
+# driver evidence predates r6; (b) keys NEW in or TOUCHED by round 9
+# (the q_abc_analysis runtime-adaptive running-share swap, the
+# mm_video_dedup single-frame delta guard, and every new r9 key —
+# appended here as they land); (c) padding from the r6-evidence cohort
+# in registration order to keep the window at exactly 50.
 # Exactly 50 keys precede the boundary comment.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) new in round 8 — 14 keys
-    "mm_phash_dedup",
-    "sink_bucketed_join",
-    "q_market_basket",
-    "ind_seasonal_index",
-    "dedup_cdc_excise",
-    "mm_scene_cuts",
-    "mm_audio_match",
+    # (a) the full r5-evidence cohort — 37 keys
+    "ind_standardize",
+    "ind_observation_view",
+    "ind_combine_dimensions",
+    "ind_melt",
+    "ind_country_map",
+    "ind_country_filter",
+    "ind_year_filter",
+    "ind_dedup_first",
+    "ind_insert_ignore",
+    "ind_metadata_dedup",
+    "ind_value_stats",
+    "ind_validate",
+    "ind_indicator_format",
+    "ind_pipeline_e2e",
+    "q_events_daily",
+    "q_asof_join",
+    "q_range_join",
+    "q_time_rollup",
+    "q_skew_salted_join",
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_session_window_native",
+    "q_custom_agg_geomean",
+    "q_table_profile",
+    "q11_important_stock",
+    "q_triangle_count",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_hll_sketch",
+    "text_tfidf",
+    "text_chunk",
+    "text_pack_bins",
+    "emb_int8_quantize",
+    "stream_dedup",
+    "stream_sessionize",
+    "sink_schema_evolution",
+    "sink_orc_roundtrip",
+    # (b) new in / touched by round 9
+    "q_abc_analysis",
     "mm_video_dedup",
-    "q_interval_overlap",
-    "text_cdc_chunks",
-    "dedup_cdc_chunks",
-    "dedup_shared_spans",
-    "dedup_span_excise",
-    "ind_m49_dim",
-    # (b) r7-graduated oracle, never driver-stamped
-    "stream_minhash_dedup_banded",
-    # (c) the full r4-evidence cohort — 29 keys
-    "q10_returned_item",
-    "q_top_suppliers",
-    "q_unpivot",
-    "q_window_range",
-    "q_window_topk",
-    "q_pivot",
-    "q_rollup",
-    "q_semi_join",
-    "q_cube",
-    "q_distinct_agg",
-    "q_anti_join",
-    "q_union_dedup",
-    "q_orders_enriched",
-    "q_percentile",
-    "q_skew_salted_agg",
-    "q_sql_interface",
-    "q_window_frame",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "q_events_sessionize",
-    "q_grouping_sets",
-    "q_correlated_scalar",
-    "q_asof_nearest",
-    "q7_bilateral_volume",
-    "q9_nation_profit",
-    "q8_market_share",
-    "q6_forecast_revenue",
-    "q4_priority_count",
-    "q22_idle_customers",
-    # (d) implementation touched in round 8 — 6 keys
-    "emb_knn_graph",
-    "sample_temperature",
-    "ind_interpolate_years",
-    "q_winsorize",
-    "q_rfm_segmentation",
-    "dedup_incremental",
+    # (c) r6-evidence padding (registration order) to reach 50
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "ind_upsert",
+    "ind_star_series",
+    "ind_star_observation",
+    "dedup_exact",
+    "q12_priority_class",
+    "text_scrub_pii",
+    "text_repetition",
+    "text_decontaminate",
+    "text_unigram_logprob",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -1364,14 +1364,14 @@ _PH_HAMMING = " + ".join(
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection over binary media
     payloads (VERDICT r7 #6 — the multimodal family's first real
-    operator): 64-bit average-hash per payload, banded Hamming-≤6
-    search, FULL value oracle.
+    operator): 128-bit average-hash per payload (``PHASH_BITS``),
+    banded 8×16-bit Hamming-≤6 search, FULL value oracle.
 
     The demo corpus pairs every document payload with a benignly
     "re-encoded" variant (``replace(text,'e','f')`` — a +1 nudge on
     sampled bytes, the fake-codec analog of re-encoding noise);
     the banded search recovers original↔variant pairs at low Hamming
-    while byte-identical machinery (hex-slice sampling, mean
+    while byte-identical machinery (byte-array stride sampling, mean
     threshold, packed words, pigeonhole banding) replays in DuckDB.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")

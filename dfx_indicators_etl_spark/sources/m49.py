@@ -72,8 +72,8 @@ def get_country_metadata(
     strings with the CSV's zero-padding stripped (``"012"`` → ``"12"``,
     matching pandas' int round-trip in the reference).
 
-    Control-plane only (247 rows) — use ``load_m49`` for the
-    distributed frame.
+    Control-plane only (the vendored table is a few hundred rows) —
+    use ``load_m49`` for the distributed frame.
     """
     column = _FIELD_COLUMNS[field]
     # utf-8-sig: the published file leads with a BOM

@@ -19,6 +19,7 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "global_ntile",
+    "global_running_sum",
     "histogram_percentiles",
     "REAGG",
 ]
@@ -183,6 +184,101 @@ def global_ntile(
         + F.ceil((rank - F.lit(boundary)) / F.lit(max(size_small, 1)))
     )
     return keyed.withColumn(out_col, tile.cast("int")).drop("__gnt_pid")
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str,
+    total_col: str | None = None,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 8_000_000,
+) -> DataFrame:
+    """Globally-ordered exact running sum without a single-task global
+    sort — the scale twin of
+    ``F.sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    currentRow))``.
+
+    An unpartitioned running-sum window funnels the whole frame through
+    ONE task (``Exchange SinglePartition``); fine for a
+    dimension-sized frame, an executor-killer at 10⁸–10⁹ rows. Above
+    ``small_rows_threshold`` this swaps to the two-phase shape shared
+    with ``global_ntile``: range-repartition on the TOTAL order (the
+    caller must include a tie-break column), a PER-PARTITION running
+    sum window, and per-partition offsets — each range partition's
+    total, collected as a ≤-#partitions-row control-plane list and
+    prefix-summed on the driver. Decimal partials add exactly on both
+    sides of the split (the driver prefix-sums ``decimal.Decimal``
+    values), so the result is value-identical to the window plan for
+    any partitioning.
+
+    ``order_by`` must totally order the frame, and ``value_col`` must
+    be non-null (window semantics for NULL prefixes — a running NULL
+    until the first non-null value — are not reproduced by the offset
+    arithmetic). ``total_col``, if given, attaches the grand total to
+    every row (small path: an unbounded window over the same
+    single-task frame; large path: a driver-side literal — the sum of
+    the already-collected partition totals, one more exact decimal
+    fold, no extra job).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df.withColumn(out_col, F.sum(value_col).over(w))
+        if total_col is not None:
+            w_all = Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            out = out.withColumn(total_col, F.sum(value_col).over(w_all))
+        return out
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_parts, *order_by).localCheckpoint(
+        eager=False
+    )
+    keyed = parted.withColumn("__grs_pid", F.spark_partition_id())
+    partials = sorted(
+        (r["__grs_pid"], r["s"])
+        for r in keyed.groupBy("__grs_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, running = {}, 0  # exact: int or decimal.Decimal arithmetic
+    for pid, s in partials:
+        offsets[pid] = running
+        running += s if s is not None else 0
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid, off in offsets.items()
+                    for x in (F.lit(pid), F.lit(off).cast(sum_type))
+                ]
+            ),
+            F.col("__grs_pid"),
+        )
+        if offsets
+        else F.lit(0).cast(sum_type)
+    )
+    w = (
+        Window.partitionBy("__grs_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = keyed.withColumn(
+        out_col, (F.sum(value_col).over(w) + offset_expr).cast(sum_type)
+    ).drop("__grs_pid")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(running).cast(sum_type))
+    return out
 
 
 def histogram_percentiles(

@@ -297,3 +297,33 @@ def test_scd2_intervals_null_attribute_changes(spark):
         (2, 3, "a", False),
         (3, None, None, True),
     ]
+
+
+def test_abc_adaptive_paths_identical(spark, sf_dir):
+    """The runtime-adaptive running-share swap (VERDICT r8 — the
+    registry's last prose-only swap): forcing the two-phase
+    global_running_sum path yields BIT-IDENTICAL output to the window
+    path, and its plan has no single-task sort (SinglePartition
+    exchange)."""
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import _abc_classify
+    from dfx_indicators_etl_spark.plans.analytics_ext import dec, _revenue
+    from dfx_indicators_etl_spark.sources import read_tables
+
+    lineitem, supplier = read_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum(dec(_revenue())).alias("rev_dec"))
+    )
+    small = _abc_classify(rev)  # default: under threshold, window path
+    large = _abc_classify(rev, window_max_rows=0)
+    assert sorted(map(tuple, small.collect()), key=repr) == sorted(
+        map(tuple, large.collect()), key=repr
+    )
+    large_plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in large_plan

@@ -126,3 +126,64 @@ def test_scaling_probe_upscale_is_true_kx(spark, tmp_path, monkeypatch):
         orders.select("o_custkey").distinct().count()
         == 2 * base_orders.select("o_custkey").distinct().count()
     )
+
+
+def test_global_running_sum_matches_window(spark):
+    """Two-phase running sum == unpartitioned window running sum for
+    ints and exact decimals, duplicate order keys broken by the
+    tie-break column, and the grand total attached identically."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import global_running_sum
+
+    rows = [
+        (i, (i * 37) % 5, Decimal(f"{(i * 13) % 97}.{i % 100:02d}"))
+        for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, "id long, m long, d decimal(18,4)")
+    order = [F.col("m").desc(), F.col("id")]
+    for col in ["m", "d"]:
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        want = {
+            r["id"]: (r["cum"], r["tot"])
+            for r in df.withColumn("cum", F.sum(col).over(w))
+            .withColumn("tot", F.sum(col).over(w_all))
+            .collect()
+        }
+        got = {
+            r["id"]: (r["cum"], r["tot"])
+            for r in global_running_sum(
+                df.repartition(4),
+                col,
+                order,
+                "cum",
+                total_col="tot",
+                small_rows_threshold=0,
+            ).collect()
+        }
+        assert got == want, (col, got, want)
+
+
+def test_global_running_sum_single_row_and_empty(spark):
+    from dfx_indicators_etl_spark.operators.scale import global_running_sum
+
+    df = spark.createDataFrame([(1, 5)], "id long, v long")
+    [r] = global_running_sum(
+        df, "v", [F.col("id")], "cum", total_col="tot",
+        small_rows_threshold=0,
+    ).collect()
+    assert (r["cum"], r["tot"]) == (5, 5)
+    empty = df.filter(F.lit(False))
+    assert (
+        global_running_sum(
+            empty, "v", [F.col("id")], "cum", small_rows_threshold=0
+        ).count()
+        == 0
+    )

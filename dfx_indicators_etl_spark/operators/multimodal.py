@@ -170,11 +170,14 @@ def phash_words(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    n_bits: int = PHASH_BITS,
 ) -> DataFrame:
-    """128-bit perceptual hash (average-hash) per binary payload,
-    packed into four 32-bit words ``w0…w3`` (each Σ bit·2ᵏ stays
-    positive in a signed 64-bit — same packing convention as
-    ``dedup.simhash_portable``).
+    """``n_bits``-bit perceptual hash (average-hash) per binary
+    payload (default ``PHASH_BITS`` = 128), packed into ``n_bits/32``
+    32-bit words ``w0…`` (each Σ bit·2ᵏ stays positive in a signed
+    64-bit — same packing convention as ``dedup.simhash_portable``).
+    The higher-order folds generate constant-size code at any
+    ``n_bits`` — 256 is the documented band-key growth step.
 
     The "decode" is the deterministic fake codec shared by this module:
     the 16×8 gray grid's 128 samples are the payload bytes at stride
@@ -214,14 +217,14 @@ def phash_words(
         n > 0,
         F.transform(
             F.sequence(
-                F.lit(0).cast("long"), F.lit(PHASH_BITS - 1).cast("long")
+                F.lit(0).cast("long"), F.lit(n_bits - 1).cast("long")
             ),
             lambda i: F.element_at(
-                bs, (F.floor(i * n / F.lit(PHASH_BITS)) + 1).cast("int")
+                bs, (F.floor(i * n / F.lit(n_bits)) + 1).cast("int")
             ).cast("int"),
         ),
     ).otherwise(
-        F.array_repeat(F.lit(0).cast("int"), PHASH_BITS)
+        F.array_repeat(F.lit(0).cast("int"), n_bits)
     )
     # Second barrier: every aHash bit compares one gray against the
     # whole-grid MEAN — inlined, the grid would re-extract per word.
@@ -242,7 +245,7 @@ def phash_words(
             )
         ).alias("__g"),
     )
-    mean = F.col("__g.gsum").cast("double") / F.lit(float(PHASH_BITS))
+    mean = F.col("__g.gsum").cast("double") / F.lit(float(n_bits))
     # word m = Σ bit·2ᵏ over its 32-bit slice, as one runtime fold.
     # Horner form over the REVERSED slice (acc·2 + bit, MSB first) keeps
     # the accumulator a plain long — the earlier struct accumulator
@@ -258,7 +261,7 @@ def phash_words(
     )
     return graybar.select(
         F.col(id_col).alias("doc_id"),
-        *[word(m).alias(f"w{m}") for m in range(PHASH_BITS // 32)],
+        *[word(m).alias(f"w{m}") for m in range(n_bits // 32)],
     )
 
 
@@ -269,6 +272,7 @@ def phash_pairs(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     max_band_bucket: int | None = None,
+    n_bits: int = PHASH_BITS,
 ) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads:
     banded Hamming search on the 128-bit aHash — the standard
@@ -291,13 +295,15 @@ def phash_pairs(
             f"max_hamming={max_hamming} needs more than {bands} bands "
             "for guaranteed recall (pigeonhole)."
         )
-    if PHASH_BITS % bands or 32 % (PHASH_BITS // bands):
+    if n_bits % bands or (n_bits // bands > 32) or 32 % (n_bits // bands):
         raise ValueError(
-            f"bands={bands} must divide {PHASH_BITS} with a band width "
+            f"bands={bands} must divide {n_bits} with a band width "
             "dividing 32 (band slices may not straddle the packed words)."
         )
-    sk = phash_words(df, payload_col, id_col).localCheckpoint(eager=False)
-    bits_per_band = PHASH_BITS // bands
+    sk = phash_words(df, payload_col, id_col, n_bits=n_bits).localCheckpoint(
+        eager=False
+    )
+    bits_per_band = n_bits // bands
     mask = (1 << bits_per_band) - 1
 
     def band_key(b: int):
@@ -332,7 +338,7 @@ def phash_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    n_words = PHASH_BITS // 32
+    n_words = n_bits // 32
     a = sk.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"w{m}").alias(f"a{m}") for m in range(n_words)],

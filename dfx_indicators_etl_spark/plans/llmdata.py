@@ -1291,40 +1291,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- mm_phash_dedup oracle fragments (derived from the operator's
-# PHASH_BITS: 128-bit aHash → 4 packed words, 8 bands × 16-bit keys) --
-_PH_NBITS = multimodal.PHASH_BITS
-_PH_NWORDS = _PH_NBITS // 32
-_PH_NBANDS = 8
-_PH_BAND_WIDTH = _PH_NBITS // _PH_NBANDS
-_PH_G = ", ".join(
-    f"CAST(concat('0x', substring(hx, "
-    f"CAST(2*(FLOOR({i}*n/{_PH_NBITS}.0)+1)-1 AS INT), 2)) AS INT) AS g{i}"
-    for i in range(_PH_NBITS)
-)
-# chunked sum: a flat 128-term chain exceeds DuckDB's 128-deep binder
-# recursion limit; 32-term parenthesized chunks keep depth ≤ 35
-_PH_SUM = " + ".join(
-    "(" + "+".join(f"g{i}" for i in range(lo, lo + 32)) + ")"
-    for lo in range(0, _PH_NBITS, 32)
-)
-_PH_WORDS = ", ".join(
-    " + ".join(
-        f"CAST(g{32 * m + k} > mean AS BIGINT) * {1 << k}"
-        for k in range(32)
+# -- mm_phash_dedup oracle fragments, parameterized on the hash width
+# (128-bit aHash → 4 packed words, 8 bands × 16-bit keys; 256-bit →
+# 8 words, 8 bands × 32-bit keys — the documented growth step) --
+def _ph_fragments(n_bits: int, n_bands: int = 8) -> dict[str, str | int]:
+    n_words = n_bits // 32
+    band_width = n_bits // n_bands
+    g = ", ".join(
+        f"CAST(concat('0x', substring(hx, "
+        f"CAST(2*(FLOOR({i}*n/{n_bits}.0)+1)-1 AS INT), 2)) AS INT) AS g{i}"
+        for i in range(n_bits)
     )
-    + f" AS w{m}"
-    for m in range(_PH_NWORDS)
-)
-_PH_BANDS = "\n    UNION ALL\n    ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"((w{(b * _PH_BAND_WIDTH) // 32} >> {(b * _PH_BAND_WIDTH) % 32})"
-    f" & {(1 << _PH_BAND_WIDTH) - 1}) AS band_key FROM words"
-    for b in range(_PH_NBANDS)
-)
-_PH_HAMMING = " + ".join(
-    f"bit_count(xor(sa.w{m}, sb.w{m}))" for m in range(_PH_NWORDS)
-)
+    # chunked sum: a flat n_bits-term chain exceeds DuckDB's 128-deep
+    # binder recursion limit; 32-term parenthesized chunks keep the
+    # depth shallow at any width
+    gsum = " + ".join(
+        "(" + "+".join(f"g{i}" for i in range(lo, lo + 32)) + ")"
+        for lo in range(0, n_bits, 32)
+    )
+    words = ", ".join(
+        " + ".join(
+            f"CAST(g{32 * m + k} > mean AS BIGINT) * {1 << k}"
+            for k in range(32)
+        )
+        + f" AS w{m}"
+        for m in range(n_words)
+    )
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"((w{(b * band_width) // 32} >> {(b * band_width) % 32})"
+        f" & {(1 << band_width) - 1}) AS band_key FROM words"
+        for b in range(n_bands)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(sa.w{m}, sb.w{m}))" for m in range(n_words)
+    )
+    return {
+        "G": g, "SUM": gsum, "WORDS": words, "BANDS": bands,
+        "HAMMING": hamming, "NBITS": n_bits,
+    }
+
+
+_PH = _ph_fragments(multimodal.PHASH_BITS)
+_PH_G, _PH_SUM, _PH_WORDS = _PH["G"], _PH["SUM"], _PH["WORDS"]
+_PH_BANDS, _PH_HAMMING = _PH["BANDS"], _PH["HAMMING"]
+_PH_NBITS = _PH["NBITS"]
 
 
 @query(
@@ -1381,6 +1392,67 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
     return multimodal.phash_pairs(corpus, max_hamming=6)
+
+
+_PH256 = _ph_fragments(256)
+
+
+@query(
+    "mm_phash_dedup_256",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', 'f') FROM documents
+    ),
+    p AS (
+        SELECT doc_id, concat(hex(encode(coalesce(text,''))), '00') AS hx,
+               octet_length(encode(coalesce(text,''))) AS n
+        FROM corpus
+    ),
+    g AS (SELECT doc_id, {_PH256["G"]} FROM p),
+    m AS (SELECT *, ({_PH256["SUM"]})/{_PH256["NBITS"]}.0 AS mean FROM g),
+    words AS (SELECT doc_id, {_PH256["WORDS"]} FROM m),
+    bands AS (
+    {_PH256["BANDS"]}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, CAST({_PH256["HAMMING"]} AS BIGINT) AS hamming
+        FROM cand
+        JOIN words sa ON doc_a = sa.doc_id
+        JOIN words sb ON doc_b = sb.doc_id
+    ) WHERE hamming <= 6
+    """,
+)
+def mm_phash_dedup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-bit perceptual-hash near-duplicate detection (VERDICT r8
+    #3 — the documented band-key growth step): the same aHash / banded
+    Hamming-≤6 machinery as ``mm_phash_dedup`` at ``n_bits=256``, so
+    each of the 8 bands carries a 32-bit key (~4.3·10⁹ buckets per
+    band vs 65 536 at 128 bits). Random band-bucket collisions —
+    the candidate-volume driver at large corpora — drop by ~2¹⁶;
+    this retires the ~10⁵-doc collision ceiling documented on the
+    128-bit grid while keeping the pigeonhole recall guarantee
+    (8 bands > Hamming 6). The higher-order-fold codegen is
+    constant-size at any width — this key is config + oracle, no new
+    machinery (operators/multimodal.py: phash_words/phash_pairs
+    ``n_bits``). FULL value oracle: hash, bands, and Hamming replay
+    in SQL at 256 bits.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("replace(text, 'e', 'f')").alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    return multimodal.phash_pairs(corpus, max_hamming=6, n_bits=256)
 
 
 

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "attach_binary_payload",
+    "audio_landmark_matches",
+    "audio_landmarks",
     "audio_offset_matches",
+    "audio_peaks",
     "audio_windows",
     "decode_features",
     "frame_checksums",
@@ -581,6 +584,159 @@ def audio_offset_matches(
     )
     return (
         left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            (F.col("tb") - F.col("ta")).alias("t_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+
+
+# Landmark-pair geometry (the actual Shazam key shape): pair each PEAK
+# sub-fingerprint with its next few peaks; the composite key
+# (fp_a, fp_b, Δt) is far sharper than a single fingerprint, so the
+# inverted index needs a much smaller frequency cap for the same
+# recall — two clips must share two peaks AND their exact spacing to
+# collide at all.
+AUDIO_LANDMARK_FANOUT = 3
+AUDIO_LANDMARK_MAX_DT = 20
+DEFAULT_MAX_LANDMARK_FREQ = 50
+
+
+def audio_peaks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Peak sub-fingerprints per doc: a window fingerprint is a peak
+    when it exceeds the MAX of the two preceding fingerprints and is
+    ≥ the max of the two following (ties break toward the earlier
+    window, so flat runs emit exactly one peak). Local comparisons
+    only — a clipped copy keeps the same peaks away from its cut
+    edges, which is what makes landmark alignment clip-robust.
+
+    One per-doc window shuffle; frames are ROWS-bounded (±2), state
+    O(1). Emits (doc_id, t, fp).
+    """
+    w = audio_windows(df, payload_col, id_col)
+    by_doc = Window.partitionBy("doc_id").orderBy("t")
+    prev_max = F.max("fp").over(by_doc.rowsBetween(-2, -1))
+    next_max = F.max("fp").over(by_doc.rowsBetween(1, 2))
+    return (
+        w.withColumn("__pm", prev_max)
+        .withColumn("__nm", next_max)
+        .filter(
+            (F.col("__pm").isNull() | (F.col("fp") > F.col("__pm")))
+            & (F.col("__nm").isNull() | (F.col("fp") >= F.col("__nm")))
+        )
+        .select("doc_id", "t", "fp")
+    )
+
+
+def audio_landmarks(
+    df: DataFrame,
+    fanout: int = AUDIO_LANDMARK_FANOUT,
+    max_dt: int = AUDIO_LANDMARK_MAX_DT,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, t, fp_a, fp_b, dt) landmark rows: each peak paired
+    with its next ``fanout`` peaks at most ``max_dt`` windows ahead —
+    computed with ``lead`` over the SAME per-doc window partitioning
+    as the peak picking (Catalyst reuses the one shuffle; no join).
+    ``t`` is the anchor peak's window index.
+    """
+    peaks = audio_peaks(df, payload_col, id_col)
+    by_doc = Window.partitionBy("doc_id").orderBy("t")
+    # leads land as plain columns first (a generator may not contain
+    # window expressions), then fold into the exploded struct array
+    led = peaks.select(
+        "doc_id",
+        "t",
+        "fp",
+        *[
+            c
+            for k in range(1, fanout + 1)
+            for c in (
+                F.lead("fp", k).over(by_doc).alias(f"__fp{k}"),
+                F.lead("t", k).over(by_doc).alias(f"__t{k}"),
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"__fp{k}").alias("fp_b"),
+                (F.col(f"__t{k}") - F.col("t")).alias("dt"),
+            )
+            for k in range(1, fanout + 1)
+        ]
+    )
+    return (
+        led.select(
+            "doc_id",
+            "t",
+            F.col("fp").alias("fp_a"),
+            F.explode(pairs).alias("__lm"),
+        )
+        .filter(
+            F.col("__lm.fp_b").isNotNull()
+            & (F.col("__lm.dt") <= F.lit(max_dt))
+        )
+        .select(
+            "doc_id",
+            "t",
+            "fp_a",
+            F.col("__lm.fp_b").alias("fp_b"),
+            F.col("__lm.dt").alias("dt"),
+        )
+    )
+
+
+def audio_landmark_matches(
+    df: DataFrame,
+    min_votes: int = 3,
+    fanout: int = AUDIO_LANDMARK_FANOUT,
+    max_dt: int = AUDIO_LANDMARK_MAX_DT,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_landmark_freq: int | None = DEFAULT_MAX_LANDMARK_FREQ,
+) -> DataFrame:
+    """Landmark-pair audio matching: the inverted index joins on the
+    FULL (fp_a, fp_b, dt) landmark key and each hit votes for its
+    diagonal ``t_offset = t_b − t_a``; ≥ ``min_votes`` aligned
+    landmarks is a match. Same offset-voting alignment as
+    ``audio_offset_matches`` at a much tighter candidate-volume
+    bound: a single hot fingerprint floods that index with c² hits,
+    while here it contributes only pairs that ALSO agree on the
+    companion peak and exact spacing — which is why the default
+    frequency cap is 10× smaller and ``min_votes`` lower for the
+    same precision. Emits (doc_a, doc_b, t_offset, votes),
+    doc_a < doc_b.
+    """
+    lm = audio_landmarks(df, fanout, max_dt, payload_col, id_col)
+    lm = lm.localCheckpoint(eager=False)
+    if max_landmark_freq is not None:
+        ok = (
+            lm.groupBy("fp_a", "fp_b", "dt")
+            .count()
+            .filter(F.col("count") <= max_landmark_freq)
+            .select("fp_a", "fp_b", "dt")
+        )
+        lm = lm.join(ok, ["fp_a", "fp_b", "dt"], "left_semi")
+    left = lm.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"),
+        "fp_a", "fp_b", "dt",
+    )
+    right = lm.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"),
+        "fp_a", "fp_b", "dt",
+    )
+    return (
+        left.join(right, ["fp_a", "fp_b", "dt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy(
             "doc_a",

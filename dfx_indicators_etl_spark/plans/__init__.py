@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_abc_analysis",
     "mm_video_dedup",
     "mm_phash_dedup_256",
+    "mm_audio_landmarks",
     # (c) r6-evidence padding (registration order) to reach 50
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -73,7 +74,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q12_priority_class",
     "text_scrub_pii",
     "text_repetition",
-    "text_decontaminate",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

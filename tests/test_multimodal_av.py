@@ -166,3 +166,103 @@ def test_audio_freq_cap_drops_hot_fingerprints(spark):
     ).collect()
     zero_diag = [r for r in uncapped if r["t_offset"] == 0]
     assert len(zero_diag) == 8 * 7 // 2
+
+
+def _peaks_model(text: str) -> list[tuple[int, int]]:
+    fps = _windows_model(text)
+    out = []
+    for i, fp in enumerate(fps):
+        prev2 = fps[max(0, i - 2):i]
+        next2 = fps[i + 1:i + 3]
+        if (not prev2 or fp > max(prev2)) and (
+            not next2 or fp >= max(next2)
+        ):
+            out.append((i, fp))
+    return out
+
+
+def _landmarks_model(
+    text: str, fanout: int = 3, max_dt: int = 20
+) -> list[tuple[int, int, int, int]]:
+    pk = _peaks_model(text)
+    out = []
+    for a in range(len(pk)):
+        for k in range(1, fanout + 1):
+            if a + k < len(pk):
+                (ta, fa), (tb, fb) = pk[a], pk[a + k]
+                if tb - ta <= max_dt:
+                    out.append((ta, fa, fb, tb - ta))
+    return out
+
+
+def test_audio_peaks_and_landmarks_match_model(spark):
+    """Peak picking (local-max rule, earlier-window tie break) and
+    fan-out landmark pairing equal the direct Python model, including
+    flat runs (ties) and the no-peak short-payload case."""
+    rng = random.Random(77)
+    texts = [
+        (1, "".join(chr(rng.randrange(32, 127)) for _ in range(250))),
+        (2, "x" * 120),  # all-equal fps: exactly one peak (the first)
+        (3, "short"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus = M.attach_binary_payload(docs)
+    got_peaks = {}
+    for r in M.audio_peaks(corpus).collect():
+        got_peaks.setdefault(r["doc_id"], []).append((r["t"], r["fp"]))
+    for doc_id, text in texts:
+        assert sorted(got_peaks.get(doc_id, [])) == _peaks_model(text), doc_id
+    flat_fps = _windows_model(texts[1][1])
+    assert len(set(flat_fps)) == 1 and got_peaks[2] == [(0, flat_fps[0])]
+    got_lm = {}
+    for r in M.audio_landmarks(corpus).collect():
+        got_lm.setdefault(r["doc_id"], []).append(
+            (r["t"], r["fp_a"], r["fp_b"], r["dt"])
+        )
+    for doc_id, text in texts:
+        assert sorted(got_lm.get(doc_id, [])) == sorted(
+            _landmarks_model(text)
+        ), doc_id
+
+
+def test_audio_landmark_clip_recovery_and_tighter_index(spark):
+    """Landmark matching recovers 3-stride clips on the t_offset = −3
+    diagonal (same alignment property as the single-fp index), and the
+    composite (fp_a, fp_b, Δt) key yields a strictly smaller candidate
+    volume than the single-fingerprint inverted index on the same
+    corpus — the reason its frequency cap can be 10× tighter."""
+    rng = random.Random(7777)
+    originals = [
+        (i, "".join(chr(rng.randrange(33, 127)) for _ in range(300)))
+        for i in range(1, 5)
+    ]
+    clip_at = 3 * M.AUDIO_STRIDE
+    clips = [(i + 100, t[clip_at:]) for i, t in originals]
+    docs = spark.createDataFrame(
+        originals + clips, "doc_id long, text string"
+    )
+    corpus = M.attach_binary_payload(docs)
+    matches = {
+        (r["doc_a"], r["doc_b"]): (r["t_offset"], r["votes"])
+        for r in M.audio_landmark_matches(
+            corpus, min_votes=3, max_landmark_freq=None
+        ).collect()
+    }
+    for i, t in originals:
+        off, votes = matches[(i, i + 100)]
+        assert off == -3
+        assert votes >= 3
+    assert all(b - a == 100 for a, b in matches)
+
+    # candidate-volume bound: sum c*(c-1)/2 over index buckets
+    from collections import Counter
+
+    fp_counts = Counter(
+        r["fp"] for r in M.audio_windows(corpus).collect()
+    )
+    lm_counts = Counter(
+        (r["fp_a"], r["fp_b"], r["dt"])
+        for r in M.audio_landmarks(corpus).collect()
+    )
+    vol = lambda c: sum(v * (v - 1) // 2 for v in c.values())  # noqa: E731
+    assert vol(lm_counts) < vol(fp_counts)

@@ -30,7 +30,9 @@ __all__ = [
     "phash_words",
     "resize_images",
     "sample_frames",
+    "scene_copy_matches",
     "scene_cuts",
+    "scene_signatures",
     "video_shingles",
     "video_dedup_pairs",
     "DECODE_SCHEMA",
@@ -455,6 +457,30 @@ def scene_cuts(
     a single-video partition, the natural unit), so no corpus-sized
     partition exists; the rollup is one groupBy on (doc, scene).
     """
+    numbered = _scene_numbered_frames(
+        df, threshold, payload_col, id_col
+    )
+    return (
+        numbered.groupBy("doc_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        )
+    )
+
+
+def _scene_numbered_frames(
+    df: DataFrame,
+    threshold: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame rows with their scene assignment: the lag-diff cut flag +
+    running-sum-of-cuts numbering shared by ``scene_cuts`` and
+    ``scene_signatures``. Windows partition per video (≤30 frames
+    under the fake codec; a real decode is still a single-video
+    partition — the natural unit)."""
     fr = frame_checksums(df, payload_col, id_col)
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
     diff = F.abs(
@@ -466,7 +492,7 @@ def scene_cuts(
             F.lit(0)
         ),
     )
-    numbered = flagged.withColumn(
+    return flagged.withColumn(
         "scene_idx",
         (
             F.sum("__cut").over(
@@ -475,13 +501,111 @@ def scene_cuts(
             - 1
         ).cast("bigint"),
     )
-    return (
-        numbered.groupBy("doc_id", "scene_idx")
-        .agg(
-            F.min("frame_idx").cast("int").alias("start_frame"),
-            F.max("frame_idx").cast("int").alias("end_frame"),
-            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+
+
+# Scene-signature inverted-index cap: identical (signature, length,
+# sum) triples across more than this many scene rows are boilerplate
+# (test cards, black frames) and are dropped — the skew-cap pattern of
+# every media index in this module.
+DEFAULT_MAX_SCENE_SIG_FREQ = 200
+
+
+def scene_signatures(
+    df: DataFrame,
+    threshold: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-scene perceptual signatures — the ``scene_cuts`` × phash
+    composition: within each scene, bit i is the aHash rule over the
+    scene's OWN frame stream (``checksum_i · n_frames > Σ checksums``
+    — the mean compare cleared of division, so it replays as exact
+    integer SQL), packed in frame order into one ≤30-bit word.
+    Emits (doc_id, scene_idx, start_frame, n_frames, scene_sum,
+    signature); ``scene_sum`` (the exact checksum total — the fake
+    codec's "luma sum") rides along because the aHash bits alone
+    collapse for 1–2-frame scenes.
+
+    Signatures depend only on the scene's frame contents, never on
+    where the scene sits in the video — the invariance that makes
+    partial-copy detection (a clip sharing SOME scenes with a longer
+    video) a plain equi-join downstream. Same two per-video window
+    passes as ``scene_cuts`` (one shuffle on doc_id, Catalyst shares
+    it), then one groupBy per scene.
+    """
+    numbered = _scene_numbered_frames(df, threshold, payload_col, id_col)
+    by_scene = Window.partitionBy("doc_id", "scene_idx")
+    rows = (
+        numbered.withColumn(
+            "__ssum", F.sum("frame_checksum").over(by_scene)
         )
+        .withColumn("__sn", F.count(F.lit(1)).over(by_scene))
+        .withColumn(
+            "__rn",
+            F.row_number().over(by_scene.orderBy("frame_idx")),
+        )
+    )
+    bit_term = F.when(
+        F.col("frame_checksum") * F.col("__sn") > F.col("__ssum"),
+        # pyspark's shiftleft() insists on a literal bit count; the
+        # SQL form takes any expression
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__rn - 1 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return rows.groupBy("doc_id", "scene_idx").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("__ssum").cast("bigint").alias("scene_sum"),
+        F.sum(bit_term).cast("bigint").alias("signature"),
+    )
+
+
+def scene_copy_matches(
+    df: DataFrame,
+    min_shared: int = 1,
+    threshold: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_sig_freq: int | None = DEFAULT_MAX_SCENE_SIG_FREQ,
+    min_scene_frames: int = 2,
+) -> DataFrame:
+    """Partial-copy detection between videos: two videos match when
+    they share ≥ ``min_shared`` distinct scene signatures — the
+    clip-from-longer-video case neither whole-video signature
+    (``video_dedup_pairs``) nor frame-level matching covers cheaply.
+
+    Scale shape: per-doc DISTINCT (signature, n_frames, scene_sum)
+    triples feed a frequency-capped inverted index (candidate volume
+    Σ c² over capped counts — never all pairs); one groupBy counts
+    shared triples per pair. Scenes shorter than ``min_scene_frames``
+    never enter the index: a 1-frame scene's key carries ~8 bits of
+    content — below the index's selectivity floor, the sub-second-
+    scene junk a real system also drops. Emits
+    (doc_a, doc_b, shared_scenes), doc_a < doc_b.
+    """
+    key = ["signature", "n_frames", "scene_sum"]
+    sigs = (
+        scene_signatures(df, threshold, payload_col, id_col)
+        .filter(F.col("n_frames") >= min_scene_frames)
+        .select("doc_id", *key)
+        .dropDuplicates(["doc_id", *key])
+        .localCheckpoint(eager=False)
+    )
+    if max_sig_freq is not None:
+        ok = (
+            sigs.groupBy(*key)
+            .count()
+            .filter(F.col("count") <= max_sig_freq)
+            .select(*key)
+        )
+        sigs = sigs.join(ok, key, "left_semi")
+    left = sigs.select(F.col("doc_id").alias("doc_a"), *key)
+    right = sigs.select(F.col("doc_id").alias("doc_b"), *key)
+    return (
+        left.join(right, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_scenes"))
+        .filter(F.col("shared_scenes") >= min_shared)
     )
 
 

@@ -1509,6 +1509,110 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_scene_signatures",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               concat(substr(text, 1, length(text)//2),
+                      upper(substr(text, length(text)//2 + 1)))
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) % 30 + 1 AS n_frames
+        FROM corpus WHERE length(text) > 0
+    ),
+    fr AS (
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               CAST(ascii(text[CAST(i * (n // n_frames) AS INT) + 1])
+                    AS BIGINT) AS cs
+        FROM meta, LATERAL unnest(range(0, n_frames)) t(i)
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, cs,
+               abs(cs - lag(cs) OVER (PARTITION BY doc_id
+                   ORDER BY frame_idx)) AS diff
+        FROM fr
+    ),
+    s AS (
+        SELECT doc_id, frame_idx, cs,
+               SUM(CASE WHEN diff IS NULL OR diff > 64 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY frame_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1 AS scene_idx
+        FROM d
+    ),
+    sig0 AS (
+        SELECT doc_id, scene_idx, cs,
+               SUM(cs) OVER ws AS ssum,
+               COUNT(*) OVER ws AS sn,
+               row_number() OVER (PARTITION BY doc_id, scene_idx
+                                  ORDER BY frame_idx) AS rn
+        FROM s WINDOW ws AS (PARTITION BY doc_id, scene_idx)
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(MAX(ssum) AS BIGINT) AS scene_sum,
+               CAST(COALESCE(SUM(CASE WHEN cs * sn > ssum
+                   THEN CAST(1 AS BIGINT) << CAST(rn - 1 AS INT)
+                   ELSE 0 END), 0) AS BIGINT) AS signature
+        FROM sig0 GROUP BY doc_id, scene_idx
+    ),
+    dsig AS (
+        SELECT DISTINCT doc_id, signature, n_frames, scene_sum
+        FROM sig WHERE n_frames >= 2
+    ),
+    ok AS (
+        SELECT signature, n_frames, scene_sum FROM dsig
+        GROUP BY signature, n_frames, scene_sum HAVING COUNT(*) <= 200
+    ),
+    dc AS (
+        SELECT dsig.* FROM dsig
+        JOIN ok USING (signature, n_frames, scene_sum)
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM dc a JOIN dc b
+          ON a.signature = b.signature AND a.n_frames = b.n_frames
+         AND a.scene_sum = b.scene_sum AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_scenes
+    FROM m GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+    """,
+)
+def mm_scene_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-level video partial-copy detection (VERDICT r8 #7 — the
+    scene_cuts × phash composition those operators were built for):
+    per-scene aHash signatures (bit i = frame i's checksum · n >
+    scene checksum sum — the mean compare cleared of division, so it
+    replays as exact integer SQL) keyed with the scene's length and
+    exact checksum total, frequency-capped inverted index, shared-
+    scene counting with a ≥2-scene floor.
+
+    The demo corpus pairs every document with a SAME-LENGTH variant
+    whose second half is scrambled (uppercased): the untouched half's
+    scenes carry identical signatures — the clip-from-longer-video
+    shape — while whole-video signatures all differ. Signatures
+    depend only on scene content, never scene position. FULL value
+    oracle: decode, cuts, per-scene bit packing, cap, and pair
+    counting all replay in SQL.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, CAST(length(text)/2 AS INT))"),
+            F.upper(F.expr("substr(text, CAST(length(text)/2 AS INT) + 1)")),
+        ).alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    return multimodal.scene_copy_matches(corpus, min_shared=2)
+
+
+@query(
     "mm_audio_match",
     oracle="""
     WITH corpus AS (

@@ -266,3 +266,102 @@ def test_audio_landmark_clip_recovery_and_tighter_index(spark):
     )
     vol = lambda c: sum(v * (v - 1) // 2 for v in c.values())  # noqa: E731
     assert vol(lm_counts) < vol(fp_counts)
+
+
+def _scene_sigs_model(text: str) -> list[tuple[int, int, int, int, int]]:
+    """(scene_idx, start_frame, n_frames, scene_sum, signature)."""
+    cs = _frames_model(text)
+    out = []
+    for scene_idx, start, end, n in _scenes_model(text):
+        vals = cs[start:end + 1]
+        ssum = sum(vals)
+        sig = sum(
+            1 << i for i, v in enumerate(vals) if v * n > ssum
+        )
+        out.append((scene_idx, start, n, ssum, sig))
+    return out
+
+
+def test_scene_signatures_match_model(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(80)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {}
+    for r in M.scene_signatures(M.attach_binary_payload(docs)).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["scene_idx"], r["start_frame"], r["n_frames"],
+             r["scene_sum"], r["signature"])
+        )
+    for doc_id, text in texts.items():
+        model = _scene_sigs_model(text or "")
+        assert sorted(got.get(doc_id, [])) == model, doc_id
+
+
+def _frames_to_text(frames: list[int], n: int = 59) -> str:
+    """A 59-char payload gives n_frames=30, step=1: the first 30
+    bytes ARE the frame stream — full control of the fake codec."""
+    assert len(frames) <= 30 and n % 30 + 1 == 30
+    pad = [35] * (30 - len(frames))  # '#' continues no-cut filler
+    return "".join(map(chr, frames + pad)) + "q" * (n - 30)
+
+
+def test_scene_signature_position_invariance_and_clip_match(spark):
+    """The partial-copy property: a scene's signature depends only on
+    its frame contents — two videos sharing scenes at DIFFERENT
+    positions match on exactly those scenes."""
+    x = [120, 119, 121, 120]   # scene X (internal diffs <= 64)
+    y = [40, 41, 39, 40, 42]   # scene Y (boundary jump from X > 64)
+    z = [110, 112, 111]        # scene Z (jump from Y > 64)
+    w = [40, 42, 41, 40]       # scene W (jump into X's 120 is > 64)
+    a = _frames_to_text(x + y + z + [35] * 0)
+    # same scenes X and Y at different offsets, preceded by W; the
+    # trailing filler '#'(35) cuts from Z/Y ends (|35-111|,|35-40|):
+    # keep boundaries explicit instead
+    b = _frames_to_text(w + x + y)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    corpus = M.attach_binary_payload(docs)
+    sigs = {}
+    for r in M.scene_signatures(corpus).collect():
+        sigs.setdefault(r["doc_id"], set()).add(
+            (r["signature"], r["n_frames"], r["scene_sum"])
+        )
+    shared = sigs[1] & sigs[2]
+    x_key = next(
+        k for k in sigs[1] if k[1] == len(x) and k[2] == sum(x)
+    )
+    assert x_key in shared  # scene X matches despite different offsets
+    [m] = M.scene_copy_matches(corpus, min_shared=1).collect()
+    assert (m["doc_a"], m["doc_b"]) == (1, 2)
+    assert m["shared_scenes"] >= len(shared & {x_key}) >= 1
+
+
+def test_scene_copy_matches_cap_and_floor(spark):
+    """Hot signature buckets are dropped by the frequency cap, and
+    sub-min_scene_frames scenes never enter the index."""
+    shared_scene = [120, 119, 121, 120]
+    docs = spark.createDataFrame(
+        [(i, _frames_to_text(shared_scene)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    corpus = M.attach_binary_payload(docs)
+    uncapped = M.scene_copy_matches(
+        corpus, min_shared=1, max_sig_freq=None
+    )
+    assert uncapped.count() == 10 * 9 // 2
+    capped = M.scene_copy_matches(corpus, min_shared=1, max_sig_freq=5)
+    assert capped.count() == 0
+    # single-frame scenes are floored out: videos sharing ONLY
+    # 1-frame scenes don't match
+    one_frame = spark.createDataFrame(
+        [(1, _frames_to_text([120, 32, 120, 32])),
+         (2, _frames_to_text([33, 121, 33, 121]))],
+        "doc_id long, text string",
+    )
+    assert (
+        M.scene_copy_matches(
+            M.attach_binary_payload(one_frame),
+            min_shared=1, max_sig_freq=None,
+        ).count()
+        == 0
+    )

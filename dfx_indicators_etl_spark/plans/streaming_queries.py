@@ -592,6 +592,82 @@ def stream_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_data",
+    # The oracle replays the full watermark rule over the event log:
+    # the jittered arrival clock and ntile batch assignment (both
+    # engine-portable), then horizon_k = max(event time over batches
+    # < k) − 30 min and late iff strictly below it.
+    oracle="""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               epoch_us(ts)
+               + ((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % 7201) - 3600) * 1000000
+                   AS arrival_us
+        FROM events
+    ),
+    b AS (
+        SELECT *, ntile(6) OVER (ORDER BY arrival_us, event_id) - 1
+                   AS batch_seq
+        FROM e
+    ),
+    mx AS (SELECT batch_seq, max(us) AS bmax FROM b GROUP BY batch_seq),
+    wm AS (
+        SELECT batch_seq,
+               max(bmax) OVER (ORDER BY batch_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - 1800000000 AS wm_us
+        FROM mx
+    )
+    SELECT CAST(b.batch_seq AS INT) AS batch_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN wm_us IS NULL OR us >= wm_us THEN 1 END)
+               AS BIGINT) AS n_on_time,
+           CAST(COUNT(CASE WHEN us < wm_us THEN 1 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(us) AS BIGINT) AS batch_max_us,
+           wm_us AS watermark_us
+    FROM b JOIN wm USING (batch_seq)
+    GROUP BY b.batch_seq, wm_us
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting (VERDICT r8 #5 — the one
+    streaming semantic previously without first-class driver
+    evidence): events replay through a file-source stream in a
+    deterministic out-of-order arrival order (jittered arrival clock,
+    6 one-file micro-batches), and a foreachBatch audit records, per
+    batch, how many rows a 30-minute watermark admits vs drops —
+    Spark's exact rule (horizon = monotone max event time of prior
+    batches − delay; strictly-below is late; batch 0 admits all),
+    made visible instead of silently dropping. Restart-safe: the
+    horizon state is the accounting table itself and replayed batches
+    are detected idempotently (tests restart the drain mid-backlog
+    and pin the result to the one-shot run). FULL value oracle.
+    """
+    root = _scratch("dfx_late_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        landing, acct, ckpt = (
+            f"{root}/landing", f"{root}/audit", f"{root}/ckpt",
+        )
+        streaming.stage_arrival_batches(events, landing, n_batches=6)
+        streaming.run_late_data_audit(
+            spark, landing, acct, ckpt, delay_minutes=30
+        )
+        return (
+            spark.read.parquet(acct)
+            .select(
+                "batch_seq", "n_events", "n_on_time", "n_late",
+                "batch_max_us", "watermark_us",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_upsert_sink",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

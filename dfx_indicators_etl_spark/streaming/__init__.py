@@ -2,6 +2,8 @@
 
 from .ops import (
     incremental_minhash_dedup,
+    run_late_data_audit,
+    stage_arrival_batches,
     read_documents_stream,
     read_events_stream,
     read_latest_wins,
@@ -21,6 +23,8 @@ __all__ = [
     "incremental_minhash_dedup",
     "read_latest_wins",
     "run_available_now",
+    "run_late_data_audit",
+    "stage_arrival_batches",
     "stream_dedup_events",
     "stream_minhash_dedup_banded",
     "stream_minhash_dedup_docs",

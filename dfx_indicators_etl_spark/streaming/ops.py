@@ -1126,6 +1126,158 @@ def stream_ewma_anomalies(
     )
 
 
+def stage_arrival_batches(
+    events: DataFrame, landing: str, n_batches: int = 6
+) -> None:
+    """Deterministic out-of-order arrival simulation for the late-data
+    audit: each event gets a jittered ARRIVAL clock (its event time ±
+    up to 1 h, from the engine-portable md5 hash of event_id — so the
+    oracle reproduces it), events are split into ``n_batches`` equal
+    arrival-order batches (``ntile`` fill rule — also portable), and
+    each batch lands as one parquet file with strictly increasing
+    mtimes, which is the order the file stream source replays them.
+
+    This is the SIMULATION HARNESS: a real deployment's arrival order
+    is the ingest stream itself. The global ntile sort is staging-only
+    and test-scale; the audited operator below never sorts the stream.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    arrival_us = F.unix_micros(F.col("ts")) + (
+        F.pmod(h, F.lit(7201)) - F.lit(3600)
+    ) * F.lit(1_000_000)
+    w = Window.orderBy("__arrival_us", "event_id")
+    staged = events.withColumn("__arrival_us", arrival_us).withColumn(
+        "__batch", F.ntile(n_batches).over(w) - 1
+    )
+    Path(landing).mkdir(parents=True, exist_ok=True)
+    base = 1_600_000_000  # fixed mtime epoch: replay order is content-
+    # determined, never wall-clock-determined
+    for k in range(n_batches):
+        tmp = _tempfile.mkdtemp(
+            prefix=f"__stage_{k}_", dir=str(Path(landing).parent)
+        )
+        (
+            staged.filter(F.col("__batch") == k)
+            .drop("__arrival_us", "__batch")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dst = Path(landing) / f"batch-{k:03d}.parquet"
+        _shutil.move(str(part), str(dst))
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + 60 * k, base + 60 * k))
+
+
+_AUDIT_SCHEMA = (
+    "batch_seq int, n_events bigint, n_on_time bigint, n_late bigint, "
+    "batch_max_us bigint, watermark_us bigint"
+)
+
+
+def run_late_data_audit(
+    spark: SparkSession,
+    landing: str,
+    acct_dir: str,
+    ckpt_dir: str,
+    delay_minutes: int = 30,
+    timeout_sec: int = 180,
+) -> None:
+    """Watermark late-data ACCOUNTING over a file-source stream: drain
+    ``landing`` one file per micro-batch and record, per batch, how
+    many rows a ``delay_minutes`` watermark admits vs drops — the
+    dead-letter audit a production pipeline runs beside its watermarked
+    aggregates, where Spark's own operators drop late rows silently.
+
+    The audit replays Spark's exact watermark rule: the horizon
+    entering batch k is ``max(event time over batches < k) −  delay``
+    (monotone, advances at batch commit), and a row is LATE iff its
+    event time is strictly below that horizon; batch 0 admits
+    everything. The horizon state is derived from the accounting table
+    itself (monotone max over recorded ``batch_max_us``), which makes
+    restart handling exact: a replayed batch after a checkpoint
+    restart finds its own row already present and re-emits nothing
+    (the standard idempotent-foreachBatch pattern), and a resumed
+    drain continues from the recorded horizon. Per batch the audit
+    appends ONE control-plane row; the classification itself is one
+    distributed aggregate over the micro-batch.
+    """
+    ensure_session_confs(spark)
+    delay_us = delay_minutes * 60 * 1_000_000
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        wm_base = None
+        try:
+            prev = sp.read.parquet(acct_dir)
+            if (
+                prev.filter(F.col("batch_seq") == batch_id).limit(1).count()
+                > 0
+            ):
+                return  # checkpoint replay of an already-recorded batch
+            wm_base = prev.agg(F.max("batch_max_us")).collect()[0][0]
+        except Exception:
+            pass  # first batch: no accounting table yet
+        wm_us = None if wm_base is None else int(wm_base) - delay_us
+        us = F.unix_micros(F.col("ts"))
+        late = F.lit(False) if wm_us is None else us < F.lit(wm_us)
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(us).alias("mx"),
+            F.count(F.when(late, 1)).alias("late"),
+        ).collect()[0]
+        n, n_late = int(stats["n"]), int(stats["late"] or 0)
+        row = [
+            (
+                int(batch_id),
+                n,
+                n - n_late,
+                n_late,
+                None if stats["mx"] is None else int(stats["mx"]),
+                wm_us,
+            )
+        ]
+        sp.createDataFrame(row, _AUDIT_SCHEMA).write.mode("append").parquet(
+            acct_dir
+        )
+
+    schema = spark.read.parquet(landing).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(landing)
+    )
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    query = (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"late-data audit drain exceeded {timeout_sec}s"
+            )
+    finally:
+        query.stop()
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

@@ -517,3 +517,73 @@ def test_read_latest_wins_rejects_compacted_partitions(spark, tmp_path):
     df.write.parquet(f"{table}/batch=abc123-c9f2e1d4")
     with pytest.raises(Exception, match="non-numeric batch sequence"):
         streaming.read_latest_wins(spark, table, ("k",)).collect()
+
+
+def test_late_data_audit_restart_and_idempotence(spark, sf_dir, tmp_path):
+    """The watermark audit survives a mid-backlog restart: draining 3
+    of 6 staged arrival batches, then resuming with the same
+    checkpoint over the full landing dir, yields exactly the one-shot
+    accounting — and a re-drain with no new files records nothing."""
+    from pathlib import Path
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+
+    def run(root: str, hold_back: int = 0):
+        landing = f"{root}/landing"
+        streaming.stage_arrival_batches(events, landing, n_batches=6)
+        held = []
+        if hold_back:
+            for f in sorted(Path(landing).glob("batch-*.parquet"))[
+                -hold_back:
+            ]:
+                dst = Path(root) / f.name
+                stat = f.stat()
+                f.rename(dst)
+                held.append((dst, stat.st_mtime))
+        streaming.run_late_data_audit(
+            spark, landing, f"{root}/audit", f"{root}/ckpt",
+            delay_minutes=30,
+        )
+        return landing, held
+
+    # one-shot reference
+    ref_root = str(tmp_path / "oneshot")
+    run(ref_root)
+    ref = sorted(
+        map(tuple, spark.read.parquet(f"{ref_root}/audit").collect())
+    )
+    assert len(ref) == 6
+    assert any(r[3] > 0 for r in ref)  # lateness actually exercised
+
+    # restart: drain 3, re-add the held files, resume with same ckpt
+    rs_root = str(tmp_path / "restart")
+    landing, held = run(rs_root, hold_back=3)
+    partial = spark.read.parquet(f"{rs_root}/audit").collect()
+    assert len(partial) == 3
+    import os
+
+    for f, mtime in held:
+        dst = Path(landing) / f.name
+        f.rename(dst)
+        os.utime(dst, (mtime, mtime))
+    streaming.run_late_data_audit(
+        spark, landing, f"{rs_root}/audit", f"{rs_root}/ckpt",
+        delay_minutes=30,
+    )
+    resumed = sorted(
+        map(tuple, spark.read.parquet(f"{rs_root}/audit").collect())
+    )
+    assert resumed == ref
+
+    # idempotence: nothing new to drain -> nothing recorded
+    streaming.run_late_data_audit(
+        spark, landing, f"{rs_root}/audit", f"{rs_root}/ckpt",
+        delay_minutes=30,
+    )
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{rs_root}/audit").collect())
+    )
+    assert again == ref

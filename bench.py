@@ -205,6 +205,22 @@ HEADLINE = (
     "q_market_basket",
     "ind_seasonal_index",
     "dedup_cdc_excise",
+    # round 9: the 8 previously never-benched keys (VERDICT r8 #6) —
+    # storage round-trip sinks and the remaining streaming drains —
+    # so the bench surface now equals the registry exactly
+    "sink_versioned_roundtrip",
+    "sink_partitioned_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "stream_dedup",
+    "stream_static_enrich",
+    "stream_stream_join",
+    # round 9: new surface
+    "mm_phash_dedup_256",
+    "mm_audio_landmarks",
+    "mm_scene_signatures",
+    "stream_late_data",
 )
 
 

@@ -72,7 +72,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
 
     ``max_shingle_freq=None``: the skew cap (library default ON) is
-    disabled here because the oracle computes *exact* Jaccard."""
+    disabled here because the oracle computes *exact* Jaccard. The REGISTERED demo runs the uncapped exact-oracle mode; production deployments keep the library's freq-cap default — do not benchmark the uncapped mode at scale."""
     return dedup.ngram_jaccard_pairs(
         read_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_freq=None
     )
@@ -1048,7 +1048,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment pairs (doc-inside-doc detection —
     the duplication mode symmetric Jaccard misses). Same inverted-index
     plan as the Jaccard pairs; ``max_shingle_freq=None`` for the exact
-    oracle-checked mode."""
+    oracle-checked mode. The REGISTERED demo runs the uncapped exact-oracle mode; production deployments keep the library's freq-cap default — do not benchmark the uncapped mode at scale."""
     return dedup.containment_pairs(
         read_table(spark, sf_dir, "documents"),
         threshold=0.8,
@@ -1097,7 +1097,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     index → diagonal (delta) run merge via gaps-and-islands; FULL
     value oracle replays positions, diagonals, and island merges.
     ``max_shingle_freq=None`` for the exact oracle-checked mode; the
-    library default caps hot shingles."""
+    library default caps hot shingles. The REGISTERED demo runs the uncapped exact-oracle mode; production deployments keep the library's freq-cap default — do not benchmark the uncapped mode at scale."""
     return dedup.shared_spans(
         read_table(spark, sf_dir, "documents"),
         min_span_tokens=8,
@@ -1171,7 +1171,7 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     per affected doc (patch-sized output, never a corpus rewrite) with
     the cleaned text and before/removed token counts; FULL value
     oracle replays spans, removal ranges, anti join, and the ordered
-    re-assembly."""
+    re-assembly. The REGISTERED demo runs the uncapped exact-oracle mode; production deployments keep the library's freq-cap default — do not benchmark the uncapped mode at scale."""
     return dedup.excise_shared_spans(
         read_table(spark, sf_dir, "documents"),
         min_span_tokens=8,

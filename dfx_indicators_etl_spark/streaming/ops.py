@@ -1228,19 +1228,25 @@ def run_late_data_audit(
             pass  # first batch: no accounting table yet
         wm_us = None if wm_base is None else int(wm_base) - delay_us
         us = F.unix_micros(F.col("ts"))
-        late = F.lit(False) if wm_us is None else us < F.lit(wm_us)
+        # on-time is counted EXPLICITLY (not n − late): a NULL event
+        # time is neither late nor on-time once a horizon exists —
+        # the same three-valued arithmetic the SQL oracle uses
+        if wm_us is None:
+            late, on_time = F.lit(False), F.lit(True)
+        else:
+            late, on_time = us < F.lit(wm_us), us >= F.lit(wm_us)
         stats = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
             F.max(us).alias("mx"),
             F.count(F.when(late, 1)).alias("late"),
+            F.count(F.when(on_time, 1)).alias("on_time"),
         ).collect()[0]
-        n, n_late = int(stats["n"]), int(stats["late"] or 0)
         row = [
             (
                 int(batch_id),
-                n,
-                n - n_late,
-                n_late,
+                int(stats["n"]),
+                int(stats["on_time"] or 0),
+                int(stats["late"] or 0),
                 None if stats["mx"] is None else int(stats["mx"]),
                 wm_us,
             )

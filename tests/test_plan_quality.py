@@ -304,3 +304,82 @@ def test_knn_graph_plan_shape(spark, sf_dir):
         "BroadcastNestedLoopJoin"
     ) >= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_drain_batch_faces_plan_shapes(spark, sf_dir):
+    """Batch faces of the streaming drains (VERDICT r8 #9 — the
+    PLANS.md '—' rows): the same transformations applied to the batch
+    events table must keep their scale shapes — dims broadcast, the
+    interval join keyed on the user equi-column (never a nested
+    loop), dedup as a two-phase partial aggregate, and no Python
+    anywhere. Streaming execution reuses these exact expressions per
+    micro-batch."""
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark.sources import read_table, read_tables
+
+    events, nation, region = read_tables(
+        spark, sf_dir, "events", "nation", "region"
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # stream_static_enrich face: broadcast dims + windowed count
+    dims = F.broadcast(
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("n_nationkey", F.col("r_name").alias("region_name"))
+    )
+    enrich = (
+        events.join(dims, events["user_id"] % 25 == dims["n_nationkey"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "region_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+    p = plan_of(enrich)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "SortMergeJoin" not in p
+
+    # stream_stream_join face: user-keyed equi join with the time
+    # residual as a join condition — never BroadcastNestedLoopJoin
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    p = plan_of(joined)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "user_id" in p.split("Join")[1][:400]  # equi key survived
+    assert "BatchEvalPython" not in p
+
+    # stream_dedup face: dropDuplicates on the key columns is a
+    # partial+final aggregate (map-side combine), one shuffle
+    dedup = events.select("event_id", "user_id").dropDuplicates(
+        ["event_id"]
+    )
+    p = plan_of(dedup)
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+    # windowed-counts face (stream_events_windowed/upsert drains):
+    # one hash shuffle to (window, key), partial agg before it
+    windowed = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    p = plan_of(windowed)
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p or "HashAggregate" in p

@@ -104,6 +104,14 @@ PROBES = {
     # add K× baskets of the same width
     "q_market_basket": ("lineitem",),
     "dedup_cdc_excise": ("documents",),
+    # round 9: wider phash grid (same banding machinery, 8×32-bit
+    # keys), landmark-pair audio (peak windows + composite-key index),
+    # scene-signature partial-copy (per-doc distinct triples, capped
+    # index), and the adaptive Pareto swap already probed via
+    # q_abc_analysis above
+    "mm_phash_dedup_256": ("documents",),
+    "mm_audio_landmarks": ("documents",),
+    "mm_scene_signatures": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -1416,12 +1416,20 @@ _PH256 = _ph_fragments(256)
     bands AS (
     {_PH256["BANDS"]}
     ),
+    bands_ok AS (
+        SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING COUNT(*) <= 64
+    ),
+    bandsc AS (
+        SELECT bands.* FROM bands JOIN bands_ok
+        USING (band_idx, band_key)
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx
-                    AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id
+        FROM bandsc a
+        JOIN bandsc b ON a.band_idx = b.band_idx
+                     AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
         SELECT doc_a, doc_b, CAST({_PH256["HAMMING"]} AS BIGINT) AS hamming
@@ -1436,15 +1444,25 @@ def mm_phash_dedup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     #3 — the documented band-key growth step): the same aHash / banded
     Hamming-≤6 machinery as ``mm_phash_dedup`` at ``n_bits=256``, so
     each of the 8 bands carries a 32-bit key (~4.3·10⁹ buckets per
-    band vs 65 536 at 128 bits). Random band-bucket collisions —
+    band vs 65 536 at 128 bits). RANDOM band-bucket collisions —
     the candidate-volume driver at large corpora — drop by ~2¹⁶;
     this retires the ~10⁵-doc collision ceiling documented on the
     128-bit grid while keeping the pigeonhole recall guarantee
     (8 bands > Hamming 6). The higher-order-fold codegen is
     constant-size at any width — this key is config + oracle, no new
     machinery (operators/multimodal.py: phash_words/phash_pairs
-    ``n_bits``). FULL value oracle: hash, bands, and Hamming replay
-    in SQL at 256 bits.
+    ``n_bits``).
+
+    The key registers WITH the bucket cap (max_band_bucket=64,
+    replayed in the oracle): payloads shorter than the grid repeat
+    consecutive samples, so their bit patterns carry long constant
+    runs and a few STRUCTURALLY hot band keys (all-zeros/all-ones)
+    emerge — the wider grid fixes random collisions, the cap bounds
+    the structural ones (measured 8× probe: uncapped 10.5×, cap 64 →
+    2.18×, with planted-pair recall identical at every cap; real
+    ≥256-sample image grids don't repeat samples, but the cap is the
+    correct production default regardless). FULL value oracle: hash,
+    bands, cap, and Hamming replay in SQL at 256 bits.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     variants = docs.select(
@@ -1452,7 +1470,9 @@ def mm_phash_dedup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(text, 'e', 'f')").alias("text"),
     )
     corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
-    return multimodal.phash_pairs(corpus, max_hamming=6, n_bits=256)
+    return multimodal.phash_pairs(
+        corpus, max_hamming=6, n_bits=256, max_band_bucket=64
+    )
 
 
 

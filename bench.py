@@ -221,6 +221,7 @@ HEADLINE = (
     "mm_audio_landmarks",
     "mm_scene_signatures",
     "stream_late_data",
+    "q_bfs_hops",
 )
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["bfs_hops", "pagerank"]
 
 
 def pagerank(
@@ -126,3 +126,51 @@ def pagerank(
         if i % 2 == 1 or i == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS distances up to ``max_hops``: the minimum hop
+    count from ANY source to each reachable node — the k-hop
+    reachability primitive (influence radius, crawl frontier, link
+    neighborhoods) the rank/triangle operators don't cover.
+
+    Frontier iteration: each round joins only the CURRENT frontier
+    (≤ |V| rows) against the edge table — never paths — so work per
+    round is one |frontier|-keyed shuffle join; nodes already
+    discovered are anti-joined away, which both deduplicates and makes
+    first-discovery = minimum hops by construction. The frontier is
+    eagerly checkpointed per round (truncates lineage; a BFS plan
+    would otherwise deepen exponentially) and the loop exits early on
+    an empty frontier, so dense graphs (everything within 2 hops)
+    never pay for the full ``max_hops``. Emits ``(node, hops)``;
+    nodes beyond ``max_hops`` are absent — the SAME bound the
+    oracle's recursive CTE applies, which is what keeps a cyclic
+    dense graph's path enumeration finite on the SQL side.
+    """
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -66,6 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_audio_landmarks",
     "mm_scene_signatures",
     "stream_late_data",
+    "q_bfs_hops",
     # (c) r6-evidence padding (registration order) to reach 50
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -73,7 +74,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_star_series",
     "ind_star_observation",
     "dedup_exact",
-    "q12_priority_class",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

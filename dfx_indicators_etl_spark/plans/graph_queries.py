@@ -222,3 +222,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "q_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE trade AS ({TRADE_EDGE_SQL}),
+    sources AS (
+        SELECT n_name AS node
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    reach(node, hops) AS (
+        SELECT node, 0 FROM sources
+        UNION
+        SELECT t.dst, r.hops + 1
+        FROM reach r JOIN trade t ON t.src = r.node
+        WHERE r.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop reachability (BFS distances) over the
+    DIRECTED nation trade graph, from every EUROPE nation — the
+    influence-radius / crawl-frontier primitive the rank and triangle
+    operators don't cover (``operators.graph.bfs_hops``).
+
+    Frontier iteration joins only the ≤|V|-row frontier per round
+    (never paths), anti-joins discovered nodes (first discovery =
+    minimum hops), checkpoints each frontier, and exits early when a
+    round discovers nothing — on this dense trade graph that is
+    round 2 or 3, not ``BFS_MAX_HOPS``. FULL value oracle: a
+    recursive CTE with the same hop bound (which also keeps the
+    cyclic graph's SQL path enumeration finite) and MIN(hops)
+    reduction.
+    """
+    supplier, lineitem, orders, customer, nation, region = read_tables(
+        spark, sf_dir,
+        "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    supp = F.broadcast(
+        supplier.join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    cust = F.broadcast(
+        customer.join(
+            nation, F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    trade = (
+        lineitem.select("l_suppkey", "l_orderkey")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sources = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_name").alias("node"))
+    )
+    from ..operators.graph import bfs_hops
+
+    return bfs_hops(trade, sources, max_hops=BFS_MAX_HOPS).select(
+        "node", F.col("hops").cast("int").alias("hops")
+    )

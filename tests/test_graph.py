@@ -81,3 +81,47 @@ def test_nation_query_shape(spark, sf_dir):
     total = sum(r["pagerank"] for r in rows)
     assert total == pytest.approx(1.0, abs=1e-4)  # post-rounding drift only
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_bfs_hops_hand_built(spark):
+    """Chain + cycle + unreachable node: minimum hops from a
+    multi-source set, the max_hops bound, and first-discovery
+    semantics on a cycle."""
+    from pyspark.sql import functions as F
+
+    from dfx_indicators_etl_spark.operators.graph import bfs_hops
+
+    # a -> b -> c -> d -> e (chain), c -> a (cycle), z isolated,
+    # s2 -> d (second source shortcut)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "a"),
+         ("s2", "d")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("a",), ("s2",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, sources, max_hops=4).collect()
+    }
+    # d: min(3 via chain, 1 via s2) = 1; e via d = 2; cycle back to a
+    # never re-labels the source (first discovery wins)
+    assert got == {"a": 0, "s2": 0, "b": 1, "c": 2, "d": 1, "e": 2}
+    # max_hops truncation: from a only, e is 4 hops away
+    got_a = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            edges, spark.createDataFrame([("a",)], "node string"),
+            max_hops=3,
+        ).collect()
+    }
+    assert "e" not in got_a and got_a["d"] == 3
+    # early exit: a single edge graph stops after round 1
+    tiny = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got_t = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            tiny, spark.createDataFrame([("x",)], "node string"),
+            max_hops=10,
+        ).collect()
+    }
+    assert got_t == {"x": 0, "y": 1}

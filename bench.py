@@ -222,6 +222,7 @@ HEADLINE = (
     "mm_scene_signatures",
     "stream_late_data",
     "q_bfs_hops",
+    "q_cheapest_path",
 )
 
 

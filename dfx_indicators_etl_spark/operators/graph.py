@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bfs_hops", "pagerank"]
+__all__ = ["bfs_hops", "cheapest_path_hops", "pagerank"]
 
 
 def pagerank(
@@ -173,4 +173,56 @@ def bfs_hops(
             break
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    return dist
+
+
+def cheapest_path_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "w",
+) -> DataFrame:
+    """Bounded-hop multi-source cheapest path — ``max_hops`` rounds of
+    Bellman–Ford relaxation: after round k, ``cost(v)`` is the exact
+    minimum total edge cost over paths of ≤ k edges from any source.
+    The weighted twin of ``bfs_hops`` (route cost, not hop count);
+    the hop bound is what makes the problem finite on cyclic graphs
+    and is shared verbatim by the recursive-CTE oracle.
+
+    Costs must be non-negative integers (exact min/sum on both
+    engines — derive them from DECIMAL measures scaled to integers).
+    Each round joins the FULL |V|-sized distance table against the
+    edge table (one keyed shuffle join; Bellman–Ford's relax-all
+    round, which is what matches the ≤-k-edges semantics), re-takes
+    the per-node min, checkpoints, and exits early when no cost
+    improved. Emits ``(node, cost)``; nodes unreachable within
+    ``max_hops`` are absent.
+    """
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        cand = dist.join(edges, dist["node"] == edges[src]).select(
+            F.col(dst).alias("node"),
+            (F.col("cost") + F.col(cost).cast("bigint")).alias("cost"),
+        )
+        new_dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        improved = new_dist.join(
+            dist.withColumnRenamed("cost", "__old"), "node", "left"
+        ).filter(
+            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+        )
+        if improved.isEmpty():
+            break
+        dist = new_dist
     return dist

@@ -67,13 +67,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_scene_signatures",
     "stream_late_data",
     "q_bfs_hops",
+    "q_cheapest_path",
     # (c) r6-evidence padding (registration order) to reach 50
     "q1_pricing_summary",
     "q3_shipping_priority",
     "ind_upsert",
     "ind_star_series",
     "ind_star_observation",
-    "dedup_exact",
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

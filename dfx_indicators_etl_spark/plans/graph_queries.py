@@ -301,3 +301,91 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(trade, sources, max_hops=BFS_MAX_HOPS).select(
         "node", F.col("hops").cast("int").alias("hops")
     )
+
+
+@query(
+    "q_cheapest_path",
+    oracle=f"""
+    WITH RECURSIVE trade AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+                   AS BIGINT) AS w
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2
+    ),
+    sources AS (
+        SELECT n_name AS node
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    walk(node, cost, hops) AS (
+        SELECT node, CAST(0 AS BIGINT), 0 FROM sources
+        UNION
+        SELECT t.dst, w.cost + t.w, w.hops + 1
+        FROM walk w JOIN trade t ON t.src = w.node
+        WHERE w.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
+    """,
+)
+def q_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop cheapest route through the trade network from the
+    AMERICA nations, each leg priced at its cheapest observed shipment
+    (exact integer cost: min DECIMAL price × 10⁴) — the weighted twin
+    of ``q_bfs_hops`` (``operators.graph.cheapest_path_hops``,
+    Bellman–Ford relaxation rounds).
+
+    Integer costs make min/sum exact on both engines; the recursive-
+    CTE oracle shares the hop bound (finite on the cyclic graph) and
+    reduces with the same MIN. Each round is one |V|-keyed shuffle
+    join + per-node min, with early exit once no cost improves.
+    """
+    supplier, lineitem, orders, customer, nation, region = read_tables(
+        spark, sf_dir,
+        "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    from .numeric import dec
+
+    supp = F.broadcast(
+        supplier.join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    cust = F.broadcast(
+        customer.join(
+            nation, F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    trade = (
+        lineitem.select("l_suppkey", "l_orderkey", "l_extendedprice")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            (F.min(dec(F.col("l_extendedprice"))) * 10000)
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    sources = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_name").alias("node"))
+    )
+    from ..operators.graph import cheapest_path_hops
+
+    return cheapest_path_hops(trade, sources, max_hops=BFS_MAX_HOPS)

@@ -125,3 +125,29 @@ def test_bfs_hops_hand_built(spark):
         ).collect()
     }
     assert got_t == {"x": 0, "y": 1}
+
+
+def test_cheapest_path_hops_hand_built(spark):
+    """Cheaper-but-longer routes win within the hop bound; outside it
+    the expensive direct edge stands; relaxation handles the diamond."""
+    from dfx_indicators_etl_spark.operators.graph import cheapest_path_hops
+
+    # a -(10)-> d direct; a -(1)-> b -(1)-> c -(1)-> d cheap detour;
+    # diamond: a -(2)-> e, b -(1)-> e
+    edges = spark.createDataFrame(
+        [("a", "d", 10), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+         ("a", "e", 2), ("b", "e", 1)],
+        "src string, dst string, w long",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["cost"]
+        for r in cheapest_path_hops(edges, src, max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 2}
+    # with only 1 hop allowed, the expensive direct edge is the best d
+    got1 = {
+        r["node"]: r["cost"]
+        for r in cheapest_path_hops(edges, src, max_hops=1).collect()
+    }
+    assert got1 == {"a": 0, "b": 1, "d": 10, "e": 2}

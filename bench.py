@@ -223,6 +223,9 @@ HEADLINE = (
     "stream_late_data",
     "q_bfs_hops",
     "q_cheapest_path",
+    "q_bitmap_distinct",
+    "q_cumulative_distinct",
+    "q_ks_drift",
 )
 
 

@@ -2162,3 +2162,224 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS d
+        FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               COUNT(DISTINCT user_id) AS m
+        FROM events GROUP BY 1
+    )
+    SELECT w.week AS week,
+           CAST(w.m AS BIGINT) AS weekly_distinct,
+           CAST(s.sd AS BIGINT) AS sum_daily_distinct
+    FROM weekly w
+    JOIN (SELECT week, SUM(d) AS sd FROM daily GROUP BY week) s
+      ON w.week = s.week
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user rollup via mergeable bitmaps — the
+    re-aggregatable COUNT(DISTINCT) pattern for 100 TB cubes.
+
+    COUNT(DISTINCT) is not re-aggregatable: weekly distincts cannot be
+    summed from daily distincts, so naive pipelines re-scan the raw
+    fact for every rollup grain. The bitmap shape fixes this the way
+    production OLAP stores (Druid/ClickHouse/roaring-bitmap cubes) do:
+    bucket each user_id into an int64 word (``user_id >> 6``) and a
+    bit (``user_id % 64``), OR the bits per (day, bucket) — one
+    map-side-combinable ``bit_or`` aggregate over the fact — then any
+    coarser grain merges the *bitmaps* (another ``bit_or``, input size
+    = #buckets, not #events) and pops counts with ``bit_count``. The
+    raw fact is scanned exactly once; every further rollup works on
+    day×bucket words. All pure codegen integer ops, no UDFs.
+
+    The oracle recomputes both grains with literal COUNT(DISTINCT) —
+    an independent method, so a hash match proves the bitmap
+    mechanics (bucketing, OR-merge, popcount) exact.
+
+    Reference anchor: the reference's indicator aggregation re-scans
+    observations per grain (src/dfx_etl/pipelines — pandas groupby
+    per call); this is the scale-out replacement.
+    """
+    from ..sources import read_table
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    words = e.groupBy(
+        "week",
+        "day",
+        F.shiftright(F.col("user_id"), 6).alias("bkt"),
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").alias("word")
+    )
+    daily = words.groupBy("week", "day").agg(
+        F.sum(F.bit_count("word")).alias("d")
+    )
+    sum_daily = daily.groupBy("week").agg(
+        F.sum("d").cast("bigint").alias("sum_daily_distinct")
+    )
+    weekly = (
+        words.groupBy("week", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("weekly_distinct"))
+    )
+    return weekly.join(sum_daily, "week").select(
+        "week", "weekly_distinct", "sum_daily_distinct"
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY day
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day (cumulative reach curve).
+
+    A running COUNT(DISTINCT) window is unsupported (and would be
+    quadratic anyway); the exact reformulation is first-occurrence
+    attribution: each user contributes to the day of their MIN(day) —
+    one map-side-combinable min-aggregate over the fact — then the
+    running sum of per-day new-user counts IS the cumulative distinct
+    count. The fact shuffles once on user_id; the window runs over the
+    per-day frame, whose cardinality is the calendar (bounded by days,
+    not events — the single-task window is safe at any fact scale).
+    """
+    from ..sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH v AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT value, SUM(ia) AS a_cnt, SUM(1 - ia) AS b_cnt
+        FROM v GROUP BY value
+    ),
+    c AS (
+        SELECT SUM(a_cnt) OVER w AS ca, SUM(b_cnt) OVER w AS cb
+        FROM g WINDOW w AS (
+            ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    ),
+    t AS (SELECT SUM(a_cnt) AS n_a, SUM(b_cnt) AS n_b FROM g)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(ca * n_b - cb * n_a)) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               AS ks_stat
+    FROM c, t GROUP BY n_a, n_b
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distribution-drift statistic,
+    exact — the data-quality gate for "did this feed's value
+    distribution shift between cohorts/snapshots".
+
+    KS = max |F_a(x) - F_b(x)| over the pooled support. Computed with
+    NO floating CDFs: per distinct value the two cohort counts, then
+    running sums, and the sup-difference as the exact integer
+    ``max |cum_a·n_b - cum_b·n_a|`` (cross-multiplied to avoid
+    division); the only doubles are the final reported quotient.
+    The running sums ride ``operators.scale.global_running_sum`` —
+    plain window at dimension-like support sizes, the range-partition
+    + control-plane-offset two-phase above its threshold — so the
+    sort never funnels a 10⁹-value support through one task.
+    """
+    from ..operators.scale import global_running_sum
+    from ..sources import read_table
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = (
+        e.select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("ia"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("ia").alias("a_cnt"),
+            F.sum(1 - F.col("ia")).alias("b_cnt"),
+        )
+    )
+    n = g.count()
+    c = global_running_sum(
+        g, "a_cnt", [F.col("value")], "ca", n_rows=n
+    )
+    c = global_running_sum(
+        c, "b_cnt", [F.col("value")], "cb", n_rows=n
+    )
+    totals = g.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
+    )
+    d = (
+        c.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("dd"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("dd").alias("d_num"))
+    )
+    return d.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -1,0 +1,104 @@
+"""Round-9 additions: bitmap distinct rollup, cumulative distinct,
+exact KS drift — hand-checkable math + distributed == exact pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dfx_indicators_etl_spark.plans import QUERIES
+from dfx_indicators_etl_spark.sources import read_table
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The bitmap rollup's weekly pops must equal literal
+    COUNT(DISTINCT) at both grains, and merged-weekly <= sum-of-daily
+    (the whole point: re-aggregation dedups repeat users)."""
+    out = {r["week"]: r for r in QUERIES["q_bitmap_distinct"](spark, sf_dir).collect()}
+    e = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+    )
+    exact = {
+        r["week"]: r["d"]
+        for r in e.groupBy("week")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for wk, row in out.items():
+        assert row["weekly_distinct"] == exact[wk]
+        assert row["weekly_distinct"] <= row["sum_daily_distinct"]
+
+
+def test_bitmap_distinct_hand_case(spark):
+    """3 users on 2 days, one returning: daily 2+2=4, merged 3."""
+    rows = [("2024-01-01", 0), ("2024-01-01", 65), ("2024-01-02", 65), ("2024-01-02", 130)]
+    df = spark.createDataFrame(rows, "day string, user_id long").select(
+        F.col("day").cast("date").alias("day"), "user_id"
+    )
+    words = df.groupBy(
+        "day", F.shiftright("user_id", 6).alias("bkt")
+    ).agg(F.expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").alias("word"))
+    daily = words.groupBy("day").agg(F.sum(F.bit_count("word")).alias("d"))
+    assert sorted(r["d"] for r in daily.collect()) == [2, 2]
+    merged = (
+        words.groupBy("bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .agg(F.sum(F.bit_count("word")).alias("m"))
+    )
+    assert merged.collect()[0]["m"] == 3
+
+
+def test_cumulative_distinct_monotone_and_total(spark, sf_dir):
+    rows = QUERIES["q_cumulative_distinct"](spark, sf_dir).orderBy("day").collect()
+    total = (
+        read_table(spark, sf_dir, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_users"] == total
+    cum = 0
+    for r in rows:
+        assert r["n_new"] >= 1
+        cum += r["n_new"]
+        assert r["cum_users"] == cum
+
+
+def test_ks_drift_matches_python_model(spark, sf_dir):
+    """Exact integer KS numerator equals a brute-force two-sample KS
+    computed in Python over the collected values."""
+    [row] = QUERIES["q_ks_drift"](spark, sf_dir).collect()
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r["value"] for r in e if r["event_type"] == "purchase")
+    b = sorted(r["value"] for r in e if r["event_type"] == "click")
+    n_a, n_b = len(a), len(b)
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, x) * n_b - bisect.bisect_right(b, x) * n_a)
+        for x in support
+    )
+    assert row["d_num"] == d_num
+    assert abs(row["ks_stat"] - d_num / (n_a * n_b)) < 1e-6
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    """KS of a distribution against itself is 0 (sanity anchor)."""
+    from dfx_indicators_etl_spark.operators.scale import global_running_sum
+
+    rows = [(float(i % 7), 1, 1) for i in range(50)]
+    g = (
+        spark.createDataFrame(rows, "value double, a_cnt long, b_cnt long")
+        .groupBy("value")
+        .agg(F.sum("a_cnt").alias("a_cnt"), F.sum("b_cnt").alias("b_cnt"))
+    )
+    c = global_running_sum(g, "a_cnt", [F.col("value")], "ca", n_rows=7)
+    c = global_running_sum(c, "b_cnt", [F.col("value")], "cb", n_rows=7)
+    d = c.select(F.max(F.abs(F.col("ca") - F.col("cb"))).alias("d")).collect()
+    assert d[0]["d"] == 0

@@ -226,6 +226,9 @@ HEADLINE = (
     "q_bitmap_distinct",
     "q_cumulative_distinct",
     "q_ks_drift",
+    "q_dpp_prune",
+    "q_bloom_prefilter_join",
+    "sink_zorder_layout",
 )
 
 

@@ -21,6 +21,10 @@ __all__ = [
     "global_ntile",
     "global_running_sum",
     "histogram_percentiles",
+    "bloom_words",
+    "bloom_prefilter",
+    "zorder_value",
+    "zorder_scaled",
     "REAGG",
 ]
 
@@ -344,3 +348,170 @@ def histogram_percentiles(
             .alias(name)
         )
     return cum.groupBy(*groups).agg(*aggs)
+
+
+def bloom_words(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as a word table —
+    the engine-level runtime row filter for fact-vs-selective-dim
+    joins.
+
+    At 100 TB the expensive part of ``fact JOIN selective_keys`` is
+    shuffling the whole fact; a Bloom filter built from the selective
+    side and broadcast to the fact scan drops non-matching rows
+    BEFORE the exchange (Spark's own `spark.sql.optimizer.
+    runtimeFilter.bloomFilter` does exactly this when statistics
+    cooperate; this operator is the explicit, deterministic version
+    the engine controls — and its md5 bit positions replay in any
+    engine, per the portable-hash convention).
+
+    Representation: ``n_bits`` bits packed into int64 words, emitted
+    as ``(idx BIGINT, word BIGINT)`` rows — at the default 2¹⁷ bits
+    that is ≤2048 rows regardless of key count, always broadcastable.
+    Bit positions come from ``n_hashes`` independent md5 streams
+    (``conv(substr(md5(key:j)))``), map-side-combinable ``bit_or``
+    builds the words.
+
+    False positives only (rate ≈ (1-e^{-kn/m})^k); NEVER false
+    negatives — callers re-verify with the exact join, so results
+    are identical to the unfiltered plan (the oracle equality in
+    ``q_bloom_prefilter_join`` is the proof).
+    """
+    positions = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(j)))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+        ).alias("p")
+        for j in range(n_hashes)
+    ]
+    exploded = keys.select(
+        F.explode(F.array(*positions)).alias("p")
+    )
+    return exploded.groupBy(
+        F.shiftright(F.col("p"), 6).alias("idx")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("word")
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key_col`` MAY be in the Bloom
+    filter built by :func:`bloom_words` (same ``n_bits``/``n_hashes``).
+
+    Each probe is a broadcast join of the ≤2048-row word table on the
+    word index plus a codegen'd bit test; a row survives only if ALL
+    ``n_hashes`` bits are set. Join order keeps the fact scan narrow:
+    the fact never shuffles — every probe join broadcasts the words.
+    """
+    out = fact
+    for j in range(n_hashes):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(j)))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+        )
+        b = bloom.select(
+            F.col("idx").alias(f"__bf_idx_{j}"),
+            F.col("word").alias(f"__bf_word_{j}"),
+        )
+        out = (
+            out.withColumn(f"__bf_p_{j}", pos)
+            .join(
+                F.broadcast(b),
+                F.shiftright(F.col(f"__bf_p_{j}"), 6)
+                == F.col(f"__bf_idx_{j}"),
+                "inner",
+            )
+            .filter(
+                F.expr(
+                    f"(__bf_word_{j} >> CAST(__bf_p_{j} % 64 AS INT)) & 1"
+                )
+                == 1
+            )
+            .drop(f"__bf_p_{j}", f"__bf_idx_{j}", f"__bf_word_{j}")
+        )
+    return out
+
+
+def zorder_value(a_col: str, b_col: str, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative integer columns (given by NAME — the fold references
+    them inside a SQL lambda) — the multi-dimensional clustering key
+    for data-skipping layouts.
+
+    Sorting a table by ``zorder_value("x", "y")`` before writing makes
+    parquet file/row-group min-max ranges tight in BOTH x and y, so a
+    filter on EITHER dimension prunes files — the property a 1-D sort
+    only gives its own column. Pure codegen: a higher-order fold over
+    ``sequence(0, bits-1)`` OR-ing ``((a>>i)&1) << 2i`` and
+    ``((b>>i)&1) << 2i+1`` — constant-size generated code at any
+    width (the §4 fold rule), built as one SQL expression because
+    SQL's ``shiftleft`` takes an expression shift where the Python
+    builtin only takes an int literal.
+    """
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc | shiftleft(shiftright(CAST({a_col} AS BIGINT), i) & 1, 2 * i)"
+        f" | shiftleft(shiftright(CAST({b_col} AS BIGINT), i) & 1, 2 * i + 1)"
+        ")"
+    )
+
+
+def zorder_scaled(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bits: int = 16,
+    out_col: str = "z",
+) -> DataFrame:
+    """Attach a Z-order key over MIN-MAX-NORMALIZED dimensions.
+
+    Raw interleave weights dimensions by their absolute magnitude: a
+    0–10⁶ key's high bits dominate a 0–100 key's entirely, collapsing
+    the curve back to a 1-D sort. Production z-ordering therefore
+    normalizes each dimension to the full bit range first (Delta/
+    Iceberg use range-partition ids for the same reason). Here:
+    ``x_scaled = x * (2^bits - 1) div max(x)`` — exact integer
+    arithmetic, the maxes computed in-plan as a 1-row broadcast
+    aggregate (no driver collect)."""
+    top = (1 << bits) - 1
+    maxes = df.agg(
+        F.max(a_col).alias("__z_amax"), F.max(b_col).alias("__z_bmax")
+    )
+    scaled = df.crossJoin(F.broadcast(maxes)).select(
+        "*",
+        F.expr(
+            f"CAST({a_col} * {top} DIV greatest(__z_amax, 1) AS BIGINT)"
+        ).alias("__z_a"),
+        F.expr(
+            f"CAST({b_col} * {top} DIV greatest(__z_bmax, 1) AS BIGINT)"
+        ).alias("__z_b"),
+    )
+    return scaled.withColumn(
+        out_col, zorder_value("__z_a", "__z_b", bits=bits)
+    ).drop("__z_a", "__z_b", "__z_amax", "__z_bmax")

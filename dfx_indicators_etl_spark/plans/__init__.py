@@ -8,6 +8,7 @@ from . import analytics_ext  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
 from . import indicator_queries  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
@@ -68,12 +69,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_late_data",
     "q_bfs_hops",
     "q_cheapest_path",
+    "q_bitmap_distinct",
+    "q_cumulative_distinct",
+    "q_ks_drift",
+    "q_dpp_prune",
+    "q_bloom_prefilter_join",
+    # sink_zorder_layout is key #51 — first in line for the r10 window
+    # (the driver samples exactly 50; the full r5 cohort outranks it)
+    "sink_zorder_layout",
     # (c) r6-evidence padding (registration order) to reach 50
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "ind_upsert",
-    "ind_star_series",
-    "ind_star_observation",
+    # (new r9 keys displaced q1_pricing_summary / q3_shipping_priority /
+    # ind_upsert / ind_star_series / ind_star_observation / and one more
+    # r6 key from the padding; their evidence is r6-fresh already)
     # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]

@@ -229,6 +229,7 @@ HEADLINE = (
     "q_dpp_prune",
     "q_bloom_prefilter_join",
     "sink_zorder_layout",
+    "dedup_cc_largestar",
 )
 
 

@@ -214,6 +214,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cc_largestar",
+    oracle=_CLUSTERS_CTE_SQL + "SELECT doc_id, cluster_id FROM clusters",
+)
+def dedup_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters via alternating large-star/small-star
+    contraction (Kiveris et al., SoCC'14) — the second, shuffle-
+    bounded connected-components algorithm
+    (``operators.dedup.connected_components_star``).
+
+    Identical result contract to ``dedup_clusters`` (component-min
+    labels over the same exact-Jaccard pair graph) and the SAME
+    recursive-CTE oracle — one spec, two independent distributed
+    algorithms, both value-oracled. Star contraction rewrites the
+    edge list itself toward a star forest (per round: one node-keyed
+    min-aggregate + one node-keyed join, edge count non-increasing
+    after dedup), so deep components converge without carrying a
+    |V|-row label table through every round — the published
+    MapReduce-CC recipe, picked over label propagation when
+    components are long chains rather than near-dup cliques.
+    """
+    pairs = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.2, max_shingle_freq=None
+    )
+    return dedup.connected_components_star(pairs)
+
+
+@query(
     "dedup_survivors",
     oracle=_CLUSTERS_CTE_SQL
     + """

@@ -230,6 +230,7 @@ HEADLINE = (
     "q_bloom_prefilter_join",
     "sink_zorder_layout",
     "dedup_cc_largestar",
+    "ind_ewma",
 )
 
 

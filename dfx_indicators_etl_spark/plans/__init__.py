@@ -78,6 +78,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (the driver samples exactly 50; the full r5 cohort outranks it)
     "sink_zorder_layout",
     "dedup_cc_largestar",
+    "ind_ewma",
     # (c) r6-evidence padding (registration order) to reach 50
     # (new r9 keys displaced q1_pricing_summary / q3_shipping_priority /
     # ind_upsert / ind_star_series / ind_star_observation / and one more

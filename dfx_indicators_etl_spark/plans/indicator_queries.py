@@ -1262,3 +1262,66 @@ def ind_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.round(F.col("d_mean") / F.col("g_mean"), 6).alias("seasonal_index"),
     )
+
+
+@query(
+    "ind_ewma",
+    # Spark's fold and DuckDB's list_reduce both start from the first
+    # (earliest-year) value and apply acc' = 0.25*v + 0.75*acc left to
+    # right — identical IEEE double op sequence, bit-identical result
+    # (round(…, 6) only guards the last ulp of display formatting).
+    oracle=f"""
+    WITH series AS ({SERIES_SQL}),
+    arr AS (
+        SELECT indicator_name, country_code,
+               list(value ORDER BY year) AS vs,
+               COUNT(*) AS n_years,
+               MAX(year) AS last_year
+        FROM series WHERE value IS NOT NULL
+        GROUP BY indicator_name, country_code
+    )
+    SELECT indicator_name, country_code,
+           CAST(n_years AS BIGINT) AS n_years,
+           CAST(last_year AS INT) AS last_year,
+           round(list_reduce(vs, (acc, v) -> 0.25 * v + 0.75 * acc), 6)
+               AS ewma
+    FROM arr
+    """,
+)
+def ind_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per indicator series —
+    the smoothing an indicator dashboard shows next to the raw line
+    (α = 0.25, an exact binary fraction so neither engine rounds the
+    coefficient itself).
+
+    EWMA is a sequential recurrence (s_t = α·v_t + (1-α)·s_{t-1}),
+    which a distributed engine handles by scoping the sequence to its
+    natural unit: one (indicator, country) series, whose length is
+    the YEAR RANGE of the panel (decades, not rows) — so
+    ``collect_list`` per group is bounded state exactly like the
+    reference's per-series pandas ops (src/dfx_etl pipelines operate
+    per-indicator-frame). The fold itself is a pure-codegen
+    ``aggregate`` over the year-sorted value array, seeded with the
+    first value; the oracle replays the identical left fold with
+    DuckDB's ``list_reduce``, so the doubles match bit-for-bit (same
+    op sequence, same IEEE semantics — the portable-fold convention).
+    """
+    series = _series(spark, sf_dir).filter(F.col("value").isNotNull())
+    arr = series.groupBy("indicator_name", "country_code").agg(
+        F.array_sort(F.collect_list(F.struct("year", "value"))).alias("yv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+        F.max("year").cast("int").alias("last_year"),
+    )
+    vs = F.transform(F.col("yv"), lambda x: x["value"])
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, v: F.lit(0.25) * v + F.lit(0.75) * acc,
+    )
+    return arr.select(
+        "indicator_name",
+        "country_code",
+        "n_years",
+        "last_year",
+        F.round(ewma, 6).alias("ewma"),
+    )

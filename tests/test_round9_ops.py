@@ -159,3 +159,50 @@ def test_cc_star_single_edge_and_self_loop(spark):
     }
     # self-loops are dropped; the 3-7 pair labels both with min=3
     assert got == {(3, 3), (7, 3)}
+
+
+def test_ewma_matches_python_recurrence(spark, sf_dir):
+    """The in-plan fold equals the literal s_t = 0.25 v_t + 0.75 s_{t-1}
+    recurrence computed in Python over the same series."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.plans.indicator_queries import _series
+
+    out = {
+        (r["indicator_name"], r["country_code"]): r
+        for r in QUERIES["ind_ewma"](spark, sf_dir).collect()
+    }
+    series = {}
+    for r in (
+        _series(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .orderBy("year")
+        .collect()
+    ):
+        series.setdefault(
+            (r["indicator_name"], r["country_code"]), []
+        ).append(r["value"])
+    assert set(out) == set(series)
+    for k, vals in series.items():
+        s = vals[0]
+        for v in vals[1:]:
+            s = 0.25 * v + 0.75 * s
+        assert out[k]["ewma"] == round(s, 6), (k, out[k]["ewma"], s)
+        assert out[k]["n_years"] == len(vals)
+
+
+def test_ewma_single_point_is_identity(spark):
+    """A one-observation series: EWMA == the value (fold seed only)."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(2020, 3.5)], "year int, value double")
+    vs = F2.transform(
+        F2.array_sort(F2.collect_list(F2.struct("year", "value"))),
+        lambda x: x["value"],
+    )
+    ewma = F2.aggregate(
+        F2.slice(vs, 2, F2.greatest(F2.size(vs) - 1, F2.lit(0))),
+        F2.element_at(vs, 1),
+        lambda acc, v: F2.lit(0.25) * v + F2.lit(0.75) * acc,
+    )
+    [r] = df.agg(ewma.alias("e")).collect()
+    assert r["e"] == 3.5

@@ -231,6 +231,7 @@ HEADLINE = (
     "sink_zorder_layout",
     "dedup_cc_largestar",
     "ind_ewma",
+    "ind_benford",
 )
 
 

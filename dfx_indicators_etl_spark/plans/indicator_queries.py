@@ -1325,3 +1325,96 @@ def ind_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_year",
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+# Benford P(d) = log10(1 + 1/d), pre-evaluated to 12 decimals so both
+# engines compare against the SAME literals — never against each
+# libm's log10 (last-ulp divergence would break the value hash).
+_BENFORD_P = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+@query(
+    "ind_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(regexp_extract(
+                   CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR), '[1-9]')
+               AS INTEGER) AS digit
+        FROM events WHERE value > 0
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n_obs FROM digits
+        WHERE digit IS NOT NULL GROUP BY digit
+    ),
+    t AS (SELECT SUM(n_obs) AS n FROM counts),
+    bp(digit, p) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P.items())})
+    SELECT bp.digit AS digit,
+           CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           round(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / t.n, 6) AS obs_share,
+           round(CAST(bp.p AS DOUBLE), 6) AS benford_share,
+           round(abs(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / t.n
+                     - CAST(bp.p AS DOUBLE)), 6)
+               AS abs_dev
+    FROM bp LEFT JOIN counts c ON bp.digit = c.digit CROSS JOIN t
+    """,
+)
+def ind_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over a measure —
+    the classic fabricated-/corrupted-feed tripwire a data-quality
+    gate runs next to null/range checks (``ind_validate``).
+
+    The first significant digit is extracted PORTABLY: the measure is
+    cast to exact DECIMAL(18,4) and the first [1-9] of its canonical
+    string taken — never ``floor(v / 10^floor(log10 v))``, whose libm
+    log10 can differ in the last ulp between engines and flip a
+    boundary digit. Expected shares are pre-evaluated literals for
+    the same reason. One combinable 9-group aggregate over the fact;
+    the 9-row Benford table joins broadcast-style. All digits 1-9 are
+    emitted even at zero count (LEFT join from the constant table).
+    """
+    events = read_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.regexp_extract(
+        F.col("value").cast("decimal(18,4)").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        events.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    bp = events.sparkSession.createDataFrame(
+        sorted(_BENFORD_P.items()), "digit int, p double"
+    )
+    t = counts.agg(F.sum("n_obs").alias("n"))
+    return (
+        bp.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            F.round(
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("obs_share"),
+            F.round(F.col("p"), 6).alias("benford_share"),
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+                    / F.col("n")
+                    - F.col("p")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )

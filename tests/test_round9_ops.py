@@ -206,3 +206,39 @@ def test_ewma_single_point_is_identity(spark):
     )
     [r] = df.agg(ewma.alias("e")).collect()
     assert r["e"] == 3.5
+
+
+def test_benford_shares_sum_to_one_and_synthetic_benford(spark, sf_dir):
+    """Digit shares sum to 1; a synthetic exactly-Benford-weighted
+    sample lands each digit's count on its expected share."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.plans.indicator_queries import _BENFORD_P
+
+    rows = QUERIES["ind_benford"](spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(_BENFORD_P.values()) - 1.0) < 1e-9
+
+    # synthetic: 10000 values with digit d appearing round(P(d)*10000)x
+    import itertools
+
+    vals = list(
+        itertools.chain.from_iterable(
+            [float(d)] * round(p * 10000) for d, p in _BENFORD_P.items()
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    from pyspark.sql import functions as F2
+
+    digit = F2.regexp_extract(
+        F2.col("value").cast("decimal(18,4)").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = {
+        r["digit"]: r["n"]
+        for r in df.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    for d, p in _BENFORD_P.items():
+        assert counts[d] == round(p * 10000)

@@ -112,6 +112,18 @@ PROBES = {
     "mm_phash_dedup_256": ("documents",),
     "mm_audio_landmarks": ("documents",),
     "mm_scene_signatures": ("documents",),
+    # round 9, late: bitmap rollup + KS drift are pure combinable-agg
+    # shapes (linear bound); the bloom prefilter measures build+probe
+    # at K× fact and K× key-set; DPP measures the partitioned write +
+    # pruned scan; z-order measures the range-partition sorted write;
+    # CC-star measures the edge-rewrite loop on K× docs (suffixed
+    # replicas keep the pair graph K× edges, not K²)
+    "q_bitmap_distinct": ("events",),
+    "q_ks_drift": ("events",),
+    "q_bloom_prefilter_join": ("orders", "lineitem"),
+    "q_dpp_prune": ("events",),
+    "sink_zorder_layout": ("lineitem",),
+    "dedup_cc_largestar": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

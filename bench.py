@@ -232,6 +232,8 @@ HEADLINE = (
     "dedup_cc_largestar",
     "ind_ewma",
     "ind_benford",
+    "q_attribution",
+    "stream_bitmap_distinct",
 )
 
 

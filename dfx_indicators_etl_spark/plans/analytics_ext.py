@@ -2383,3 +2383,81 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s,
+               event_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(
+                        t := CAST(date_diff('second',
+                             TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT),
+                        e := event_type)
+                    END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lt
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT coalesce(
+               CASE WHEN lt.t >= s - 7 * 86400 THEN lt.e END,
+               'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 7-day lookback — each
+    purchase credits the user's most recent click/view inside the
+    window, else 'direct'.
+
+    One per-user event-time window pass (the single shuffle), using
+    ``last(..., ignorenulls=True)`` over ``UNBOUNDED PRECEDING..1
+    PRECEDING`` so the carried struct is always the latest prior
+    touch — the same streaming-friendly shape as sessionization, and
+    the oracle replays the identical frame with DuckDB's IGNORE
+    NULLS. Timestamps reduce to epoch seconds against a fixed origin
+    (the portable-timestamp convention), ties broken by event_id so
+    both engines order identically.
+    """
+    from pyspark.sql import Window
+
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    s = (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("s")
+    seq = e.select("user_id", "event_type", "value", s, "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_struct = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(F.col("s").alias("t"), F.col("event_type").alias("e")),
+    )
+    seq = seq.withColumn("lt", F.last(touch_struct, ignorenulls=True).over(w))
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(
+            F.when(
+                F.col("lt.t") >= F.col("s") - 7 * 86400, F.col("lt.e")
+            ),
+            F.lit("direct"),
+        ).alias("touch"),
+        "value",
+    )
+    return purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )

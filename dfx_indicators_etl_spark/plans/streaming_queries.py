@@ -848,3 +848,43 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bj_orders")
         spark.sql("DROP TABLE IF EXISTS t_bj_lineitem")
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS weekly_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact distinct users per week via an append-only
+    bitmap-partial log (``streaming.incremental_bitmap_distinct``) —
+    the incremental face of ``q_bitmap_distinct``.
+
+    Events land in 6 micro-batches (maxFilesPerTrigger=1); each batch
+    appends its per-(week, bucket) OR-words and NOTHING is ever
+    rewritten: bitmap OR is idempotent and commutative, so checkpoint
+    replays and out-of-order batches converge to the same bits — the
+    CRDT merge-only state design (restart + double-append pinned in
+    tests/test_streaming_sinks.py). The oracle recomputes weekly
+    COUNT(DISTINCT) from the raw table: equality proves no batch was
+    lost, doubled, or miscounted.
+    """
+    root = _scratch("dfx_stream_bmp_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        landing = f"{root}/landing"
+        for b in range(6):
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        streaming.incremental_bitmap_distinct(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_bitmap_distinct(
+            spark, f"{root}/state"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,7 +1,9 @@
 """Structured Streaming operators (SURVEY §2.D)."""
 
 from .ops import (
+    incremental_bitmap_distinct,
     incremental_minhash_dedup,
+    read_bitmap_distinct,
     run_late_data_audit,
     stage_arrival_batches,
     read_documents_stream,
@@ -18,6 +20,8 @@ from .ops import (
 )
 
 __all__ = [
+    "incremental_bitmap_distinct",
+    "read_bitmap_distinct",
     "read_documents_stream",
     "read_events_stream",
     "incremental_minhash_dedup",

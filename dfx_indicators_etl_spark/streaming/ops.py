@@ -1319,3 +1319,82 @@ def run_available_now(
     result = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return result
+
+
+def incremental_bitmap_distinct(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming exact distinct-user accounting via an append-only
+    bitmap-partial log — the incremental face of ``q_bitmap_distinct``.
+
+    Each micro-batch reduces to per-(week, user_id>>6) int64 words
+    (one combinable ``bit_or``) and APPENDS them to ``state_dir``.
+    That is the whole state contract, and it is crash/replay-proof
+    with no transactional swap at all, because bitmap OR is
+    idempotent AND commutative: a batch appended twice (checkpoint
+    replay after a mid-drain restart), or batches landing in any
+    order, OR together to the same bits. Readers fold the log with
+    ``bit_or`` per (week, bucket) and pop ``bit_count`` — exact
+    distinct counts at any moment, no raw-event rescan. The log grows
+    by #buckets rows per batch; ``sinks.compact_dataset`` is the
+    maintenance hook (folding the log is itself an OR, so compaction
+    is safe at any time). This is the CRDT-shaped state design a
+    100 TB streaming pipeline wants: merge-only, no read-modify-write
+    race, no watermark needed for a monotone aggregate.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        words = (
+            batch_df.select(
+                F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+                F.col("user_id"),
+            )
+            .groupBy(
+                "week", F.shiftright(F.col("user_id"), 6).alias("bkt")
+            )
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+                ).alias("word")
+            )
+        )
+        words.write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"bitmap-distinct drain exceeded {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
+def read_bitmap_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the bitmap-partial log into exact weekly distinct counts."""
+    ensure_session_confs(spark)
+    words = spark.read.parquet(state_dir)
+    return (
+        words.groupBy("week", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("week")
+        .agg(
+            F.sum(F.bit_count("word")).cast("bigint").alias("weekly_distinct")
+        )
+    )

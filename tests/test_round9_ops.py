@@ -242,3 +242,47 @@ def test_benford_shares_sum_to_one_and_synthetic_benford(spark, sf_dir):
     }
     for d, p in _BENFORD_P.items():
         assert counts[d] == round(p * 10000)
+
+
+def test_attribution_matches_python_model(spark, sf_dir):
+    """Last-touch attribution vs a literal Python replay of the same
+    rule (latest prior click/view within 7 days, else direct)."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    out = {
+        r["touch"]: (r["n_purchases"], r["attributed_value"])
+        for r in QUERIES["q_attribution"](spark, sf_dir).collect()
+    }
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    from collections import defaultdict
+    from decimal import Decimal
+
+    model = defaultdict(lambda: [0, Decimal(0)])
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last = None
+        for r in evs:
+            if r["event_type"] in ("click", "view"):
+                last = r
+            elif r["event_type"] == "purchase":
+                if (
+                    last is not None
+                    and (r["ts"] - last["ts"]).total_seconds() <= 7 * 86400
+                ):
+                    t = last["event_type"]
+                else:
+                    t = "direct"
+                model[t][0] += 1
+                model[t][1] += Decimal(str(round(r["value"], 4)))
+    assert set(out) == set(model)
+    for t, (n, v) in model.items():
+        assert out[t][0] == n
+        assert abs(out[t][1] - float(v)) < 1e-6

@@ -587,3 +587,83 @@ def test_late_data_audit_restart_and_idempotence(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(f"{rs_root}/audit").collect())
     )
     assert again == ref
+
+
+def test_bitmap_distinct_stream_restart_and_double_append(spark, sf_dir):
+    """The bitmap-partial log is exactly-once WITHOUT transactions:
+    (a) a drain interrupted after k batches and resumed from the same
+    checkpoint converges to the batch answer; (b) appending one
+    batch's words TWICE (simulated checkpoint replay) changes nothing
+    — OR is idempotent."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F2
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.plans.streaming_queries import _scratch
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    want = {
+        (r["week"], r["d"])
+        for r in events.select(
+            F2.date_trunc("week", "ts").cast("date").alias("week"), "user_id"
+        )
+        .groupBy("week")
+        .agg(F2.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    root = _scratch("dfx_bmp_restart_")
+    try:
+        landing, state, ckpt = (
+            f"{root}/landing",
+            f"{root}/state",
+            f"{root}/ckpt",
+        )
+        for b in range(6):
+            events.filter(F2.pmod(F2.col("event_id"), F2.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+
+        # (a) interrupted drain: first pass sees only 3 landed batches
+        # (move 3 files out), then they "arrive" and the drain resumes
+        # from the same checkpoint.
+        import glob as _glob
+        import os as _os
+
+        files = sorted(_glob.glob(f"{landing}/part-*.parquet"))
+        held = files[3:]
+        for f in held:
+            _os.rename(f, f + ".held")
+        streaming.incremental_bitmap_distinct(spark, landing, state, ckpt)
+        for f in held:
+            _os.rename(f + ".held", f)
+        streaming.incremental_bitmap_distinct(spark, landing, state, ckpt)
+        got = {
+            (r["week"], r["weekly_distinct"])
+            for r in streaming.read_bitmap_distinct(spark, state).collect()
+        }
+        assert got == want
+
+        # (b) double-append one batch's words: counts must not move
+        one = spark.read.parquet(files[0])
+        words = (
+            one.select(
+                F2.date_trunc("week", "ts").cast("date").alias("week"),
+                "user_id",
+            )
+            .groupBy("week", F2.shiftright("user_id", 6).alias("bkt"))
+            .agg(
+                F2.expr(
+                    "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+                ).alias("word")
+            )
+        )
+        words.write.mode("append").parquet(state)
+        again = {
+            (r["week"], r["weekly_distinct"])
+            for r in streaming.read_bitmap_distinct(spark, state).collect()
+        }
+        assert again == want
+    finally:
+        _sh.rmtree(root, ignore_errors=True)

@@ -234,6 +234,8 @@ HEADLINE = (
     "ind_benford",
     "q_attribution",
     "stream_bitmap_distinct",
+    "q_growth_accounting",
+    "q_gini",
 )
 
 

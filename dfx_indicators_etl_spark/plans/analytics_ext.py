@@ -2461,3 +2461,162 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.sum(dec("value")).cast("double").alias("attributed_value"),
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week
+        FROM uw
+    ),
+    per_week AS (
+        SELECT week,
+               COUNT(*) AS n_active,
+               SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+                   AS n_new,
+               SUM(CASE WHEN date_diff('day', prev_week, week) = 7
+                   THEN 1 ELSE 0 END) AS n_retained,
+               SUM(CASE WHEN prev_week IS NOT NULL
+                        AND date_diff('day', prev_week, week) > 7
+                   THEN 1 ELSE 0 END) AS n_resurrected
+        FROM seq GROUP BY week
+    )
+    SELECT week,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(lag(n_active, 1, 0) OVER (ORDER BY week) - n_retained
+                AS BIGINT) AS n_churned
+    FROM per_week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user growth accounting — the new / retained /
+    resurrected / churned decomposition every product-analytics stack
+    reports (active[w] = new + retained + resurrected; churned[w] =
+    active[w-1] − retained[w], an exact identity).
+
+    The fact reduces to distinct (user, week) once (one shuffle),
+    then a per-user lag window classifies each active week by the gap
+    to the previous one — per-user partitions, never a global sort.
+    The final churn lag runs over the per-week frame, whose
+    cardinality is the calendar. Week gaps compare day-diffs
+    (datediff == 7), never date+interval arithmetic (whose result
+    type differs across engines).
+    """
+    from pyspark.sql import Window
+
+    from ..sources import read_table as _rt
+
+    uw = (
+        _rt(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .distinct()
+    )
+    seq = uw.withColumn(
+        "prev_week",
+        F.lag("week").over(Window.partitionBy("user_id").orderBy("week")),
+    )
+    gap = F.datediff("week", "prev_week")
+    per_week = seq.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(gap == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(F.col("prev_week").isNotNull() & (gap > 7), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    w = Window.orderBy("week")
+    return per_week.withColumn(
+        "n_churned",
+        (F.lag("n_active", 1, 0).over(w) - F.col("n_retained")).cast(
+            "bigint"
+        ),
+    )
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    ),
+    c AS (
+        SELECT r, SUM(r) OVER (ORDER BY r, s_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(r) AS DOUBLE) AS total_rev,
+           ROUND(
+             (CAST((COUNT(*) + 1) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)
+              - 2.0 * CAST(SUM(cum) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 6)
+               AS gini
+    FROM c
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of supplier revenue — the
+    inequality summary next to q_abc_analysis's Pareto classes.
+
+    Computed WITHOUT a rank: for ascending order, Σ i·x_i =
+    (n+1)·Σx − Σ cumsum_i, so Gini = ((n+1)·S − 2·T)/(n·S) needs only
+    a global running sum — which rides the runtime-adaptive
+    ``operators.scale.global_running_sum`` (plain window at supplier
+    cardinality, the range-partition two-phase above threshold). All
+    sums stay exact DECIMAL to the final double division (the decimal
+    re-cast tie hazard never arises — no intermediate quotient).
+    Entity cardinality bounds every step; the fact is reduced first.
+    """
+    from ..operators.scale import global_running_sum
+    from ..sources import read_table as _rt
+
+    li = _rt(spark, sf_dir, "lineitem")
+    sup = _rt(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.sum(dec("l_extendedprice")).alias("r"))
+    )
+    n = rev.count()
+    c = global_running_sum(
+        rev, "r", [F.col("r"), F.col("s_name")], "cum", n_rows=n
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("r").cast("double").alias("total_rev"),
+        F.round(
+            (
+                (F.count(F.lit(1)) + 1).cast("double")
+                * F.sum("r").cast("double")
+                - 2.0 * F.sum("cum").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("r").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )

@@ -286,3 +286,55 @@ def test_attribution_matches_python_model(spark, sf_dir):
     for t, (n, v) in model.items():
         assert out[t][0] == n
         assert abs(out[t][1] - float(v)) < 1e-6
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """active[w] == new + retained + resurrected for every week, and
+    churned[w] == active[w-1] - retained[w]."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["q_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r["week"],
+    )
+    prev_active = 0
+    for r in rows:
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        assert r["n_churned"] == prev_active - r["n_retained"]
+        prev_active = r["n_active"]
+    assert rows[0]["n_new"] == rows[0]["n_active"]  # week 1: all new
+
+
+def test_gini_hand_cases(spark):
+    """Gini of a uniform distribution is 0; of [1,3] it is 0.25; of a
+    single near-total-concentration vector it approaches (n-1)/n."""
+    from decimal import Decimal
+
+    from dfx_indicators_etl_spark.operators.scale import global_running_sum
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(f"e{i:03d}", Decimal(str(v))) for i, v in enumerate(vals)],
+            "s_name string, r decimal(18,4)",
+        )
+        c = global_running_sum(
+            df, "r", [F.col("r"), F.col("s_name")], "cum", n_rows=len(vals)
+        )
+        [row] = c.agg(
+            (
+                (
+                    (F.count(F.lit(1)) + 1).cast("double")
+                    * F.sum("r").cast("double")
+                    - 2.0 * F.sum("cum").cast("double")
+                )
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("r").cast("double")
+                )
+            ).alias("g")
+        ).collect()
+        return row["g"]
+
+    assert abs(gini([5, 5, 5, 5])) < 1e-12
+    assert abs(gini([1, 3]) - 0.25) < 1e-12
+    assert abs(gini([0.0001] * 9 + [10000]) - 0.9) < 1e-3

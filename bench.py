@@ -236,6 +236,7 @@ HEADLINE = (
     "stream_bitmap_distinct",
     "q_growth_accounting",
     "q_gini",
+    "sim_mips_topk",
 )
 
 

@@ -24,6 +24,8 @@ __all__ = [
     "label_centroids",
     "random_projection",
     "brute_force_topk",
+    "brute_force_mips_topk",
+    "mips_augment",
     "embedding_cosine_pairs",
     "hyperplane_lsh_topk",
     "int8_quantize_stats",
@@ -1525,3 +1527,109 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} long, projected array<float>"
     )
+
+
+def brute_force_mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k — the recommendation-model
+    retrieval semantics (user·item score), distinct from cosine: MIPS
+    rewards magnitude, so a long vector can outrank a better-aligned
+    short one.
+
+    Same partition-local-top-k shape as :func:`brute_force_topk`
+    (query batch in the closure, one BLAS matmul per Arrow batch,
+    k·|queries| rows shuffled per partition), scoring raw dot
+    products. Scores round before ranking, ties break on id — the
+    engine-stable total order that makes local top-k exact.
+    """
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = np.round(mat @ q_mat.T, decimals)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                keep = ids != qid
+                cand_ids, cand_sims = ids[keep], col[keep]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "dot": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, dot double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def mips_augment(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "aug",
+    max_norm: float | None = None,
+) -> tuple[DataFrame, float]:
+    """Norm-augmentation MIPS→cosine reduction (Bachrach et al.,
+    RecSys'14): append sqrt(M² − ‖x‖²) to every corpus vector (M =
+    max corpus norm) and 0 to queries; cosine order in the augmented
+    space equals dot-product order in the original — which lets MIPS
+    reuse ANY cosine ANN index (sim_lsh_ann / sim_ivf_ann) unchanged.
+
+    Returns (augmented frame, M). M is a 1-row aggregate collected as
+    a control-plane scalar; the append is a pure array expression.
+    Order-equivalence is pinned in tests against
+    :func:`brute_force_mips_topk` — the reduction is the SCALE path,
+    the exact operator is the contract.
+    """
+    if max_norm is None:
+        [row] = df.select(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ).alias("n")
+        ).agg(F.max("n")).collect()
+        max_norm = float(row[0])
+    sq = F.aggregate(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    extra = F.sqrt(F.greatest(F.lit(max_norm * max_norm) - sq, F.lit(0.0)))
+    out = df.withColumn(
+        out_col,
+        F.concat(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.array(extra),
+        ),
+    )
+    return out, max_norm

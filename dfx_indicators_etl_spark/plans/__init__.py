@@ -84,6 +84,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_bitmap_distinct",
     "q_growth_accounting",
     "q_gini",
+    "sim_mips_topk",
     # (c) r6-evidence padding (registration order) to reach 50
     # (new r9 keys displaced q1_pricing_summary / q3_shipping_priority /
     # ind_upsert / ind_star_series / ind_star_observation / and one more

@@ -2691,3 +2691,44 @@ def dedup_cdc_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.cdc_excise(docs.unionByName(variants))
+
+
+@query(
+    "sim_mips_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_inner_product(q.qv,
+                     CAST(e.embedding AS DOUBLE[])), 6) AS dot
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, dot, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 for the query set vec_id < 10
+    — the recommendation-retrieval semantics (user·item), distinct
+    from cosine because MIPS rewards magnitude.
+
+    Same partition-local BLAS top-k shape as sim_bruteforce_topk
+    (merge cost k·|queries| per partition, corpus-size independent).
+    The SCALE path is the norm-augmentation reduction
+    (``operators.similarity.mips_augment``): append sqrt(M²−‖x‖²) to
+    corpus vectors and 0 to queries, and cosine order in the
+    augmented space equals dot order — so MIPS reuses any cosine ANN
+    index (sim_lsh_ann / sim_ivf_ann) unchanged; the order
+    equivalence is pytest-pinned.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_mips_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )

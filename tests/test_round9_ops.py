@@ -338,3 +338,61 @@ def test_gini_hand_cases(spark):
     assert abs(gini([5, 5, 5, 5])) < 1e-12
     assert abs(gini([1, 3]) - 0.25) < 1e-12
     assert abs(gini([0.0001] * 9 + [10000]) - 0.9) < 1e-3
+
+
+def test_mips_augmentation_preserves_dot_order(spark, sf_dir):
+    """The Bachrach norm-augmentation reduction: cosine ranking in the
+    augmented space equals exact dot-product ranking — so MIPS can
+    ride any cosine ANN index."""
+    from dfx_indicators_etl_spark.operators.similarity import (
+        brute_force_mips_topk,
+        brute_force_topk,
+        mips_augment,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_mips_topk(emb, queries, k=5).collect()
+    }
+    aug_corpus, m = mips_augment(emb)
+    assert m > 0
+    # queries augmented with a literal 0 extra dim
+    aug_q = queries.withColumn(
+        "aug",
+        F.concat(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ),
+    )
+    via_cos = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(
+            aug_corpus.select("vec_id", F.col("aug").alias("embedding")),
+            aug_q.select("vec_id", F.col("aug").alias("embedding")),
+            k=5,
+            decimals=9,
+        ).collect()
+    }
+    assert via_cos == exact
+
+
+def test_mips_rewards_magnitude_where_cosine_does_not(spark):
+    """The semantic difference MIPS exists for: a longer, slightly
+    less aligned vector outranks a perfectly aligned short one."""
+    from dfx_indicators_etl_spark.operators.similarity import (
+        brute_force_mips_topk,
+        brute_force_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.5, 0.0]),        # perfectly aligned, short
+        (2, [10.0, 3.0]),       # long, slightly off-axis
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    mips1 = brute_force_mips_topk(df, q, k=1).collect()[0]["neighbor_id"]
+    cos1 = brute_force_topk(df, q, k=1).collect()[0]["neighbor_id"]
+    assert mips1 == 2 and cos1 == 1

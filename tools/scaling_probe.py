@@ -124,6 +124,14 @@ PROBES = {
     "q_dpp_prune": ("events",),
     "sink_zorder_layout": ("lineitem",),
     "dedup_cc_largestar": ("documents",),
+    # round 9, closing: per-user window pass (attribution), distinct
+    # (user,week) reduction (growth), rank-free running-sum Gini, and
+    # the BLAS MIPS top-k (replicas multiply corpus rows; query set
+    # fixed at 10)
+    "q_attribution": ("events",),
+    "q_growth_accounting": ("events",),
+    "q_gini": ("lineitem",),
+    "sim_mips_topk": ("embeddings",),
 }
 
 # per-table key columns to offset per replica — join keys offset

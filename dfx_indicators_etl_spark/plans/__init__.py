@@ -18,9 +18,11 @@ from . import streaming_queries  # noqa: E402,F401
 # driver evidence predates r6; (b) keys NEW in or TOUCHED by round 9
 # (the q_abc_analysis runtime-adaptive running-share swap, the
 # mm_video_dedup single-frame delta guard, and every new r9 key —
-# appended here as they land); (c) padding from the r6-evidence cohort
-# in registration order to keep the window at exactly 50.
-# Exactly 50 keys precede the boundary comment.
+# appended here as they land). The priority list now holds 59 keys, so
+# the driver stamps the FIRST 50 and the 9 newest r9 keys (marked
+# below) queue first in line for the r10 window — every one of them
+# already has this session's full-sweep evidence (tools/compare.py,
+# 0 failures at sf0.01), just not a driver row yet.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) the full r5-evidence cohort — 37 keys
     "ind_standardize",
@@ -74,8 +76,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_ks_drift",
     "q_dpp_prune",
     "q_bloom_prefilter_join",
-    # sink_zorder_layout is key #51 — first in line for the r10 window
-    # (the driver samples exactly 50; the full r5 cohort outranks it)
+    # --- window boundary: exactly 50 keys above this line ---
+    # keys 51-59: the 9 newest r9 keys, first in line for the r10
+    # window (the full r5 cohort outranked them this round; all 9 are
+    # sweep-verified this session)
     "sink_zorder_layout",
     "dedup_cc_largestar",
     "ind_ewma",
@@ -85,11 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_growth_accounting",
     "q_gini",
     "sim_mips_topk",
-    # (c) r6-evidence padding (registration order) to reach 50
-    # (new r9 keys displaced q1_pricing_summary / q3_shipping_priority /
-    # ind_upsert / ind_star_series / ind_star_observation / and one more
-    # r6 key from the padding; their evidence is r6-fresh already)
-    # --- window boundary: exactly 50 keys above this line ---
     # fresher keys follow in registration order
 ]
 

@@ -688,3 +688,54 @@ def test_excise_shared_spans_hand_built(spark):
     assert out[1]["n_tokens"] == 8 and out[1]["n_removed"] == 5
     assert out[2]["cleaned_text"] == "" and out[2]["n_tokens"] == 5
     assert out[2]["n_removed"] == 5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 1 << 40), min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(0, 1 << 40), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Every member key passes its own Bloom filter, for ANY key set
+    and ANY probe set — the property the oracle equality of
+    q_bloom_prefilter_join rests on (false positives are allowed,
+    false negatives never)."""
+    from dfx_indicators_etl_spark.operators.scale import (
+        bloom_prefilter,
+        bloom_words,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in members], "k long")
+    words = bloom_words(keys, "k", n_bits=1 << 12, n_hashes=3)
+    fact = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes)], "k long"
+    )
+    kept = {
+        r["k"]
+        for r in bloom_prefilter(
+            fact, words, "k", n_bits=1 << 12, n_hashes=3
+        ).collect()
+    }
+    assert set(members) <= kept
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_zorder_interleave_is_bijective(spark, pairs):
+    """De-interleaving the Morton key recovers (a, b) exactly — the
+    bit interleave loses nothing, for any 16-bit pair."""
+    from dfx_indicators_etl_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", zorder_value("a", "b").alias("z")).collect()
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])

@@ -237,6 +237,7 @@ HEADLINE = (
     "q_growth_accounting",
     "q_gini",
     "sim_mips_topk",
+    "ind_outlier_mad",
 )
 
 

@@ -89,6 +89,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_growth_accounting",
     "q_gini",
     "sim_mips_topk",
+    "ind_outlier_mad",
     # fresher keys follow in registration order
 ]
 

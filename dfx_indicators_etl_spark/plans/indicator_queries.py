@@ -1418,3 +1418,78 @@ def ind_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev"),
         )
     )
+
+
+@query(
+    "ind_outlier_mad",
+    # med/mad round to 6dp before use -> identical thresholds, exact
+    # comparisons; 1.4826 is a shared literal, never a computed
+    # constant (consistency factor for normal data).
+    oracle=f"""
+    WITH series AS ({SERIES_SQL}),
+    med AS (
+        SELECT indicator_name,
+               round(quantile_cont(value, 0.5), 6) AS med
+        FROM series WHERE value IS NOT NULL GROUP BY indicator_name
+    ),
+    dev AS (
+        SELECT s.indicator_name, s.country_code, s.year, s.value,
+               m.med, round(abs(s.value - m.med), 6) AS dev
+        FROM series s JOIN med m USING (indicator_name)
+        WHERE s.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT indicator_name,
+               round(quantile_cont(dev, 0.5), 6) AS mad
+        FROM dev GROUP BY indicator_name
+    )
+    SELECT d.indicator_name, d.country_code,
+           CAST(d.year AS INT) AS year, d.value, d.med, d.dev, m.mad,
+           (m.mad > 0 AND d.dev > 3 * 1.4826 * m.mad) AS is_outlier
+    FROM dev d JOIN mad m USING (indicator_name)
+    """,
+)
+def ind_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier QA over the indicator panel — the
+    fat-tail-proof twin of ``ind_outlier_flags``'s z-scores: one wild
+    revision inflates a z-score's own σ and hides itself, but cannot
+    move the median or the MAD.
+
+    Two panel-cardinality aggregates (median per indicator, then the
+    median absolute deviation of the residuals) broadcast back onto
+    the panel; flag = dev > 3·1.4826·MAD (the normal-consistency
+    factor as a shared literal). Percentiles follow the winsorize
+    convention — ``F.percentile`` ↔ ``quantile_cont`` with 6dp
+    rounding BEFORE every comparison, so thresholds are
+    engine-identical. At extreme group sizes the documented swap is
+    ``operators.scale.histogram_percentiles`` (bit-identical, already
+    consumed by q_winsorize's large path).
+    """
+    series = _series(spark, sf_dir).filter(F.col("value").isNotNull())
+    med = series.groupBy("indicator_name").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = series.join(F.broadcast(med), "indicator_name").select(
+        "indicator_name",
+        "country_code",
+        F.col("year").cast("int").alias("year"),
+        "value",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("indicator_name").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "indicator_name").select(
+        "indicator_name",
+        "country_code",
+        "year",
+        "value",
+        "med",
+        "dev",
+        "mad",
+        (
+            (F.col("mad") > 0)
+            & (F.col("dev") > 3 * 1.4826 * F.col("mad"))
+        ).alias("is_outlier"),
+    )

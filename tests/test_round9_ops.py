@@ -396,3 +396,37 @@ def test_mips_rewards_magnitude_where_cosine_does_not(spark):
     mips1 = brute_force_mips_topk(df, q, k=1).collect()[0]["neighbor_id"]
     cos1 = brute_force_topk(df, q, k=1).collect()[0]["neighbor_id"]
     assert mips1 == 2 and cos1 == 1
+
+
+def test_mad_outlier_robust_where_zscore_hides(spark):
+    """The property MAD exists for: one wild point inflates σ enough
+    to hide itself from a 3σ rule, but cannot move the median/MAD."""
+    import statistics
+
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 1000.0]
+    mean = statistics.mean(vals)
+    sd = statistics.pstdev(vals)
+    z_flags = [abs(v - mean) / sd > 3 for v in vals]
+    assert not any(z_flags)  # z-score misses the 1000.0
+
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    mad_flags = [abs(v - med) > 3 * 1.4826 * mad for v in vals]
+    assert mad_flags == [False] * 8 + [True]  # MAD catches it
+
+    # and the Spark expression agrees with the Python model
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    [r] = df.agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    ).collect()
+    assert r["med"] == round(med, 6)
+
+
+def test_mad_outlier_zero_mad_never_flags(spark, sf_dir):
+    """Degenerate groups (constant series -> MAD 0) flag nothing."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = QUERIES["ind_outlier_mad"](spark, sf_dir).collect()
+    for r in rows:
+        if r["mad"] == 0:
+            assert r["is_outlier"] is False

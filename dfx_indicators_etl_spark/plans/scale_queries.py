@@ -200,7 +200,14 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = read_table(spark, sf_dir, "lineitem").select(
             "l_partkey", "l_suppkey", "l_quantity"
         )
-        z = zorder_scaled(li, "l_partkey", "l_suppkey")
+        # Materialize z before the range exchange: repartitionByRange
+        # SAMPLES its key column in a separate job, which would re-run
+        # the scan + maxes aggregate + interleave fold end-to-end —
+        # measured 2× the write time at sf0.1 (§4 rule: checkpoint a
+        # computed range-partition key).
+        z = zorder_scaled(li, "l_partkey", "l_suppkey").localCheckpoint(
+            eager=False
+        )
         (
             z.repartitionByRange(16, F.col("z"))
             .sortWithinPartitions("z")

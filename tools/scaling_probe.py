@@ -132,6 +132,8 @@ PROBES = {
     "q_growth_accounting": ("events",),
     "q_gini": ("lineitem",),
     "sim_mips_topk": ("embeddings",),
+    # robust stats twin: panel-cardinality percentile aggregates
+    "ind_outlier_mad": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

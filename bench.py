@@ -238,6 +238,7 @@ HEADLINE = (
     "q_gini",
     "sim_mips_topk",
     "ind_outlier_mad",
+    "q_skyline",
 )
 
 

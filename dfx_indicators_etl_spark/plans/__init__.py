@@ -77,7 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_dpp_prune",
     "q_bloom_prefilter_join",
     # --- window boundary: exactly 50 keys above this line ---
-    # keys 51-60: the 10 newest r9 keys, first in line for the r10
+    # keys 51-61: the 11 newest r9 keys, first in line for the r10
     # window (the full r5 cohort outranked them this round; all 9 are
     # sweep-verified this session)
     "sink_zorder_layout",
@@ -90,6 +90,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_gini",
     "sim_mips_topk",
     "ind_outlier_mad",
+    "q_skyline",
     # fresher keys follow in registration order
 ]
 

@@ -2620,3 +2620,76 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT s.s_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev,
+               COUNT(DISTINCT l.l_orderkey) AS n_orders
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    )
+    SELECT p.s_name, CAST(p.rev AS DOUBLE) AS revenue,
+           CAST(p.n_orders AS BIGINT) AS n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.rev >= p.rev AND q.n_orders >= p.n_orders
+          AND (q.rev > p.rev OR q.n_orders > p.n_orders)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (maximize revenue AND order count): the
+    suppliers no one dominates on both axes — multi-objective
+    shortlisting, the query shape behind "best tradeoff" dashboards.
+
+    The naive definition is an O(n²) self-join (the oracle runs
+    exactly that NOT EXISTS, as the independent method); the engine
+    computes it with the sort-sweep identity instead: group to one
+    max-ord per distinct revenue, one running-max window over revenue
+    descending, and a point is on the skyline iff it is its revenue
+    group's max AND its order count strictly exceeds every
+    higher-revenue group's running max. Two entity-cardinality passes
+    — the fact reduces first, and the global window runs over
+    DISTINCT REVENUE LEVELS (≤ entities; the documented extreme-
+    cardinality swap is the global_running_sum range-partition shape,
+    with MAX in place of SUM — same offsets algebra, max is
+    associative). Exact DECIMAL revenue, exact integer counts — ties
+    are exact, so mutually non-dominating duplicates survive on both
+    engines identically.
+    """
+    from pyspark.sql import Window
+
+    from ..sources import read_table as _rt
+
+    li = _rt(spark, sf_dir, "lineitem")
+    sup = _rt(spark, sf_dir, "supplier")
+    pts = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(
+            F.sum(dec("l_extendedprice")).alias("rev"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+    per_rev = pts.groupBy("rev").agg(F.max("n_orders").alias("mo"))
+    w = Window.orderBy(F.col("rev").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_rev = per_rev.withColumn("prev_max", F.max("mo").over(w))
+    sky = pts.join(F.broadcast(per_rev), "rev").filter(
+        (F.col("n_orders") == F.col("mo"))
+        & (
+            F.col("prev_max").isNull()
+            | (F.col("n_orders") > F.col("prev_max"))
+        )
+    )
+    return sky.select(
+        "s_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )

@@ -430,3 +430,50 @@ def test_mad_outlier_zero_mad_never_flags(spark, sf_dir):
     for r in rows:
         if r["mad"] == 0:
             assert r["is_outlier"] is False
+
+
+def test_skyline_sweep_equals_naive_dominance(spark):
+    """The sort-sweep skyline equals the O(n²) dominance definition on
+    hand-built point sets including exact ties and duplicates."""
+    from pyspark.sql import Window
+
+    cases = [
+        # (rev, ord) points; maximize both
+        [(10, 1), (9, 2), (8, 3), (7, 1), (10, 0)],
+        [(5, 5), (5, 5), (4, 6), (5, 4)],   # exact duplicates survive
+        [(1, 1)],
+        [(3, 3), (3, 2), (2, 3), (2, 4)],
+    ]
+    for pts in cases:
+        naive = {
+            p
+            for p in pts
+            if not any(
+                q[0] >= p[0]
+                and q[1] >= p[1]
+                and (q[0] > p[0] or q[1] > p[1])
+                for q in pts
+            )
+        }
+        df = spark.createDataFrame(
+            [(i, r, o) for i, (r, o) in enumerate(pts)],
+            "id long, rev long, n_orders long",
+        )
+        per_rev = df.groupBy("rev").agg(F.max("n_orders").alias("mo"))
+        w = Window.orderBy(F.col("rev").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        per_rev = per_rev.withColumn("prev_max", F.max("mo").over(w))
+        sky = {
+            (r["rev"], r["n_orders"])
+            for r in df.join(per_rev, "rev")
+            .filter(
+                (F.col("n_orders") == F.col("mo"))
+                & (
+                    F.col("prev_max").isNull()
+                    | (F.col("n_orders") > F.col("prev_max"))
+                )
+            )
+            .collect()
+        }
+        assert sky == naive, (pts, sky, naive)

@@ -134,6 +134,8 @@ PROBES = {
     "sim_mips_topk": ("embeddings",),
     # robust stats twin: panel-cardinality percentile aggregates
     "ind_outlier_mad": ("events",),
+    # skyline: fact reduces to entities; window over distinct revenue
+    "q_skyline": ("lineitem",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -239,6 +239,7 @@ HEADLINE = (
     "sim_mips_topk",
     "ind_outlier_mad",
     "q_skyline",
+    "ind_deseasonalize",
 )
 
 

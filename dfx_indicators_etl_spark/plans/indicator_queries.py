@@ -1493,3 +1493,88 @@ def ind_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dev") > 3 * 1.4826 * F.col("mad"))
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "ind_deseasonalize",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type AS indicator_name,
+               CAST(ts AS DATE) AS day,
+               isodow(ts) AS dow,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_dow AS (
+        SELECT indicator_name, dow,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS d_mean
+        FROM obs GROUP BY indicator_name, dow
+    ),
+    grand AS (
+        SELECT indicator_name,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS g_mean
+        FROM obs GROUP BY indicator_name
+    ),
+    idx AS (
+        SELECT p.indicator_name, p.dow,
+               round(p.d_mean / g.g_mean, 6) AS si
+        FROM per_dow p JOIN grand g USING (indicator_name)
+    ),
+    daily AS (
+        SELECT indicator_name, day, dow,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS day_mean
+        FROM obs GROUP BY indicator_name, day, dow
+    )
+    SELECT d.indicator_name, d.day, CAST(d.dow AS INT) AS dow,
+           round(d.day_mean, 6) AS day_mean,
+           i.si AS seasonal_index,
+           round(d.day_mean / i.si, 6) AS deseasonalized
+    FROM daily d JOIN idx i
+      ON d.indicator_name = i.indicator_name AND d.dow = i.dow
+    """,
+)
+def ind_deseasonalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-average deseasonalization — the consumer of
+    ``ind_seasonal_index``: each daily mean divides by its period's
+    seasonal index, turning the raw series into the
+    seasonally-adjusted one a statistical office publishes.
+
+    Two combinable decimal-sum aggregations (daily means and the
+    dow-index inputs) off ONE fact scan shape; the dow-cardinality
+    index table broadcasts back onto the daily frame. Quotients
+    follow the seasonal-index convention: exact decimal sums, IEEE
+    double division, round(…,6) — the index is rounded BEFORE the
+    final division on both engines, so the composed quotient is
+    bit-identical (never re-cast a quotient to DECIMAL).
+    """
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    obs = events.select(
+        F.col("event_type").alias("indicator_name"),
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday("ts") + 1).alias("dow"),
+        dec("value").alias("v"),
+    )
+    per_dow = obs.groupBy("indicator_name", "dow").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("d_mean")
+    )
+    grand = obs.groupBy("indicator_name").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    )
+    idx = per_dow.join(F.broadcast(grand), "indicator_name").select(
+        "indicator_name",
+        "dow",
+        F.round(F.col("d_mean") / F.col("g_mean"), 6).alias("si"),
+    )
+    daily = obs.groupBy("indicator_name", "day", "dow").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("day_mean")
+    )
+    return daily.join(F.broadcast(idx), ["indicator_name", "dow"]).select(
+        "indicator_name",
+        "day",
+        F.col("dow").cast("int").alias("dow"),
+        F.round("day_mean", 6).alias("day_mean"),
+        F.col("si").alias("seasonal_index"),
+        F.round(F.col("day_mean") / F.col("si"), 6).alias("deseasonalized"),
+    )

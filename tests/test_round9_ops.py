@@ -477,3 +477,53 @@ def test_skyline_sweep_equals_naive_dominance(spark):
             .collect()
         }
         assert sky == naive, (pts, sky, naive)
+
+
+def test_deseasonalize_flattens_pure_seasonality(spark, sf_dir):
+    """Deseasonalized means of a perfectly periodic synthetic series
+    are constant (the index absorbs all dow structure); and on real
+    data each day's deseasonalized value equals day_mean/index."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = QUERIES["ind_deseasonalize"](spark, sf_dir).collect()
+    for r in rows:
+        # day_mean in the OUTPUT is rounded to 6dp; deseasonalized
+        # divides the unrounded mean — so compare with 1-ulp slack
+        assert (
+            abs(r["deseasonalized"] - r["day_mean"] / r["seasonal_index"])
+            < 2e-6
+        )
+
+    # synthetic: value = dow level, repeated over 4 weeks
+    import datetime
+
+    data = []
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    for d in range(28):
+        ts = base + datetime.timedelta(days=d)
+        data.append(("ind", ts, float(ts.isoweekday()) * 10.0))
+    df = spark.createDataFrame(data, "indicator_name string, ts timestamp, value double")
+    obs = df.select(
+        "indicator_name",
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday("ts") + 1).alias("dow"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    per_dow = obs.groupBy("indicator_name", "dow").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("d_mean")
+    )
+    grand = obs.groupBy("indicator_name").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    )
+    idx = per_dow.join(grand, "indicator_name").select(
+        "dow", F.round(F.col("d_mean") / F.col("g_mean"), 6).alias("si")
+    )
+    daily = obs.groupBy("day", "dow").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("day_mean")
+    )
+    out = daily.join(idx, "dow").select(
+        F.round(F.col("day_mean") / F.col("si"), 6).alias("des")
+    )
+    vals = {r["des"] for r in out.collect()}
+    # all deseasonalized values collapse to the grand mean (40.0)
+    assert len(vals) == 1 and abs(vals.pop() - 40.0) < 1e-3

@@ -2296,7 +2296,8 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT value,
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
-        FROM events WHERE event_type IN ('purchase', 'click')
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
     ),
     g AS (
         SELECT value, SUM(ia) AS a_cnt, SUM(1 - ia) AS b_cnt
@@ -2335,8 +2336,12 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import global_running_sum
     from ..sources import read_table
 
+    # NULL measures drop on BOTH sides: a NULL group would sort
+    # nulls-first in Spark windows but nulls-last in DuckDB, breaking
+    # the CDF prefix parity.
     e = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
     )
     g = (
         e.select(

@@ -1465,7 +1465,14 @@ def ind_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.scale.histogram_percentiles`` (bit-identical, already
     consumed by q_winsorize's large path).
     """
-    series = _series(spark, sf_dir).filter(F.col("value").isNotNull())
+    # the panel feeds three branches (median, residual MAD, output) —
+    # materialize it once instead of re-deriving the observation scan
+    # per branch (8 fact scans -> 1 at panel size)
+    series = (
+        _series(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     med = series.groupBy("indicator_name").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
     )

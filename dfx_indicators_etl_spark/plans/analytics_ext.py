@@ -2673,6 +2673,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _rt(spark, sf_dir, "lineitem")
     sup = _rt(spark, sf_dir, "supplier")
+    # pts feeds both the per-revenue reduction and the final skyline
+    # join — materialize the (entity-sized) aggregate once instead of
+    # re-running the fact join per branch
     pts = (
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_name")
@@ -2680,6 +2683,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice")).alias("rev"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
+        .localCheckpoint(eager=False)
     )
     per_rev = pts.groupBy("rev").agg(F.max("n_orders").alias("mo"))
     w = Window.orderBy(F.col("rev").desc()).rowsBetween(

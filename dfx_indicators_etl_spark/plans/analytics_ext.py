@@ -2217,12 +2217,21 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         "user_id",
     )
-    words = e.groupBy(
-        "week",
-        "day",
-        F.shiftright(F.col("user_id"), 6).alias("bkt"),
-    ).agg(
-        F.expr("bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))").alias("word")
+    # the word table feeds both grains — materialize the (day×bucket)-
+    # sized aggregate once so the fact scans exactly once, which is the
+    # operator's whole selling point
+    words = (
+        e.groupBy(
+            "week",
+            "day",
+            F.shiftright(F.col("user_id"), 6).alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("word")
+        )
+        .localCheckpoint(eager=False)
     )
     daily = words.groupBy("week", "day").agg(
         F.sum(F.bit_count("word")).alias("d")
@@ -2355,6 +2364,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ia").alias("a_cnt"),
             F.sum(1 - F.col("ia")).alias("b_cnt"),
         )
+        # feeds both running sums and the totals row — one fact scan
+        .localCheckpoint(eager=False)
     )
     n = g.count()
     c = global_running_sum(

@@ -1563,19 +1563,30 @@ def ind_deseasonalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("ts") + 1).alias("dow"),
         dec("value").alias("v"),
     )
-    per_dow = obs.groupBy("indicator_name", "dow").agg(
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("d_mean")
+    # ONE fact scan: day-grain exact-decimal partials; every coarser
+    # mean re-aggregates the partials (decimal sums compose exactly, so
+    # the quotients are bit-identical to aggregating the fact directly)
+    daily_sums = (
+        obs.groupBy("indicator_name", "day", "dow")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    grand = obs.groupBy("indicator_name").agg(
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("g_mean")
+    per_dow = daily_sums.groupBy("indicator_name", "dow").agg(
+        (F.sum("sv").cast("double") / F.sum("n")).alias("d_mean")
+    )
+    grand = daily_sums.groupBy("indicator_name").agg(
+        (F.sum("sv").cast("double") / F.sum("n")).alias("g_mean")
     )
     idx = per_dow.join(F.broadcast(grand), "indicator_name").select(
         "indicator_name",
         "dow",
         F.round(F.col("d_mean") / F.col("g_mean"), 6).alias("si"),
     )
-    daily = obs.groupBy("indicator_name", "day", "dow").agg(
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("day_mean")
+    daily = daily_sums.select(
+        "indicator_name",
+        "day",
+        "dow",
+        (F.col("sv").cast("double") / F.col("n")).alias("day_mean"),
     )
     return daily.join(F.broadcast(idx), ["indicator_name", "dow"]).select(
         "indicator_name",

@@ -240,6 +240,7 @@ HEADLINE = (
     "ind_outlier_mad",
     "q_skyline",
     "ind_deseasonalize",
+    "q_gains_lift",
 )
 
 

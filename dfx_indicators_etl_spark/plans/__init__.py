@@ -77,7 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_dpp_prune",
     "q_bloom_prefilter_join",
     # --- window boundary: exactly 50 keys above this line ---
-    # keys 51-62: the 12 newest r9 keys, first in line for the r10
+    # keys 51-63: the 13 newest r9 keys, first in line for the r10
     # window (the full r5 cohort outranked them this round; all 9 are
     # sweep-verified this session)
     "sink_zorder_layout",
@@ -92,6 +92,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_outlier_mad",
     "q_skyline",
     "ind_deseasonalize",
+    "q_gains_lift",
     # fresher keys follow in registration order
 ]
 

@@ -2713,3 +2713,117 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "q_gains_lift",
+    oracle="""
+    WITH score AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type IN ('click', 'view')
+                   THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                   AS engagement,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS is_buyer
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT *, NTILE(10) OVER (ORDER BY engagement DESC, user_id)
+               AS decile
+        FROM score
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n_users, SUM(is_buyer) AS n_buyers
+        FROM tiled GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile, n_users, n_buyers,
+               SUM(n_users) OVER w AS cum_users,
+               SUM(n_buyers) OVER w AS cum_buyers,
+               SUM(n_users) OVER () AS tot_users,
+               SUM(n_buyers) OVER () AS tot_buyers
+        FROM per WINDOW w AS (
+            ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_buyers AS BIGINT) AS n_buyers,
+           round(CAST(cum_buyers AS DOUBLE) / tot_buyers, 6)
+               AS cum_capture,
+           round((CAST(cum_buyers AS DOUBLE) / cum_users)
+                 / (CAST(tot_buyers AS DOUBLE) / tot_users), 6)
+               AS cum_lift
+    FROM cum
+    """,
+)
+def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the standard targeting-model report: users
+    deciled by an engagement score (descending), each decile's
+    cumulative buyer capture rate and lift over the base rate.
+
+    The fact reduces to one row per user (one shuffle, exact decimal
+    engagement so decile boundaries are engine-identical); the decile
+    assignment rides ``operators.scale.global_ntile`` — its third
+    registered consumer — so at 10⁹ users the rank never funnels
+    through one task (range-partition + control-plane offsets,
+    bit-identical to window NTILE by the pinned fill rule). Counts
+    stay exact integers; the two report ratios are the only doubles.
+    """
+    from ..operators.scale import global_ntile
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,4)")
+    score = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type").isin("click", "view"), dec("value")
+            ).otherwise(zero)
+        ).alias("engagement"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("is_buyer"),
+    )
+    n = score.count()
+    tiled = global_ntile(
+        score,
+        10,
+        [F.col("engagement").desc(), F.col("user_id")],
+        "decile",
+        n_rows=n,
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("is_buyer").cast("bigint").alias("n_buyers"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "n_buyers",
+        F.sum("n_users").over(w).alias("cum_users"),
+        F.sum("n_buyers").over(w).alias("cum_buyers"),
+        F.sum("n_users").over(wa).alias("tot_users"),
+        F.sum("n_buyers").over(wa).alias("tot_buyers"),
+    )
+    return cum.select(
+        "decile",
+        "n_users",
+        "n_buyers",
+        F.round(
+            F.col("cum_buyers").cast("double") / F.col("tot_buyers"), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("cum_buyers").cast("double") / F.col("cum_users"))
+            / (F.col("tot_buyers").cast("double") / F.col("tot_users")),
+            6,
+        ).alias("cum_lift"),
+    )

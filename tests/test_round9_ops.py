@@ -527,3 +527,30 @@ def test_deseasonalize_flattens_pure_seasonality(spark, sf_dir):
     vals = {r["des"] for r in out.collect()}
     # all deseasonalized values collapse to the grand mean (40.0)
     assert len(vals) == 1 and abs(vals.pop() - 40.0) < 1e-3
+
+
+def test_gains_lift_invariants(spark, sf_dir):
+    """Gains-table invariants: capture is monotone to 1.0 at decile
+    10, decile-1 lift >= 1 when the score has ANY signal, and user/
+    buyer totals reconcile with the raw fact."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["q_gains_lift"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    caps = [r["cum_capture"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-9
+    e = read_table(spark, sf_dir, "events")
+    total_users = e.select(F.countDistinct("user_id")).collect()[0][0]
+    buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_users"] for r in rows) == total_users
+    assert sum(r["n_buyers"] for r in rows) == buyers
+    # final cumulative lift is exactly 1 by construction
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9

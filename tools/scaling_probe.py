@@ -136,6 +136,8 @@ PROBES = {
     "ind_outlier_mad": ("events",),
     # skyline: fact reduces to entities; window over distinct revenue
     "q_skyline": ("lineitem",),
+    # gains table: per-user reduction + global_ntile rank
+    "q_gains_lift": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

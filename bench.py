@@ -241,6 +241,7 @@ HEADLINE = (
     "q_skyline",
     "ind_deseasonalize",
     "q_gains_lift",
+    "q_time_to_convert",
 )
 
 

@@ -77,7 +77,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_dpp_prune",
     "q_bloom_prefilter_join",
     # --- window boundary: exactly 50 keys above this line ---
-    # keys 51-63: the 13 newest r9 keys, first in line for the r10
+    # keys 51-64: the 14 newest r9 keys, first in line for the r10
     # window (the full r5 cohort outranked them this round; all 9 are
     # sweep-verified this session)
     "sink_zorder_layout",
@@ -93,6 +93,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_skyline",
     "ind_deseasonalize",
     "q_gains_lift",
+    "q_time_to_convert",
     # fresher keys follow in registration order
 ]
 

@@ -2827,3 +2827,95 @@ def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               MIN(CAST(date_diff('second',
+                   TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)) AS vs
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(CAST(date_diff('second',
+                   TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)) AS ps
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(date_diff('second',
+              TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) >= v.vs
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT p.user_id, p.ps - v.vs AS latency_s
+        FROM p JOIN v USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS conversion_rate,
+           round(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+           round(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s
+    FROM lat
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: latency from a user's FIRST view to their
+    first purchase at-or-after it — conversion rate plus p50/p90
+    latency, the funnel-velocity metric next to q_funnel_conversion's
+    step counts.
+
+    Two first-occurrence reductions (min epoch-second per user — one
+    combinable aggregate each) and a user-keyed join; latencies are
+    exact integer seconds against a fixed origin (the portable-
+    timestamp convention), percentiles follow the winsorize
+    ``F.percentile`` ↔ ``quantile_cont`` 6dp convention. The global
+    percentile runs over converting-user cardinality; at extreme
+    scale the documented swap is ``operators.scale.
+    histogram_percentiles`` (bit-identical, q_winsorize's large
+    path).
+    """
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    s = (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("s")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", s)
+        .groupBy("user_id")
+        .agg(F.min("s").alias("vs"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", s)
+        .join(views, "user_id")
+        .filter(F.col("s") >= F.col("vs"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("ps"))
+    )
+    lat = purchases.join(views, "user_id").select(
+        (F.col("ps") - F.col("vs")).alias("latency_s")
+    )
+    n_viewers = views.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias(
+            "p90_latency_s"
+        ),
+    ).crossJoin(F.broadcast(n_viewers)).select(
+        "n_converted",
+        "n_viewers",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_viewers"), 6
+        ).alias("conversion_rate"),
+        "p50_latency_s",
+        "p90_latency_s",
+    )

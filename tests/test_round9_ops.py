@@ -554,3 +554,51 @@ def test_gains_lift_invariants(spark, sf_dir):
     assert sum(r["n_buyers"] for r in rows) == buyers
     # final cumulative lift is exactly 1 by construction
     assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9
+
+
+def test_time_to_convert_matches_python_model(spark, sf_dir):
+    """Latency stats vs a literal Python replay: first view, first
+    purchase at-or-after it, exact integer seconds."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    [row] = QUERIES["q_time_to_convert"](spark, sf_dir).collect()
+    evs = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    import datetime
+
+    origin = datetime.datetime(2024, 1, 1)
+    first_view, first_buy = {}, {}
+    for r in evs:
+        sec = int((r["ts"] - origin).total_seconds())
+        if r["event_type"] == "view":
+            first_view[r["user_id"]] = min(
+                first_view.get(r["user_id"], sec), sec
+            )
+    for r in evs:
+        if r["event_type"] != "purchase":
+            continue
+        u = r["user_id"]
+        if u not in first_view:
+            continue
+        sec = int((r["ts"] - origin).total_seconds())
+        if sec >= first_view[u]:
+            first_buy[u] = min(first_buy.get(u, sec), sec)
+    lats = sorted(first_buy[u] - first_view[u] for u in first_buy)
+    assert row["n_viewers"] == len(first_view)
+    assert row["n_converted"] == len(lats)
+
+    def q_cont(xs, q):
+        if len(xs) == 1:
+            return float(xs[0])
+        pos = q * (len(xs) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+    assert abs(row["p50_latency_s"] - round(q_cont(lats, 0.5), 6)) < 1e-6
+    assert abs(row["p90_latency_s"] - round(q_cont(lats, 0.9), 6)) < 1e-6

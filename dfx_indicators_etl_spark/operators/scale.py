@@ -20,6 +20,7 @@ __all__ = [
     "salted_join",
     "global_ntile",
     "global_running_sum",
+    "global_running_max",
     "histogram_percentiles",
     "bloom_words",
     "bloom_prefilter",
@@ -285,6 +286,84 @@ def global_running_sum(
     return out
 
 
+def global_running_max(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 8_000_000,
+) -> DataFrame:
+    """Globally-ordered running MAX over the STRICTLY PRECEDING rows —
+    the scale twin of ``F.max(v).over(Window.orderBy(...)
+    .rowsBetween(unboundedPreceding, -1))`` (the sort-sweep frame of
+    skyline/Pareto operators, where each row compares against
+    everything ranked ahead of it but never itself).
+
+    Same two-phase shape as ``global_running_sum`` — max is
+    associative, so the offsets algebra carries over verbatim: above
+    ``small_rows_threshold`` the frame range-repartitions on the TOTAL
+    order, computes the per-partition exclusive running max, and folds
+    in each partition's offset — the max over all STRICTLY EARLIER
+    range partitions, collected as a ≤-#partitions-row control-plane
+    list. ``F.greatest`` skips NULLs, so a partition-first row (empty
+    within-partition frame) takes the offset alone, the very first row
+    takes NULL — exactly the window's empty-frame semantics. Value-
+    identical to the window plan for any input and partitioning (max
+    has no rounding), so one SQL oracle covers both paths.
+
+    ``order_by`` must totally order the frame (include a tie-break
+    column); NULLs in ``value_col`` are ignored by max on both paths.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return df.withColumn(out_col, F.max(value_col).over(w))
+    val_type = df.schema[value_col].dataType
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_parts, *order_by).localCheckpoint(
+        eager=False
+    )
+    keyed = parted.withColumn("__grm_pid", F.spark_partition_id())
+    partials = sorted(
+        (r["__grm_pid"], r["m"])
+        for r in keyed.groupBy("__grm_pid")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    )
+    offsets, running = {}, None  # running = max of partitions seen so far
+    for pid, m in partials:
+        offsets[pid] = running  # strictly-earlier partitions only
+        if m is not None and (running is None or m > running):
+            running = m
+    entries = [
+        x
+        for pid, off in offsets.items()
+        if off is not None
+        for x in (F.lit(pid), F.lit(off).cast(val_type))
+    ]
+    offset_expr = (
+        F.element_at(F.create_map(*entries), F.col("__grm_pid"))
+        if entries
+        else F.lit(None).cast(val_type)
+    )
+    w = (
+        Window.partitionBy("__grm_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return keyed.withColumn(
+        out_col,
+        F.greatest(F.max(value_col).over(w), offset_expr).cast(val_type),
+    ).drop("__grm_pid")
+
+
 def histogram_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -311,6 +390,12 @@ def histogram_percentiles(
 
     ``probs`` maps output column name → percentile in [0, 1]. Returns
     one row per group: ``group_cols`` + one DOUBLE column per entry.
+    ``group_cols`` may be EMPTY (a single global percentile): the
+    cumulative count then runs through ``global_running_sum`` over the
+    distinct-value histogram — a plain window while distinct values
+    are window-sized, the range-partitioned two-phase shape above its
+    threshold — so even the global flavor never forces a
+    SinglePartition exchange at scale.
     """
     from pyspark.sql import Window
 
@@ -320,14 +405,19 @@ def histogram_percentiles(
         F.count(F.lit(1)).alias("__c")
     )
     totals = hist.groupBy(*groups).agg(F.sum("__c").alias("__n"))
-    w = (
-        Window.partitionBy(*groups)
-        .orderBy(v_dbl.asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("__cum", F.sum("__c").over(w)).join(
-        F.broadcast(totals), groups
-    )
+    if groups:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(v_dbl.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.withColumn("__cum", F.sum("__c").over(w)).join(
+            F.broadcast(totals), groups
+        )
+    else:
+        cum = global_running_sum(
+            hist, "__c", [v_dbl.asc()], "__cum"
+        ).crossJoin(F.broadcast(totals))
     # row covers 0-based ranks [__cum - __c, __cum - 1]
     lo_rank = F.col("__cum") - F.col("__c")
     aggs = []

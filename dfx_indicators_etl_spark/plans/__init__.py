@@ -12,74 +12,18 @@ from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-9 rotation (VERDICT r8 #1): (a) the ENTIRE
-# 37-key r5-evidence cohort — the registry's oldest evidence, named as
-# the round-9 queue at round-8 close — so after this round no key's
-# driver evidence predates r6; (b) keys NEW in or TOUCHED by round 9
-# (the q_abc_analysis runtime-adaptive running-share swap, the
-# mm_video_dedup single-frame delta guard, and every new r9 key —
-# appended here as they land). The priority list now holds 59 keys, so
-# the driver stamps the FIRST 50 and the 9 newest r9 keys (marked
-# below) queue first in line for the r10 window — every one of them
-# already has this session's full-sweep evidence (tools/compare.py,
-# 0 failures at sf0.01), just not a driver row yet.
+# in insertion order. Round-10 rotation (VERDICT r9 #1 and #6):
+# (a) the 14 late-r9 keys with no driver row yet — first in line, as
+# committed at round-9 close; (b) keys NEW in round 10 (appended here
+# as they land, so they never join the "unstamped" backlog); (c) the
+# ENTIRE 38-key r6-evidence cohort — the registry's oldest evidence —
+# ordered so the three least-informative keys (the two declared
+# mm_* plumbing stubs and rows-only emb_pca, whose driver rows carry
+# the least signal) sit last and absorb any overflow past the 50-key
+# boundary. After this round no hash-oracled key's driver evidence
+# should predate r7.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) the full r5-evidence cohort — 37 keys
-    "ind_standardize",
-    "ind_observation_view",
-    "ind_combine_dimensions",
-    "ind_melt",
-    "ind_country_map",
-    "ind_country_filter",
-    "ind_year_filter",
-    "ind_dedup_first",
-    "ind_insert_ignore",
-    "ind_metadata_dedup",
-    "ind_value_stats",
-    "ind_validate",
-    "ind_indicator_format",
-    "ind_pipeline_e2e",
-    "q_events_daily",
-    "q_asof_join",
-    "q_range_join",
-    "q_time_rollup",
-    "q_skew_salted_join",
-    "q_funnel_conversion",
-    "q_retention_cohort",
-    "q_session_window_native",
-    "q_custom_agg_geomean",
-    "q_table_profile",
-    "q11_important_stock",
-    "q_triangle_count",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_hll_sketch",
-    "text_tfidf",
-    "text_chunk",
-    "text_pack_bins",
-    "emb_int8_quantize",
-    "stream_dedup",
-    "stream_sessionize",
-    "sink_schema_evolution",
-    "sink_orc_roundtrip",
-    # (b) new in / touched by round 9
-    "q_abc_analysis",
-    "mm_video_dedup",
-    "mm_phash_dedup_256",
-    "mm_audio_landmarks",
-    "mm_scene_signatures",
-    "stream_late_data",
-    "q_bfs_hops",
-    "q_cheapest_path",
-    "q_bitmap_distinct",
-    "q_cumulative_distinct",
-    "q_ks_drift",
-    "q_dpp_prune",
-    "q_bloom_prefilter_join",
-    # --- window boundary: exactly 50 keys above this line ---
-    # keys 51-64: the 14 newest r9 keys, first in line for the r10
-    # window (the full r5 cohort outranked them this round; all 9 are
-    # sweep-verified this session)
+    # (a) the 14 late-r9 keys, unstamped as of CORRECTNESS_r09
     "sink_zorder_layout",
     "dedup_cc_largestar",
     "ind_ewma",
@@ -94,6 +38,46 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_deseasonalize",
     "q_gains_lift",
     "q_time_to_convert",
+    # (b) new in round 10 — appended as they land
+    # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_pagerank_nations",
+    "ind_star_observation",
+    "ind_star_series",
+    "ind_upsert",
+    "dedup_exact",
+    "emb_l2_norm",
+    "emb_label_centroids",
+    "emb_random_projection",
+    "sample_stratified",
+    "sample_train_test",
+    "sample_weighted",
+    "sim_bruteforce_topk",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_heavy_hitters",
+    "text_langid",
+    "text_quality",
+    "text_quality_filter",
+    "text_repetition",
+    "text_scrub_pii",
+    "text_tokens",
+    "text_unigram_logprob",
+    "text_word_vocab",
+    "stream_incremental_sink",
+    "stream_topk",
+    "stream_upsert_sink",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_partitioned_roundtrip",
+    "sink_versioned_roundtrip",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "emb_pca",
     # fresher keys follow in registration order
 ]
 

@@ -687,16 +687,56 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles (continuous interpolation).
 
     ``percentile`` is exact (sort-based within groups) and matches
-    DuckDB's ``quantile_cont`` bit-for-bit after rounding; at scale the
-    one-pass mergeable alternative is ``percentile_approx`` — same
-    plan shape, bounded memory, no per-group sort.
+    DuckDB's ``quantile_cont`` bit-for-bit after rounding; the
+    RUNTIME-ADAPTIVE ``_event_percentiles`` picker keeps that single
+    aggregate while the fact is provably small and swaps to
+    ``operators.scale.histogram_percentiles`` — the same values
+    BIT-IDENTICALLY from a distributed (group, value) histogram with
+    O(1) task state — above the threshold. (``percentile_approx``
+    remains the registered sketch twin, ``q_approx_percentile``.)
     """
     events = read_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        *[
-            F.round(F.percentile("value", q), 6).alias(name)
-            for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
-        ]
+    return _event_percentiles(events)
+
+
+# Above this fact row count the ``F.percentile`` agg state (a
+# per-group value→count map concentrated in ONE task) is an OOM risk;
+# the distributed histogram produces bit-identical percentiles at any
+# group size (the q_winsorize swap, applied to the original exact-
+# percentile key).
+PERCENTILE_EXACT_MAX_ROWS = 50_000_000
+
+_PERCENTILE_PROBS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def _event_percentiles(
+    events: DataFrame, exact_max_rows: int = PERCENTILE_EXACT_MAX_ROWS
+) -> DataFrame:
+    """Runtime-adaptive per-event-type percentile report. Both paths
+    are pinned identical in tests/test_round10_ops.py; the large
+    path's plan is asserted free of exact-percentile aggregates."""
+    from ..operators.scale import histogram_percentiles
+
+    if events.count() <= exact_max_rows:
+        return events.groupBy("event_type").agg(
+            *[
+                F.round(F.percentile("value", q), 6).alias(name)
+                for name, q in _PERCENTILE_PROBS
+            ]
+        )
+    # F.percentile ignores NULL measures but keeps the group; mirror
+    # that by building the histogram on non-null rows and re-attaching
+    # all-null groups via the (tiny, combinable) distinct-group frame.
+    groups = events.select("event_type").distinct()
+    pct = histogram_percentiles(
+        events.filter(F.col("value").isNotNull()),
+        ["event_type"],
+        "value",
+        dict((name, q) for name, q in _PERCENTILE_PROBS),
+    )
+    return groups.join(pct, "event_type", "left").select(
+        "event_type",
+        *[F.round(name, 6).alias(name) for name, _ in _PERCENTILE_PROBS],
     )
 
 

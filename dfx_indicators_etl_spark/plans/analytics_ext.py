@@ -1530,7 +1530,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Above this row count the ``F.percentile`` agg state (a per-group
 # value→count map concentrated in ONE task) is an OOM risk; the
 # distributed histogram produces bit-identical bounds at any size.
-WINSORIZE_EXACT_MAX_ROWS = 50_000_000
+WINSORIZE_EXACT_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _winsorize_stats(
@@ -1811,7 +1811,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SinglePartition); global_running_sum produces value-identical
 # running totals with no single-task sort (VERDICT r8 #2 — the
 # registry's last prose-only scale swap, now in code).
-ABC_WINDOW_MAX_ROWS = 8_000_000
+ABC_WINDOW_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _abc_classify(
@@ -1891,7 +1891,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Above this customer count the three unpartitioned ntile windows each
 # funnel the aggregate through ONE task; global_ntile's two-phase rank
 # produces identical labels with no single-task sort.
-RFM_WINDOW_MAX_ROWS = 8_000_000
+RFM_WINDOW_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _rfm_tiers(
@@ -2703,7 +2703,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SinglePartition); global_running_max produces value-identical
 # running maxima with no single-task sort (VERDICT r9 #2a — the scale
 # swap in code, not prose).
-SKYLINE_WINDOW_MAX_ROWS = 8_000_000
+SKYLINE_WINDOW_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _skyline_from_pts(
@@ -2934,7 +2934,7 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # risk; the distributed histogram produces bit-identical latency
 # percentiles at any size (VERDICT r9 #2b — the scale swap in code,
 # not prose).
-TIME_TO_CONVERT_EXACT_MAX_ROWS = 50_000_000
+TIME_TO_CONVERT_EXACT_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _time_to_convert_stats(

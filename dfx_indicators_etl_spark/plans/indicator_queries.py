@@ -1483,7 +1483,7 @@ def ind_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state — an OOM risk when a handful of indicators carry most of the
 # panel; the distributed histogram produces bit-identical medians at
 # any group size (VERDICT r9 #2c — the scale swap in code, not prose).
-MAD_EXACT_MAX_ROWS = 50_000_000
+MAD_EXACT_MAX_ROWS = 2_000_000  # measured crossover ~1M rows (SCALE.md §adaptive-crossover)
 
 
 def _mad_flags(

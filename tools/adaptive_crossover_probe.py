@@ -45,8 +45,11 @@ from dfx_indicators_etl_spark.operators.scale import (  # noqa: E402
 )
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
 
-WINDOW_THRESHOLD = 8_000_000  # global_running_sum/max, global_ntile
-PERCENTILE_THRESHOLD = 50_000_000  # exact F.percentile vs histogram
+# Probe anchors track the CURRENT picker thresholds (lowered to 2 M in
+# round 10 off this probe's own measurements — SCALE.md
+# §adaptive-crossover records the original 8 M/50 M-anchored run).
+WINDOW_THRESHOLD = 2_000_000  # global_running_sum/max, global_ntile
+PERCENTILE_THRESHOLD = 2_000_000  # exact F.percentile vs histogram
 
 
 def fingerprint(df: DataFrame) -> tuple:

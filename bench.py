@@ -244,6 +244,9 @@ HEADLINE = (
     "q_time_to_convert",
     # round 10: new surface
     "stream_attribution",
+    "q_weighted_percentile",
+    "q_psi_drift",
+    "q_bitmap_retention",
 )
 
 

@@ -17,11 +17,12 @@ from . import streaming_queries  # noqa: E402,F401
 # committed at round-9 close; (b) keys NEW in round 10 (appended here
 # as they land, so they never join the "unstamped" backlog); (c) the
 # ENTIRE 38-key r6-evidence cohort — the registry's oldest evidence —
-# ordered so the three least-informative keys (the two declared
-# mm_* plumbing stubs and rows-only emb_pca, whose driver rows carry
-# the least signal) sit last and absorb any overflow past the 50-key
-# boundary. After this round no hash-oracled key's driver evidence
-# should predate r7.
+# ordered weakest-signal-last (sink round-trips, the declared mm_*
+# plumbing stubs, rows-only emb_pca) so they absorb the overflow past
+# the 50-key boundary. With 4 new r10 keys in (b), the last 6 cohort
+# keys (2 sink round-trips + the 3 stubs + emb_pca) wait for r11 —
+# the deliberate growth-vs-rotation tradeoff, spending window slots
+# on new first-class oracles over re-stamping plumbing stubs.
 _DRIVER_WINDOW_PRIORITY = [
     # (a) the 14 late-r9 keys, unstamped as of CORRECTNESS_r09
     "sink_zorder_layout",
@@ -40,6 +41,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_time_to_convert",
     # (b) new in round 10 — appended as they land
     "stream_attribution",
+    "q_weighted_percentile",
+    "q_psi_drift",
+    "q_bitmap_retention",
     # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
     "q1_pricing_summary",
     "q2_min_cost_supplier",

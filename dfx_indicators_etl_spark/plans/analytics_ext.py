@@ -1581,6 +1581,61 @@ def _winsorize_stats(
 
 
 @query(
+    "q_weighted_percentile",
+    # Rank conditions are pure integer×decimal arithmetic (cw·den ≥
+    # tw·num) — no float threshold anywhere, so the boundary value is
+    # engine-exact and the lower-percentile pick needs no rounding.
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, v, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM h
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS DOUBLE)
+               AS wp50,
+           CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS DOUBLE)
+               AS wp90,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c GROUP BY 1
+    """,
+)
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group WEIGHTED percentiles (quantity-weighted median
+    and p90 of price) — the volume-aware robust statistic no built-in
+    aggregate covers: "half the UNITS sold at or below this price",
+    not half the order lines.
+
+    Rides ``operators.scale.weighted_percentiles`` — natively the
+    distributed-histogram shape (no picker needed: the cumulative
+    window is PARTITIONED and runs over distinct values only, task
+    state O(1) at any group size). Lower-percentile semantics (the
+    smallest value whose cumulative weight reaches p of the total)
+    make the result exact under decimal weights, so the SQL oracle
+    reproduces it bit-for-bit with the same cw·den ≥ tw·num integer
+    rank conditions.
+    """
+    from ..operators.scale import weighted_percentiles
+
+    (lineitem,) = read_tables(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        lineitem,
+        ["l_returnflag"],
+        "l_extendedprice",
+        dec("l_quantity"),
+        {"wp50": (1, 2), "wp90": (9, 10)},
+        total_col="total_weight",
+    )
+
+
+@query(
     "q_scd2_intervals",
     oracle="""
     WITH sub AS (
@@ -2072,6 +2127,120 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_psi_drift",
+    # Each bin's PSI term rounds to 12dp and sums as exact DECIMAL
+    # (the plans.numeric / text_entropy convention — a double sum
+    # would be partition-order-dependent); smoothed shares are ratios
+    # of identical integers, so every double is engine-identical.
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(floor(value / 50) AS BIGINT), 0), 19)
+                   AS bin
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    spine AS (SELECT UNNEST(range(0, 20)) AS bin),
+    b AS (
+        SELECT s.bin,
+               COUNT(CASE WHEN v.event_type = 'click' THEN 1 END) AS na,
+               COUNT(CASE WHEN v.event_type = 'purchase' THEN 1 END) AS nb
+        FROM spine s LEFT JOIN v ON v.bin = s.bin
+        GROUP BY s.bin
+    ),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM b),
+    terms AS (
+        SELECT CAST(round(
+                 (CAST(na + 1 AS DOUBLE) / (ta + 20)
+                  - CAST(nb + 1 AS DOUBLE) / (tb + 20))
+                 * ln((CAST(na + 1 AS DOUBLE) / (ta + 20))
+                      / (CAST(nb + 1 AS DOUBLE) / (tb + 20))), 12)
+               AS DECIMAL(28,12)) AS term,
+               ta, tb
+        FROM b, t
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_ref,
+           CAST(MAX(tb) AS BIGINT) AS n_cur,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two measure distributions
+    (click values = reference, purchase values = current) — the
+    standard ML-ops drift score next to q_ks_drift's sup-distance:
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over fixed bins with +1 smoothing.
+
+    One fact scan, one 20-row combinable (bin × side) count aggregate
+    — the whole statistic reduces map-side, so the plan is drift
+    monitoring at any fact size: no windows, no per-value state,
+    a fixed 20-bin spine (width 50, clamped) joined in-plan so empty
+    bins still contribute their smoothed terms on both engines. Terms
+    follow the text_entropy determinism convention (12dp round →
+    exact decimal fold → one final double).
+    """
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events")
+    return psi_report(
+        spark,
+        e.filter(F.col("event_type") == "click").select("value"),
+        e.filter(F.col("event_type") == "purchase").select("value"),
+    )
+
+
+def psi_report(
+    spark: SparkSession,
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """PSI between two 1-column measure frames (see q_psi_drift).
+    Pure combinable aggregates over a fixed bin spine; tested directly
+    in tests/test_round10_ops.py (zero on identical inputs, positive
+    under shift, numpy-model match)."""
+
+    def binned(df, name):
+        return df.filter(F.col(value_col).isNotNull()).select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col(value_col) / bin_width).cast("bigint"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        ).groupBy("bin").agg(F.count(F.lit(1)).alias(name))
+
+    spine = spark.range(0, n_bins).select(F.col("id").alias("bin"))
+    b = (
+        spine.join(binned(ref, "na"), "bin", "left")
+        .join(binned(cur, "nb"), "bin", "left")
+        .fillna(0, ["na", "nb"])
+    )
+    t = F.broadcast(
+        b.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    )
+    p = F.col("na").cast("double") + 1.0
+    q = F.col("nb").cast("double") + 1.0
+    pa = p / (F.col("ta") + n_bins)
+    qb = q / (F.col("tb") + n_bins)
+    terms = b.crossJoin(t).select(
+        "ta",
+        "tb",
+        F.round((pa - qb) * F.log(pa / qb), 12)
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return terms.agg(
+        F.max("ta").cast("bigint").alias("n_ref"),
+        F.max("tb").cast("bigint").alias("n_cur"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
+
+
+@query(
     "q_market_basket",
     oracle="""
     WITH baskets AS (
@@ -2247,6 +2416,106 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weekly.join(sum_daily, "week").select(
         "week", "weekly_distinct", "sum_daily_distinct"
+    )
+
+
+@query(
+    "q_bitmap_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+               user_id
+        FROM events
+    ),
+    act AS (SELECT week, COUNT(*) AS n_active FROM uw GROUP BY 1),
+    ret AS (
+        SELECT c.week, COUNT(*) AS n_retained
+        FROM uw c JOIN uw p
+          ON p.user_id = c.user_id
+         AND p.week = CAST(c.week - INTERVAL 7 DAY AS DATE)
+        GROUP BY 1
+    )
+    SELECT a.week,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(r.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(a.n_active - coalesce(r.n_retained, 0) AS BIGINT) AS n_new,
+           CAST(pa.n_active - coalesce(r.n_retained, 0) AS BIGINT)
+               AS n_churned
+    FROM act a
+    LEFT JOIN ret r ON r.week = a.week
+    LEFT JOIN act pa ON pa.week = CAST(a.week - INTERVAL 7 DAY AS DATE)
+    """,
+)
+def q_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact week-over-week retention via bitmap INTERSECTION — the
+    set-operation face of q_bitmap_distinct and the thing cardinality
+    sketches fundamentally can't do: HLL unions merge, but retained =
+    |cur ∩ prev| needs the membership itself. The bitmap word log
+    keeps it exact AND re-aggregatable: retained users are
+    ``bit_count(word_cur AND word_prev)`` summed over buckets — input
+    size #buckets, never #events — and the same words already serve
+    the distinct rollup, so one fact scan feeds the whole
+    active/retained/new/churned report.
+
+    The oracle recomputes every count from first principles (DISTINCT
+    user-week pairs, self-join on week−7) — an independent method, so
+    a hash match proves the AND-merge mechanics exact.
+    """
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "user_id",
+    )
+    return bitmap_retention_report(e)
+
+
+def bitmap_retention_report(e: DataFrame) -> DataFrame:
+    """Retention report over a (week DATE, user_id) frame via the
+    bitmap AND-merge (see q_bitmap_retention); tested directly on a
+    hand case in tests/test_round10_ops.py."""
+    words = (
+        e.groupBy("week", F.shiftright(F.col("user_id"), 6).alias("bkt"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("word")
+        )
+        .localCheckpoint(eager=False)  # feeds actives AND the pair join
+    )
+    act = words.groupBy("week").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_active")
+    )
+    cur = words.select("week", "bkt", F.col("word").alias("wc"))
+    prev = words.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        "bkt",
+        F.col("word").alias("wp"),
+    )
+    ret = (
+        cur.join(prev, ["week", "bkt"])
+        .groupBy("week")
+        .agg(
+            F.sum(F.bit_count(F.col("wc").bitwiseAND(F.col("wp"))))
+            .cast("bigint")
+            .alias("n_retained")
+        )
+    )
+    pa = act.select(
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("n_active").alias("prev_active"),
+    )
+    r = F.coalesce(F.col("n_retained"), F.lit(0).cast("bigint"))
+    return (
+        act.join(ret, "week", "left")
+        .join(pa, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            r.alias("n_retained"),
+            (F.col("n_active") - r).cast("bigint").alias("n_new"),
+            (F.col("prev_active") - r).cast("bigint").alias("n_churned"),
+        )
     )
 
 

@@ -228,3 +228,125 @@ def test_png_real_codec_through_decode_seam(spark):
     )
     with _pytest.raises(Exception, match="no codec|NotImplemented"):
         M.decode_features(bad).collect()
+
+
+def test_weighted_percentiles_hand_and_random(spark):
+    """Lower weighted percentile: smallest v with cum weight ≥ p·total
+    — hand case plus a brute-force Python model on random data."""
+    from dfx_indicators_etl_spark.operators.scale import (
+        weighted_percentiles,
+    )
+
+    # weights: 10@1, 30@2, 60@3 -> wp50 = 3 (cum 40 < 50 at v=2),
+    # wp25 = 2 (cum 10 < 25 at v=1), total 100
+    df = spark.createDataFrame(
+        [("g", 1.0, 10), ("g", 2.0, 30), ("g", 3.0, 60)],
+        "grp string, v double, w bigint",
+    )
+    row = weighted_percentiles(
+        df, ["grp"], "v", "w", {"wp25": (1, 4), "wp50": (1, 2)},
+        total_col="tw",
+    ).collect()[0]
+    assert (row["wp25"], row["wp50"], row["tw"]) == (2.0, 3.0, 100.0)
+
+    rng = random.Random(41)
+    data = [
+        (f"g{rng.randint(0, 2)}", float(rng.randint(0, 50)),
+         rng.randint(1, 9))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(data, "grp string, v double, w bigint")
+    got = {
+        r["grp"]: (r["wp50"], r["wp90"])
+        for r in weighted_percentiles(
+            df, ["grp"], "v", "w", {"wp50": (1, 2), "wp90": (9, 10)}
+        ).collect()
+    }
+
+    def model(rows, num, den):
+        rows = sorted(rows)
+        total = sum(w for _, w in rows)
+        cum = 0
+        for v, w in rows:
+            cum += w
+            if cum * den >= total * num:
+                return v
+        raise AssertionError
+
+    by = {}
+    for g, v, w in data:
+        by.setdefault(g, []).append((v, w))
+    for g, rows in by.items():
+        assert got[g] == (model(rows, 1, 2), model(rows, 9, 10)), g
+
+
+def test_psi_zero_on_identical_positive_under_shift(spark):
+    """PSI(x, x) is exactly 0 (every smoothed term is 0); a location
+    shift makes it strictly positive; and the folded value matches a
+    numpy model of the identical arithmetic."""
+    import math
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import psi_report
+
+    rng = random.Random(5)
+    ref_vals = [float(rng.uniform(0, 900)) for _ in range(3000)]
+    cur_vals = [v + 200.0 for v in ref_vals[:2000]]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "value double")
+
+    same = psi_report(spark, ref, ref).collect()[0]
+    assert same["psi"] == 0.0 and same["n_ref"] == same["n_cur"] == 3000
+
+    drift = psi_report(spark, ref, cur).collect()[0]
+    assert drift["psi"] > 0.01
+
+    # numpy-free model of the exact term arithmetic
+    def bins(vals):
+        c = [0] * 20
+        for v in vals:
+            c[min(max(int(v // 50), 0), 19)] += 1
+        return c
+
+    na, nb = bins(ref_vals), bins(cur_vals)
+    ta, tb = sum(na), sum(nb)
+    psi = sum(
+        round(
+            ((a + 1.0) / (ta + 20) - (b + 1.0) / (tb + 20))
+            * math.log(((a + 1.0) / (ta + 20)) / ((b + 1.0) / (tb + 20))),
+            12,
+        )
+        for a, b in zip(na, nb)
+    )
+    assert abs(drift["psi"] - round(psi, 6)) < 1e-9
+
+
+def test_bitmap_retention_hand_case(spark):
+    """Week 1 {1,2,3}, week 2 {2,3,4,5}, week 3 {5}: the AND-merged
+    report reproduces active/retained/new/churned exactly, including
+    users 64 apart (different buckets) and the first-week NULL churn."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import (
+        bitmap_retention_report,
+    )
+
+    w1, w2, w3 = (
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 8),
+        dt.date(2024, 1, 15),
+    )
+    rows = (
+        [(w1, u) for u in (1, 2, 3, 130)]  # 130 = bucket 2
+        + [(w2, u) for u in (2, 3, 4, 5, 130)]
+        + [(w3, u) for u in (5,)]
+    )
+    e = spark.createDataFrame(rows, "week date, user_id bigint")
+    got = {
+        r["week"]: (
+            r["n_active"], r["n_retained"], r["n_new"], r["n_churned"]
+        )
+        for r in bitmap_retention_report(e).collect()
+    }
+    assert got[w1] == (4, 0, 4, None)
+    assert got[w2] == (5, 3, 2, 1)  # retained {2,3,130}; churned {1}
+    assert got[w3] == (1, 1, 0, 4)

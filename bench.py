@@ -247,6 +247,7 @@ HEADLINE = (
     "q_weighted_percentile",
     "q_psi_drift",
     "q_bitmap_retention",
+    "stream_psi_drift",
 )
 
 

@@ -22,6 +22,9 @@ __all__ = [
     "global_running_sum",
     "global_running_max",
     "histogram_percentiles",
+    "weighted_percentiles",
+    "psi_bin",
+    "psi_from_bins",
     "bloom_words",
     "bloom_prefilter",
     "zorder_value",
@@ -499,6 +502,46 @@ def weighted_percentiles(
     if total_col is not None:
         aggs.append(F.max("__t").cast("double").alias(total_col))
     return cum.groupBy(*groups).agg(*aggs)
+
+
+def psi_bin(
+    value_col: str, bin_width: float = 50.0, n_bins: int = 20
+) -> Column:
+    """The fixed PSI bin assignment (clamped equal-width grid) shared
+    by the batch report and the streaming log writer — one definition,
+    so the two faces can never bin differently."""
+    return F.least(
+        F.greatest(
+            F.floor(F.col(value_col) / bin_width).cast("bigint"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
+def psi_from_bins(b: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Fold a spine-complete (bin, na, nb) count frame into the 1-row
+    PSI report. Smoothed shares are ratios of identical integers on
+    any engine; each term rounds to 12dp and sums as exact DECIMAL
+    (the plans.numeric determinism convention), so the result is
+    bit-identical however the counts were accumulated — one batch
+    pass or a folded streaming log."""
+    t = F.broadcast(b.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")))
+    p = F.col("na").cast("double") + 1.0
+    q = F.col("nb").cast("double") + 1.0
+    pa = p / (F.col("ta") + n_bins)
+    qb = q / (F.col("tb") + n_bins)
+    terms = b.crossJoin(t).select(
+        "ta",
+        "tb",
+        F.round((pa - qb) * F.log(pa / qb), 12)
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return terms.agg(
+        F.max("ta").cast("bigint").alias("n_ref"),
+        F.max("tb").cast("bigint").alias("n_cur"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
 
 
 def bloom_words(

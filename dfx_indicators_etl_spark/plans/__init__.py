@@ -19,8 +19,8 @@ from . import streaming_queries  # noqa: E402,F401
 # ENTIRE 38-key r6-evidence cohort — the registry's oldest evidence —
 # ordered weakest-signal-last (sink round-trips, the declared mm_*
 # plumbing stubs, rows-only emb_pca) so they absorb the overflow past
-# the 50-key boundary. With 4 new r10 keys in (b), the last 6 cohort
-# keys (2 sink round-trips + the 3 stubs + emb_pca) wait for r11 —
+# the 50-key boundary. With 5 new r10 keys in (b), the last 7 cohort
+# keys (3 sink round-trips + the 3 stubs + emb_pca) wait for r11 —
 # the deliberate growth-vs-rotation tradeoff, spending window slots
 # on new first-class oracles over re-stamping plumbing stubs.
 _DRIVER_WINDOW_PRIORITY = [
@@ -44,6 +44,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_weighted_percentile",
     "q_psi_drift",
     "q_bitmap_retention",
+    "stream_psi_drift",
     # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
     "q1_pricing_summary",
     "q2_min_cost_supplier",

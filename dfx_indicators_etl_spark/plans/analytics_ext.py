@@ -2200,18 +2200,19 @@ def psi_report(
     """PSI between two 1-column measure frames (see q_psi_drift).
     Pure combinable aggregates over a fixed bin spine; tested directly
     in tests/test_round10_ops.py (zero on identical inputs, positive
-    under shift, numpy-model match)."""
+    under shift, numpy-model match). The bin expression and the term
+    fold live in ``operators.scale`` so the streaming face
+    (``stream_psi_drift``'s log reader) computes the identical
+    statistic from its folded counts."""
+    from ..operators.scale import psi_bin, psi_from_bins
 
     def binned(df, name):
-        return df.filter(F.col(value_col).isNotNull()).select(
-            F.least(
-                F.greatest(
-                    F.floor(F.col(value_col) / bin_width).cast("bigint"),
-                    F.lit(0),
-                ),
-                F.lit(n_bins - 1),
-            ).alias("bin")
-        ).groupBy("bin").agg(F.count(F.lit(1)).alias(name))
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(psi_bin(value_col, bin_width, n_bins).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
 
     spine = spark.range(0, n_bins).select(F.col("id").alias("bin"))
     b = (
@@ -2219,25 +2220,7 @@ def psi_report(
         .join(binned(cur, "nb"), "bin", "left")
         .fillna(0, ["na", "nb"])
     )
-    t = F.broadcast(
-        b.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    )
-    p = F.col("na").cast("double") + 1.0
-    q = F.col("nb").cast("double") + 1.0
-    pa = p / (F.col("ta") + n_bins)
-    qb = q / (F.col("tb") + n_bins)
-    terms = b.crossJoin(t).select(
-        "ta",
-        "tb",
-        F.round((pa - qb) * F.log(pa / qb), 12)
-        .cast("decimal(28,12)")
-        .alias("term"),
-    )
-    return terms.agg(
-        F.max("ta").cast("bigint").alias("n_ref"),
-        F.max("tb").cast("bigint").alias("n_cur"),
-        F.round(F.sum("term").cast("double"), 6).alias("psi"),
-    )
+    return psi_from_bins(b, n_bins)
 
 
 @query(

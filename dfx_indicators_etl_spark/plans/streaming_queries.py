@@ -901,6 +901,71 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_psi_drift",
+    # Same oracle as q_psi_drift: the folded streaming count log must
+    # produce the identical exact-decimal PSI fold.
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               LEAST(GREATEST(CAST(floor(value / 50) AS BIGINT), 0), 19)
+                   AS bin
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    spine AS (SELECT UNNEST(range(0, 20)) AS bin),
+    b AS (
+        SELECT s.bin,
+               COUNT(CASE WHEN v.event_type = 'click' THEN 1 END) AS na,
+               COUNT(CASE WHEN v.event_type = 'purchase' THEN 1 END) AS nb
+        FROM spine s LEFT JOIN v ON v.bin = s.bin
+        GROUP BY s.bin
+    ),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM b),
+    terms AS (
+        SELECT CAST(round(
+                 (CAST(na + 1 AS DOUBLE) / (ta + 20)
+                  - CAST(nb + 1 AS DOUBLE) / (tb + 20))
+                 * ln((CAST(na + 1 AS DOUBLE) / (ta + 20))
+                      / (CAST(nb + 1 AS DOUBLE) / (tb + 20))), 12)
+               AS DECIMAL(28,12)) AS term,
+               ta, tb
+        FROM b, t
+    )
+    SELECT CAST(MAX(ta) AS BIGINT) AS n_ref,
+           CAST(MAX(tb) AS BIGINT) AS n_cur,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+    FROM terms
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (``streaming.incremental_psi_drift``)
+    — the incremental face of ``q_psi_drift``: per-batch (bin, side)
+    counts on the shared fixed spine land under batch-keyed OVERWRITE
+    partitions (counts add, so replay safety is the batch-id
+    discipline, not the bitmap log's idempotent OR); the reader folds
+    #batches × ≤20 rows and runs the identical exact-decimal term
+    fold. Events land in 6 micro-batches; equality with the one-shot
+    SQL oracle proves no batch was lost, doubled, or binned
+    differently. Restart pinned in tests/test_streaming_sinks.py."""
+    root = _scratch("dfx_stream_psi_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        landing = f"{root}/landing"
+        for b in range(6):
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        streaming.incremental_psi_drift(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_psi_drift(
+            spark, f"{root}/state"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_bitmap_distinct",
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week,

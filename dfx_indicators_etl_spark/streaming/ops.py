@@ -1485,6 +1485,91 @@ def incremental_bitmap_distinct(
         q.stop()
 
 
+def incremental_psi_drift(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming PSI drift monitor — the incremental face of
+    ``q_psi_drift``: each micro-batch reduces to per-(bin, side)
+    counts on the SHARED fixed spine (``operators.scale.psi_bin``) and
+    lands them under a ``batch_id=<n>/`` partition with OVERWRITE.
+
+    Counts add — they are NOT an idempotent merge like the bitmap
+    log's OR — so replay safety comes from the batch-keyed partition
+    instead: a checkpoint replay after a mid-drain restart rewrites
+    the same directory rather than appending a duplicate (the
+    stream_upsert_sink discipline, not stream_bitmap_distinct's).
+    Readers fold the log with one combinable SUM per (bin, side) —
+    input size #batches × ≤#bins rows, never #events — and compute
+    the identical exact-decimal PSI fold, so the one-shot batch
+    oracle covers the monitor at any point in the backlog.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    from ..operators.scale import psi_bin
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.filter(
+                F.col("event_type").isin("click", "purchase")
+                & F.col("value").isNotNull()
+            )
+            .select(
+                psi_bin("value").alias("bin"),
+                F.when(F.col("event_type") == "click", F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("is_ref"),
+            )
+            .groupBy("bin")
+            .agg(
+                F.sum("is_ref").alias("na"),
+                F.sum(1 - F.col("is_ref")).alias("nb"),
+            )
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"psi drain exceeded {timeout_sec}s")
+    finally:
+        q.stop()
+
+
+def read_psi_drift(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the PSI count log into the 1-row drift report (identical
+    arithmetic to q_psi_drift via operators.scale.psi_from_bins)."""
+    ensure_session_confs(spark)
+    from ..operators.scale import psi_from_bins
+
+    log = spark.read.parquet(state_dir)
+    folded = log.groupBy("bin").agg(
+        F.sum("na").alias("na"), F.sum("nb").alias("nb")
+    )
+    spine = spark.range(0, 20).select(F.col("id").alias("bin"))
+    b = (
+        spine.join(folded, "bin", "left")
+        .fillna(0, ["na", "nb"])
+        .select("bin", "na", "nb")
+    )
+    return psi_from_bins(b, 20)
+
+
 def read_bitmap_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold the bitmap-partial log into exact weekly distinct counts."""
     ensure_session_confs(spark)

@@ -750,3 +750,65 @@ def test_stream_attribution_restart_and_expiry(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out_oneshot")).collect()
     }
     assert oneshot == expect
+
+
+def test_psi_drift_stream_restart_and_replay_overwrite(spark, sf_dir):
+    """The PSI count log is exactly-once via batch-keyed OVERWRITE
+    partitions: (a) a drain interrupted after 3 of 6 batches and
+    resumed from the same checkpoint converges to the one-shot batch
+    report; (b) re-writing one batch's partition (simulated checkpoint
+    replay) changes nothing — the directory is overwritten, never
+    appended, so counts cannot double."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.plans.streaming_queries import _scratch
+    from dfx_indicators_etl_spark.sources import read_table
+
+    want = tuple(QUERIES["q_psi_drift"](spark, sf_dir).collect()[0])
+    events = read_table(spark, sf_dir, "events")
+    root = _scratch("dfx_psi_restart_")
+    try:
+        landing, state, ckpt = (
+            f"{root}/landing",
+            f"{root}/state",
+            f"{root}/ckpt",
+        )
+        for b in range(6):
+            events.filter(F2.pmod(F2.col("event_id"), F2.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+
+        files = sorted(_glob.glob(f"{landing}/part-*.parquet"))
+        held = files[3:]
+        # move held files OUT of the landing dir entirely: unlike the
+        # bitmap test's in-place rename (harmless there — OR absorbs a
+        # double read), additive counts must never see a file twice
+        # under two names
+        for f in held:
+            _os.rename(f, f"{root}/{_os.path.basename(f)}")
+        streaming.incremental_psi_drift(spark, landing, state, ckpt)
+        mid = streaming.read_psi_drift(spark, state).collect()[0]
+        assert mid["n_ref"] + mid["n_cur"] > 0  # partial but readable
+        for f in held:
+            _os.rename(f"{root}/{_os.path.basename(f)}", f)
+        streaming.incremental_psi_drift(spark, landing, state, ckpt)
+        got = tuple(streaming.read_psi_drift(spark, state).collect()[0])
+        assert got == want
+
+        # (b) replay batch 0: overwrite its partition with the same
+        # counts — report must not move
+        batch0 = spark.read.parquet(f"{state}/batch_id=0")
+        batch0.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{state}/batch_id=0"
+        )
+        again = tuple(streaming.read_psi_drift(spark, state).collect()[0])
+        assert again == want
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)

@@ -138,6 +138,14 @@ PROBES = {
     "q_skyline": ("lineitem",),
     # gains table: per-user reduction + global_ntile rank
     "q_gains_lift": ("events",),
+    # round 10: weighted histogram percentiles (distinct-value-sized
+    # shuffle), fixed-spine PSI (pure map-side counts — the linear
+    # floor is the bound to beat), bitmap AND-merge retention (word
+    # log is (week,bucket)-sized; replicas multiply buckets, and the
+    # offset user ids keep per-week user sets K×, not denser)
+    "q_weighted_percentile": ("lineitem",),
+    "q_psi_drift": ("events",),
+    "q_bitmap_retention": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -248,6 +248,7 @@ HEADLINE = (
     "q_psi_drift",
     "q_bitmap_retention",
     "stream_psi_drift",
+    "q_decayed_engagement",
 )
 
 

@@ -2403,6 +2403,85 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decayed_engagement",
+    # The decay factor is an EXACT power of two (1 / (1<<w), integer
+    # shift + one IEEE division) — never libm pow/exp, whose last-ulp
+    # behavior differs between the JVM and C runtimes. Terms round to
+    # 12dp and fold as exact DECIMAL (the numeric convention).
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               CAST(round(value / CAST(CAST(1 AS BIGINT) <<
+                    CAST(LEAST(floor(GREATEST(date_diff('second', ts,
+                        TIMESTAMP '2024-03-01 00:00:00'), 0) / 604800.0),
+                        62) AS INT) AS DOUBLE), 12)
+                    AS DECIMAL(28,12)) AS vterm,
+               CAST(round(1.0 / CAST(CAST(1 AS BIGINT) <<
+                    CAST(LEAST(floor(GREATEST(date_diff('second', ts,
+                        TIMESTAMP '2024-03-01 00:00:00'), 0) / 604800.0),
+                        62) AS INT) AS DOUBLE), 12)
+                    AS DECIMAL(28,12)) AS cterm
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           round(CAST(SUM(vterm) AS DOUBLE), 6) AS decayed_value,
+           round(CAST(SUM(cterm) AS DOUBLE), 6) AS decayed_events,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM t GROUP BY user_id
+    ORDER BY decayed_value DESC, user_id LIMIT 100
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scores (weekly half-life against a
+    fixed reference instant) — the feature-store / ranking-signal
+    staple: recent activity counts full, each elapsed week halves it.
+
+    One narrow map computes each event's decay factor as an EXACT
+    power of two — ``1 / (1 << weeks)``, integer shift plus a single
+    IEEE division, deliberately instead of ``pow(0.5, age/halflife)``
+    whose libm implementations differ between engines in the last ulp
+    — then one combinable per-user aggregate (map-side partial) and a
+    bounded top-100. Terms follow the 12dp-round → exact-decimal-fold
+    determinism convention, so the score is partition-order- and
+    engine-exact. At 100 TB this is a scan + one key shuffle; the
+    reference instant is a literal (scores are reproducible, and an
+    incremental refresh just re-runs the narrow map on new partitions).
+    """
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    origin = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    age_s = F.unix_timestamp(origin) - F.unix_timestamp(F.col("ts"))
+    weeks = F.least(
+        F.floor(F.greatest(age_s, F.lit(0)) / F.lit(604800.0)), F.lit(62)
+    ).cast("int")
+    # variable shifts must go through SQL (the Python shiftleft wrapper
+    # rejects Column shift amounts)
+    pow2 = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), __weeks) AS DOUBLE)"
+    )
+    withf = e.withColumn("__weeks", weeks).select(
+        "user_id",
+        F.round(F.col("value") / pow2, 12)
+        .cast("decimal(28,12)")
+        .alias("vterm"),
+        F.round(F.lit(1.0) / pow2, 12).cast("decimal(28,12)").alias("cterm"),
+    )
+    return (
+        withf.groupBy("user_id")
+        .agg(
+            F.round(F.sum("vterm").cast("double"), 6).alias("decayed_value"),
+            F.round(F.sum("cterm").cast("double"), 6).alias(
+                "decayed_events"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_value").desc(), "user_id")
+        .limit(100)
+    )
+
+
+@query(
     "q_bitmap_retention",
     oracle="""
     WITH uw AS (

@@ -29,6 +29,7 @@ __all__ = [
     "phash_pairs",
     "png_decode",
     "png_encode",
+    "png_resize",
     "phash_words",
     "resize_images",
     "sample_frames",
@@ -240,19 +241,44 @@ def decode_features(df: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = "doc_id bigint, out_bytes bigint, width int, height int, checksum bigint"
 
 
-def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
-    """Resize stub: 1→1 payload transform with new metadata.
+def png_resize(data: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads: decode (full inflate + defilter),
+    nearest-neighbor sample to (width, height), re-encode. Pure
+    stdlib+numpy, deterministic, and the output is a valid PNG any
+    reader opens."""
+    import numpy as np
 
-    A real resize decodes, scales, and re-encodes per batch (PIL /
-    libvips); the stub truncates the payload to the target pixel budget
-    so outputs stay verifiable. Same narrow Arrow-batched plan either
-    way.
+    w0, h0, raw = png_decode(data)
+    ch = len(raw) // (w0 * h0)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h0, w0, ch)
+    ys = (np.arange(height) * h0) // height
+    xs = (np.arange(width) * w0) // width
+    out = px[ys][:, xs].reshape(-1)
+    return png_encode(out, width, height, ch)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Resize through the narrow Arrow-batched seam: the REAL
+    nearest-neighbor PNG resize for ``image/png`` payloads
+    (decode → sample → re-encode, output readable by any PNG tool),
+    the payload-truncation stub for ``image/fake``. Same 1→1
+    mapInPandas plan either way; a real libvips/PIL swap changes only
+    the per-batch body.
     """
     budget = width * height
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            resized = batch["payload"].map(lambda b: b[:budget])
+            png = batch["media_type"] == "image/png"
+            resized = batch["payload"].copy()
+            if png.any():
+                resized[png] = batch["payload"][png].map(
+                    lambda b: png_resize(b, width, height)
+                )
+            if (~png).any():
+                resized[~png] = batch["payload"][~png].map(
+                    lambda b: b[:budget]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],

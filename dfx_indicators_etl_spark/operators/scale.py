@@ -404,9 +404,12 @@ def histogram_percentiles(
 
     groups = list(group_cols)
     v_dbl = F.col(value_col).cast("double")
+    # the histogram feeds the totals AND the cumulative window —
+    # materialize the distinct-value-sized aggregate once (§4
+    # multi-branch rule) instead of re-scanning the fact per branch
     hist = df.groupBy(*groups, value_col).agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     totals = hist.groupBy(*groups).agg(F.sum("__c").alias("__n"))
     if groups:
         w = (
@@ -469,13 +472,21 @@ def weighted_percentiles(
     map-side-combinable shuffle), a PARTITIONED cumulative window over
     distinct values only, one final agg. Task state is O(1); the
     widest shuffle is distinct-value-sized. ``total_col`` (if named)
-    attaches the group's total weight as DOUBLE.
+    attaches the group's total weight as DOUBLE. Weights must be
+    POSITIVE (zero/negative weights break the cumulative-weight
+    monotonicity the lower-percentile pick relies on); NULL-weight
+    rows should be filtered by the caller.
     """
     from pyspark.sql import Window
 
     groups = list(group_cols)
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    hist = df.groupBy(*groups, value_col).agg(F.sum(wcol).alias("__w"))
+    # the histogram feeds the totals AND the cumulative window —
+    # materialize the distinct-value-sized aggregate once (§4
+    # multi-branch rule) instead of re-scanning the fact per branch
+    hist = df.groupBy(*groups, value_col).agg(
+        F.sum(wcol).alias("__w")
+    ).localCheckpoint(eager=False)
     totals = hist.groupBy(*groups).agg(F.sum("__w").alias("__t"))
     w = (
         Window.partitionBy(*groups)
@@ -525,6 +536,10 @@ def psi_from_bins(b: DataFrame, n_bins: int = 20) -> DataFrame:
     (the plans.numeric determinism convention), so the result is
     bit-identical however the counts were accumulated — one batch
     pass or a folded streaming log."""
+    # b feeds the totals row AND the term projection — materialize the
+    # ≤n_bins-row frame once (§4 multi-branch rule) instead of
+    # re-running both count aggregations per consumer
+    b = b.localCheckpoint(eager=False)
     t = F.broadcast(b.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")))
     p = F.col("na").cast("double") + 1.0
     q = F.col("nb").cast("double") + 1.0

@@ -350,3 +350,36 @@ def test_bitmap_retention_hand_case(spark):
     assert got[w1] == (4, 0, 4, None)
     assert got[w2] == (5, 3, 2, 1)  # retained {2,3,130}; churned {1}
     assert got[w3] == (1, 1, 0, 4)
+
+
+def test_png_real_resize_through_seam(spark):
+    """The resize seam also runs the REAL codec for PNG payloads:
+    nearest-neighbor decode→sample→re-encode, the output parses as a
+    valid PNG of the target geometry, and the fake path in the same
+    frame keeps its truncation contract."""
+    import numpy as np
+
+    from dfx_indicators_etl_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, size=40 * 30 * 3, dtype=np.uint8)
+    data = M.png_encode(px, 40, 30, 3)
+    rows = [
+        (1, bytearray(data), "image/png"),
+        (2, bytearray(b"z" * 5000), "image/fake"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: r for r in M.resize_images(df, 10, 6).collect()
+    }
+    expected = M.png_resize(data, 10, 6)
+    w, h, raw = M.png_decode(expected)
+    assert (w, h) == (10, 6)
+    assert got[1]["out_bytes"] == len(expected)
+    assert got[1]["checksum"] == int(sum(expected[:16]))
+    assert (got[2]["out_bytes"], got[2]["checksum"]) == (
+        60,
+        int(sum(b"z" * 16)),
+    )

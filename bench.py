@@ -249,6 +249,7 @@ HEADLINE = (
     "q_bitmap_retention",
     "stream_psi_drift",
     "q_decayed_engagement",
+    "mm_phash_clusters",
 )
 
 

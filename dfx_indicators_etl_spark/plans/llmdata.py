@@ -1421,6 +1421,82 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_pairs(corpus, max_hamming=6)
 
 
+@query(
+    "mm_phash_clusters",
+    # The pair CTE is mm_phash_dedup's replay verbatim; the recursive
+    # closure and component-min labeling are dedup_clusters' — one
+    # spec, now proven over the MULTIMODAL pair graph too.
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', 'f') FROM documents
+    ),
+    p AS (
+        SELECT doc_id, concat(hex(encode(coalesce(text,''))), '00') AS hx,
+               octet_length(encode(coalesce(text,''))) AS n
+        FROM corpus
+    ),
+    g AS (SELECT doc_id, {_PH_G} FROM p),
+    m AS (SELECT *, ({_PH_SUM})/{_PH_NBITS}.0 AS mean FROM g),
+    words AS (SELECT doc_id, {_PH_WORDS} FROM m),
+    bands AS (
+    {_PH_BANDS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    prs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, CAST({_PH_HAMMING} AS BIGINT) AS hamming
+            FROM cand
+            JOIN words sa ON doc_a = sa.doc_id
+            JOIN words sb ON doc_b = sb.doc_id
+        ) WHERE hamming <= 6
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate CLUSTERS: connected components over the
+    128-bit perceptual-hash pair graph — the multimodal dedup story
+    end-to-end (pairs → transitive closure → component-min canonical
+    id), exactly parallel to the text side's
+    ngram-pairs → dedup_clusters → dedup_survivors chain.
+
+    Composition of two independently-oracled operators: the pair graph
+    is ``multimodal.phash_pairs`` (mm_phash_dedup's banded Hamming
+    search, its SQL replay reused verbatim) and the closure is
+    ``operators.dedup.connected_components_star`` (the Kiveris
+    large-star/small-star contraction — its third consumer), so the
+    whole chain stays shuffle-bounded: banded buckets, never all
+    pairs; per-round node-keyed contraction, never a |V|-row label
+    broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("replace(text, 'e', 'f')").alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    pairs = multimodal.phash_pairs(corpus, max_hamming=6)
+    return dedup.connected_components_star(pairs)
+
+
 _PH256 = _ph_fragments(256)
 
 

@@ -250,6 +250,7 @@ HEADLINE = (
     "stream_psi_drift",
     "q_decayed_engagement",
     "mm_phash_clusters",
+    "stream_weighted_percentile",
 )
 
 

@@ -481,12 +481,34 @@ def weighted_percentiles(
 
     groups = list(group_cols)
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hist = df.groupBy(*groups, value_col).agg(F.sum(wcol).alias("__w"))
+    return weighted_percentiles_from_hist(
+        hist, groups, value_col, probs, total_col
+    )
+
+
+def weighted_percentiles_from_hist(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: dict[str, tuple[int, int]],
+    total_col: str | None = None,
+    weight_col: str = "__w",
+) -> DataFrame:
+    """The rank stage of ``weighted_percentiles`` over an ALREADY-BUILT
+    (group, value) → weight histogram — the face the streaming log
+    reader folds into (histogram weights ADD across micro-batches, so
+    a batch-keyed count log reproduces the one-shot histogram exactly
+    and this stage cannot tell the difference)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    if weight_col != "__w":
+        hist = hist.withColumnRenamed(weight_col, "__w")
     # the histogram feeds the totals AND the cumulative window —
     # materialize the distinct-value-sized aggregate once (§4
-    # multi-branch rule) instead of re-scanning the fact per branch
-    hist = df.groupBy(*groups, value_col).agg(
-        F.sum(wcol).alias("__w")
-    ).localCheckpoint(eager=False)
+    # multi-branch rule) instead of re-deriving it per branch
+    hist = hist.localCheckpoint(eager=False)
     totals = hist.groupBy(*groups).agg(F.sum("__w").alias("__t"))
     w = (
         Window.partitionBy(*groups)

@@ -1443,12 +1443,20 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
     {_PH_BANDS}
     ),
+    bands_ok AS (
+        SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING COUNT(*) <= 64
+    ),
+    bandsc AS (
+        SELECT bands.* FROM bands JOIN bands_ok
+        USING (band_idx, band_key)
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band_idx = b.band_idx
-                    AND a.band_key = b.band_key
-                    AND a.doc_id < b.doc_id
+        FROM bandsc a
+        JOIN bandsc b ON a.band_idx = b.band_idx
+                     AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
     ),
     prs AS (
         SELECT doc_a, doc_b FROM (
@@ -1480,12 +1488,16 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of two independently-oracled operators: the pair graph
     is ``multimodal.phash_pairs`` (mm_phash_dedup's banded Hamming
-    search, its SQL replay reused verbatim) and the closure is
-    ``operators.dedup.connected_components_star`` (the Kiveris
-    large-star/small-star contraction — its third consumer), so the
-    whole chain stays shuffle-bounded: banded buckets, never all
-    pairs; per-round node-keyed contraction, never a |V|-row label
-    broadcast.
+    search) run in PRODUCTION mode — ``max_band_bucket=64``, the §4
+    banded-signature cap, replayed in the oracle's ``bands_ok`` CTE —
+    and the closure is ``operators.dedup.connected_components_star``
+    (the Kiveris large-star/small-star contraction, its third
+    consumer). The cap is load-bearing here where the pairs-only demo
+    runs uncapped: at 27× corpus the 16-bit band grid saturates and
+    UNCAPPED candidates grow ~K² (measured ratio 23.6 vs 2.9 capped —
+    SCALE.md §Round-10), exactly the blowup the r9 rule predicts.
+    Shuffle-bounded end-to-end: capped buckets, never all pairs;
+    per-round node-keyed contraction, never a |V|-row label broadcast.
     """
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     variants = docs.select(
@@ -1493,7 +1505,7 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("replace(text, 'e', 'f')").alias("text"),
     )
     corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
-    pairs = multimodal.phash_pairs(corpus, max_hamming=6)
+    pairs = multimodal.phash_pairs(corpus, max_hamming=6, max_band_bucket=64)
     return dedup.connected_components_star(pairs)
 
 

@@ -901,6 +901,65 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_weighted_percentile",
+    # Same oracle as q_weighted_percentile: the folded histogram log
+    # must produce the identical integer×decimal rank picks.
+    oracle="""
+    WITH h AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, v, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM h
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS DOUBLE)
+               AS wp50,
+           CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS DOUBLE)
+               AS wp90,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c GROUP BY 1
+    """,
+)
+def stream_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact weighted percentiles
+    (``streaming.incremental_weighted_histogram``) — the incremental
+    face of ``q_weighted_percentile``: each micro-batch lands its
+    (group, value) → Σweight decimal partial under a batch_id-keyed
+    OVERWRITE partition (weights ADD — the PSI replay discipline, not
+    the bitmap OR's), the reader folds the log with one combinable
+    decimal SUM and hands it to ``weighted_percentiles_from_hist``,
+    which cannot tell a folded log from a one-shot scan. Lineitem
+    lands in 6 micro-batches; equality with the one-shot SQL oracle
+    proves no batch was lost, doubled, or mis-summed."""
+    root = _scratch("dfx_stream_wpct_")
+    try:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey"
+        )
+        landing = f"{root}/landing"
+        for b in range(6):
+            li.filter(F.pmod(F.col("l_orderkey"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        streaming.incremental_weighted_histogram(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_weighted_percentiles(
+            spark,
+            f"{root}/state",
+            {"wp50": (1, 2), "wp90": (9, 10)},
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_psi_drift",
     # Same oracle as q_psi_drift: the folded streaming count log must
     # produce the identical exact-decimal PSI fold.

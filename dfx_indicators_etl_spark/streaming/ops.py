@@ -1570,6 +1570,82 @@ def read_psi_drift(spark: SparkSession, state_dir: str) -> DataFrame:
     return psi_from_bins(b, 20)
 
 
+def incremental_weighted_histogram(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+    weight_expr: str = "CAST(l_quantity AS DECIMAL(18,4))",
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming (group, value) → Σweight histogram log — the
+    incremental face of ``q_weighted_percentile``'s first stage.
+
+    Histogram weights ADD across micro-batches (decimal sums are
+    associative and exact), so — like the PSI count log and unlike the
+    bitmap OR log — replay safety is the batch-keyed OVERWRITE
+    discipline: each batch's partial lands under ``batch_id=<n>/`` and
+    a checkpoint replay rewrites the directory instead of re-adding.
+    The log grows by ≤ distinct-(group, value)-per-batch rows; readers
+    fold it with one combinable decimal SUM and hand the result to
+    ``operators.scale.weighted_percentiles_from_hist`` — which cannot
+    tell a folded log from a one-shot scan, so the batch SQL oracle
+    covers the monitor at any point in the backlog.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        hist = batch_df.groupBy(group_col, value_col).agg(
+            F.sum(F.expr(weight_expr)).alias("w")
+        )
+        hist.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"weighted-histogram drain exceeded {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
+def read_weighted_percentiles(
+    spark: SparkSession,
+    state_dir: str,
+    probs: dict[str, tuple[int, int]],
+    group_col: str = "l_returnflag",
+    value_col: str = "l_extendedprice",
+    total_col: str | None = "total_weight",
+) -> DataFrame:
+    """Fold the weighted-histogram log and compute exact lower
+    weighted percentiles (identical rank arithmetic to
+    q_weighted_percentile via weighted_percentiles_from_hist)."""
+    ensure_session_confs(spark)
+    from ..operators.scale import weighted_percentiles_from_hist
+
+    log = spark.read.parquet(state_dir)
+    hist = log.groupBy(group_col, value_col).agg(F.sum("w").alias("__w"))
+    return weighted_percentiles_from_hist(
+        hist, [group_col], value_col, probs, total_col
+    )
+
+
 def read_bitmap_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
     """Fold the bitmap-partial log into exact weekly distinct counts."""
     ensure_session_confs(spark)

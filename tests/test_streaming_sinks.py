@@ -812,3 +812,50 @@ def test_psi_drift_stream_restart_and_replay_overwrite(spark, sf_dir):
         import shutil as _sh
 
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_weighted_histogram_stream_restart(spark, sf_dir, tmp_path):
+    """The weighted-histogram log follows the additive-state replay
+    discipline: a drain interrupted after 3 of 6 batches and resumed
+    from the same checkpoint converges to the one-shot batch report
+    bit-for-bit (decimal partials add exactly)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.sources import read_table
+
+    want = sorted(
+        map(tuple, QUERIES["q_weighted_percentile"](spark, sf_dir).collect()),
+        key=repr,
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey"
+    )
+    landing = str(tmp_path / "landing")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    for b in range(6):
+        li.filter(F2.pmod(F2.col("l_orderkey"), F2.lit(6)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    files = sorted(_glob.glob(f"{landing}/part-*.parquet"))
+    held = files[3:]
+    for f in held:  # move OUT of the dir (additive state — see psi test)
+        _os.rename(f, str(tmp_path / _os.path.basename(f)))
+    streaming.incremental_weighted_histogram(spark, landing, state, ckpt)
+    for f in held:
+        _os.rename(str(tmp_path / _os.path.basename(f)), f)
+    streaming.incremental_weighted_histogram(spark, landing, state, ckpt)
+    got = sorted(
+        map(
+            tuple,
+            streaming.read_weighted_percentiles(
+                spark, state, {"wp50": (1, 2), "wp90": (9, 10)}
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert got == want

@@ -146,6 +146,11 @@ PROBES = {
     "q_weighted_percentile": ("lineitem",),
     "q_psi_drift": ("events",),
     "q_bitmap_retention": ("events",),
+    # power-of-two decay: narrow map + per-user combinable agg
+    "q_decayed_engagement": ("events",),
+    # phash pair graph + star contraction; suffixed replicas keep the
+    # pair graph K× edges, not K²
+    "mm_phash_clusters": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -30,6 +30,8 @@ __all__ = [
     "png_decode",
     "png_encode",
     "png_resize",
+    "wav_decode",
+    "wav_encode",
     "phash_words",
     "resize_images",
     "sample_frames",
@@ -179,14 +181,73 @@ def png_encode(pixels, width: int, height: int, channels: int = 1) -> bytes:
     )
 
 
+def wav_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a real RIFF/WAVE byte string to
+    (n_channels, sample_rate, n_samples, pcm_bytes). PCM (format 1),
+    8/16-bit; anything else raises — the codec boundary stays marked.
+    Pure stdlib chunk walk (fmt + data subchunks, unknown chunks
+    skipped), the audio sibling of ``png_decode``."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte stream")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits}"
+                )
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            pcm = bytes(body)
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    n_samples = len(pcm) // (n_ch * (bits // 8))
+    return n_ch, rate, n_samples, pcm
+
+
+def wav_encode(
+    pcm: bytes, n_channels: int = 1, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Encode raw PCM bytes as a real WAV — the fixture side of the
+    audio codec seam; ``wav_decode`` round-trips it and so does any
+    WAV reader."""
+    import struct
+
+    byte_rate = sample_rate * n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+        n_channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Decode over Arrow batches: arithmetic stub for ``image/fake``,
-    the REAL stdlib PNG decoder for ``image/png`` — both through the
-    identical narrow mapInPandas seam; unknown media types raise,
-    marking the genuine codec boundary.
+    the REAL stdlib PNG decoder for ``image/png``, the REAL stdlib
+    WAV/PCM parser for ``audio/wav`` (metadata mapping: width=sample
+    rate, height=channels, n_frames=samples, checksum over decoded
+    PCM) — all through the identical narrow mapInPandas seam; unknown
+    media types raise, marking the genuine codec boundary.
     """
     for batch in batches:
-        known = batch["media_type"].isin(["image/fake", "image/png"])
+        known = batch["media_type"].isin(
+            ["image/fake", "image/png", "audio/wav"]
+        )
         if not known.all():
             raise NotImplementedError(
                 "no codec for media types "
@@ -211,7 +272,7 @@ def _decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             out.loc[fake, "checksum"] = batch["payload"][fake].map(
                 lambda b: int(sum(b[:16]))
             )
-        png = ~fake
+        png = batch["media_type"] == "image/png"
         if png.any():
             decoded = batch["payload"][png].map(png_decode)
             out.loc[png, "width"] = decoded.map(lambda d: d[0])
@@ -221,6 +282,15 @@ def _decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             # ran, not just a header parse
             out.loc[png, "checksum"] = decoded.map(
                 lambda d: int(sum(d[2][:16]))
+            )
+        wav = batch["media_type"] == "audio/wav"
+        if wav.any():
+            decoded = batch["payload"][wav].map(wav_decode)
+            out.loc[wav, "width"] = decoded.map(lambda d: d[1])  # rate
+            out.loc[wav, "height"] = decoded.map(lambda d: d[0])  # ch
+            out.loc[wav, "n_frames"] = decoded.map(lambda d: d[2])
+            out.loc[wav, "checksum"] = decoded.map(
+                lambda d: int(sum(d[3][:16]))
             )
         out["width"] = out["width"].astype("int32")
         out["height"] = out["height"].astype("int32")

@@ -383,3 +383,34 @@ def test_png_real_resize_through_seam(spark):
         60,
         int(sum(b"z" * 16)),
     )
+
+
+def test_wav_real_codec_through_decode_seam(spark):
+    """Second non-synthetic format through the same seam: real WAV
+    bytes (stdlib RIFF writer) decode beside PNG and fake rows in ONE
+    frame — metadata mapping (rate/channels/samples) and the checksum
+    over decoded PCM match the source of truth."""
+    import struct
+
+    from dfx_indicators_etl_spark.operators import multimodal as M
+
+    pcm = struct.pack("<12h", *range(-6, 6))
+    wav = M.wav_encode(pcm, n_channels=2, sample_rate=8000, bits=16)
+    png = M.png_encode(bytes(range(24)), 4, 6, 1)
+    rows = [
+        (1, bytearray(wav), "audio/wav"),
+        (2, bytearray(png), "image/png"),
+        (3, bytearray(b"0123456789abcdef"), "image/fake"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["n_frames"], r["checksum"]
+        )
+        for r in M.decode_features(df).collect()
+    }
+    assert got[1] == (8000, 2, 6, int(sum(pcm[:16])))
+    assert got[2] == (4, 6, 1, int(sum(bytes(range(24))[:16])))
+    assert got[3][2] == 16 % 30 + 1  # fake path untouched

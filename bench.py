@@ -251,6 +251,7 @@ HEADLINE = (
     "q_decayed_engagement",
     "mm_phash_clusters",
     "stream_weighted_percentile",
+    "emb_cosine_clusters",
 )
 
 

@@ -19,9 +19,9 @@ from . import streaming_queries  # noqa: E402,F401
 # ENTIRE 38-key r6-evidence cohort — the registry's oldest evidence —
 # ordered weakest-signal-last (sink round-trips, the declared mm_*
 # plumbing stubs, rows-only emb_pca) so they absorb the overflow past
-# the 50-key boundary. With 8 new r10 keys in (b), the last 10 cohort
-# keys (stream_topk, stream_upsert_sink, 4 sink round-trips, the 3
-# declared stubs, emb_pca) wait for r11 — the deliberate growth-vs-rotation
+# the 50-key boundary. With 9 new r10 keys in (b), the last 11 cohort
+# keys (3 stream sinks, 4 sink round-trips, the 3 declared stubs,
+# emb_pca) wait for r11 — the deliberate growth-vs-rotation
 # tradeoff, spending window slots on new first-class oracles over
 # re-stamping plumbing round-trips.
 _DRIVER_WINDOW_PRIORITY = [
@@ -49,6 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_decayed_engagement",
     "mm_phash_clusters",
     "stream_weighted_percentile",
+    "emb_cosine_clusters",
     # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -749,6 +749,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_cosine_clusters",
+    # The scored-pairs CTE is dedup_embedding_cosine's replay; the
+    # recursive closure is dedup_clusters' — the third face of one
+    # clustering spec (text shingles / image phash / embedding cosine).
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    prs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL
+        SELECT id_b, id_a FROM prs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT ed.u, reach.r FROM edges ed JOIN reach ON ed.v = reach.u
+    )
+    SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def emb_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS over the embedding-cosine pair
+    graph — the third face of the clustering spec (text shingle pairs
+    → dedup_clusters, image phash pairs → mm_phash_clusters, and now
+    embedding cosine ≥ 0.4 → component-min canonical ids), the
+    "semantic dedup" pass of a training-data pipeline.
+
+    Composition of two independently-oracled operators:
+    ``similarity.embedding_cosine_pairs`` (exact pairwise cosine at
+    demo scale — the registered ANN stack is the scale path for the
+    pair generation) and ``operators.dedup.connected_components_star``
+    (fourth consumer). The oracle replays the cosine pair CTE and the
+    recursive closure verbatim.
+    """
+    pairs = similarity.embedding_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    return dedup.connected_components_star(
+        pairs, a_col="id_a", b_col="id_b"
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+@query(
     "sim_lsh_ann",
     # FULL value oracle (round-7 graduation): the hyperplane matrix is
     # formula-derived — component(t,p,j) = ((t·1000003 + p·10007 +

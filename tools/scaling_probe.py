@@ -151,6 +151,10 @@ PROBES = {
     # phash pair graph + star contraction; suffixed replicas keep the
     # pair graph K× edges, not K²
     "mm_phash_clusters": ("documents",),
+    # cosine clusters: exact pair stage is O(n²) BY DESIGN at demo
+    # scale (the ANN stack is the scale path) — probe documents the
+    # quadratic pair stage honestly rather than hiding it
+    "emb_cosine_clusters": ("embeddings",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -577,9 +577,22 @@ def bigram_logprob(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     uni = df.select(F.explode(t).alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    # vocab-sized aggregates feed multiple consumers (total + two
+    # broadcasts) — materialize once (§4 multi-branch rule); the
+    # corpus-sized ``big`` deliberately re-derives from the pruned
+    # scan instead (a corpus-sized checkpoint costs more than the
+    # second narrow explode)
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = ucnt.agg(F.sum("c").cast("double").alias("__n"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     p = (
         F.lit(lam) * (F.col("c12").cast("double") / F.col("__c1").cast("double"))
         + (F.lit(1.0) - F.lit(lam))
@@ -638,9 +651,21 @@ def pmi_bigrams(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     uni = df.select(F.explode(t).alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    # ucnt feeds the corpus total AND two broadcast frequency tables;
+    # bcnt feeds its total AND the scored join — materialize the
+    # vocab-/vocab²-sized aggregates once (§4 multi-branch rule: was
+    # 5 corpus scans, now 2 — the two distinct explodes)
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     n1 = ucnt.agg(F.sum("c").cast("double").alias("__n1"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     n2 = bcnt.agg(F.sum("n").cast("double").alias("__n2"))
     scored = (
         bcnt.filter(F.col("n") >= min_count)

@@ -414,3 +414,41 @@ def test_wav_real_codec_through_decode_seam(spark):
     assert got[1] == (8000, 2, 6, int(sum(pcm[:16])))
     assert got[2] == (4, 6, 1, int(sum(bytes(range(24))[:16])))
     assert got[3][2] == 16 % 30 + 1  # fake path untouched
+
+
+def test_round10_new_key_plan_shapes(spark, sf_dir):
+    """The round-10 keys' scale claims, asserted on executed plans:
+    q_psi_drift reduces map-side (no window, no Python, bounded
+    scans); q_weighted_percentile's cumulative window is PARTITIONED
+    (no SinglePartition exchange) and Python-free; q_bitmap_retention
+    derives actives AND the pair join from ONE materialized word log
+    (no re-scan per branch past the checkpoint); q_decayed_engagement
+    is a narrow map + one key shuffle + bounded top-k."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("q_psi_drift")
+    assert "Window" not in p and "BatchEvalPython" not in p
+    assert p.count("Scan parquet") <= 2  # two filtered sides of events
+
+    p = plan("q_weighted_percentile")
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan("q_bitmap_retention")
+    # everything past the uneager checkpoint reuses the word log: the
+    # events fact must not re-scan per branch
+    assert p.count("Scan parquet") <= 1
+    assert "BatchEvalPython" not in p
+
+    p = plan("q_decayed_engagement")
+    assert "TakeOrderedAndProject" in p  # bounded top-100, no global sort
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 1  # one key shuffle

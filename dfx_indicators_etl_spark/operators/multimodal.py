@@ -228,10 +228,16 @@ def wav_encode(
         "<HHIIHH", 1, n_channels, sample_rate, byte_rate,
         n_channels * bits // 8, bits,
     )
+    # RIFF chunks are word-aligned: an odd-length data chunk carries a
+    # pad byte NOT counted in the chunk length (wav_decode skips it via
+    # `length & 1`). Without it an odd PCM payload is non-conformant —
+    # it round-trips here only because data is the last chunk, but any
+    # strict reader (or a later appended chunk) would misparse.
+    pad = b"\x00" if len(pcm) & 1 else b""
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + b"data" + struct.pack("<I", len(pcm)) + pcm + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

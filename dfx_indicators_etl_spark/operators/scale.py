@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "salted_agg",
@@ -367,11 +368,165 @@ def global_running_max(
     ).drop("__grm_pid")
 
 
+def _broadcast_join_nullsafe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Broadcast inner join on ``keys`` with NULL-SAFE key equality —
+    a GROUP BY key may legitimately be NULL, and a plain `=` join
+    would silently drop that group (SQL GROUP BY keeps it, so the
+    DuckDB oracles keep it too)."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__ns_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__ns_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(F.broadcast(renamed), cond).drop(
+        *[f"__ns_{k}" for k in keys]
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 2_000_000,
+) -> DataFrame:
+    """PER-GROUP exact running sum with a HOT-GROUP bound — the
+    grouped generalization of ``global_running_sum``'s offsets algebra
+    (VERDICT r10 #3: the partitioned window
+    ``partitionBy(groups).orderBy(...)`` is safe for many small groups
+    but a single hot group with ~10⁹ distinct order keys is one window
+    partition = one task's sort — the grouped sibling of exactly the
+    class ``global_running_sum`` eliminated globally).
+
+    Above ``small_rows_threshold`` the frame range-repartitions on
+    ``(groups…, order_by…)`` — range partitioning keeps each group's
+    rows CONTIGUOUS, so a hot group splits across consecutive
+    partitions while at most ``n_parts − 1`` groups straddle a
+    boundary. Per-(partition, group) running sums are then corrected
+    by offsets computed ONLY for boundary-straddling groups: the
+    collected control-plane list is ≤ 2·n_parts rows no matter how
+    many groups exist (groups wholly inside one partition need no
+    offset), and the driver prefix-sums each straddler's partials as
+    exact ints/``decimal.Decimal``. Offsets rejoin via a broadcast
+    null-safe equi-join (group keys may be NULL), so the result is
+    value-identical to the window plan for any partitioning.
+
+    ``order_by`` must totally order rows WITHIN each group, and
+    ``value_col`` must be non-null (same contract as
+    ``global_running_sum``, whose path this delegates to when
+    ``group_cols`` is empty).
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    if not groups:
+        return global_running_sum(
+            df,
+            value_col,
+            order_by,
+            out_col,
+            n_rows=n_rows,
+            small_rows_threshold=small_rows_threshold,
+        )
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w))
+    sum_type = df.select(F.sum(value_col)).schema[0].dataType
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(
+        n_parts, *[F.col(g) for g in groups], *order_by
+    ).localCheckpoint(eager=False)
+    keyed = parted.withColumn("__grs_pid", F.spark_partition_id())
+    # (pid, group) partials are distinct-pair-sized, but only groups
+    # seen in >1 partition are COLLECTED — range contiguity bounds the
+    # straddler set by the partition count, not the group count
+    partials = (
+        keyed.groupBy("__grs_pid", *groups)
+        .agg(F.sum(value_col).alias("__grs_s"))
+        .localCheckpoint(eager=False)
+    )
+    # straddler detection via a window count, NOT an equi-join: group
+    # keys may be NULL and `=` would drop them. Each window partition
+    # is one group's partials — ≤ n_parts rows by range contiguity.
+    w_np = Window.partitionBy(*groups)
+    span_rows = (
+        partials.withColumn("__grs_np", F.count(F.lit(1)).over(w_np))
+        .filter(F.col("__grs_np") > 1)
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in span_rows:
+        by_group.setdefault(tuple(r[g] for g in groups), []).append(
+            (r["__grs_pid"], r["__grs_s"])
+        )
+    offset_rows = []
+    for key, lst in by_group.items():
+        running = 0  # exact: int or decimal.Decimal arithmetic
+        for pid, s in sorted(lst, key=lambda t: t[0]):
+            if running != 0:
+                offset_rows.append((pid, *key, running))
+            running += s if s is not None else 0
+    w = (
+        Window.partitionBy("__grs_pid", *groups)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part_sum = F.sum(value_col).over(w)
+    if not offset_rows:
+        return keyed.withColumn(out_col, part_sum.cast(sum_type)).drop(
+            "__grs_pid"
+        )
+    off_schema = T.StructType(
+        [T.StructField("__grs_pid2", T.IntegerType(), False)]
+        + [
+            T.StructField(f"__grs_g{i}", df.schema[g].dataType, True)
+            for i, g in enumerate(groups)
+        ]
+        + [T.StructField("__grs_off", sum_type, True)]
+    )
+    off_df = spark.createDataFrame(offset_rows, off_schema)
+    cond = F.col("__grs_pid") == F.col("__grs_pid2")
+    for i, g in enumerate(groups):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__grs_g{i}"))
+    return (
+        keyed.join(F.broadcast(off_df), cond, "left")
+        .withColumn(
+            out_col,
+            (
+                part_sum
+                + F.coalesce(
+                    F.col("__grs_off"), F.lit(0).cast(sum_type)
+                )
+            ).cast(sum_type),
+        )
+        .drop(
+            "__grs_pid",
+            "__grs_pid2",
+            "__grs_off",
+            *[f"__grs_g{i}" for i in range(len(groups))],
+        )
+    )
+
+
 def histogram_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],
     value_col: str,
     probs: dict[str, float],
+    hist_window_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """EXACT per-group interpolated percentiles without buffering any
     group's values in aggregation state — the giant-group-safe twin of
@@ -381,8 +536,12 @@ def histogram_percentiles(
     buffer, so a 100 TB fact with a handful of groups concentrates a
     near-corpus-cardinality map in ONE task's memory. This operator
     distributes that histogram instead: reduce to ``(group, value) →
-    count`` (one shuffle, map-side combinable), cumulative-count window
-    per group over DISTINCT values only, pick the two rows straddling
+    count`` (one shuffle, map-side combinable), a cumulative count per
+    group over DISTINCT values only (``grouped_running_sum`` — a plain
+    partitioned window while the histogram is window-sized, the
+    per-(group, partition) offsets algebra above
+    ``hist_window_max_rows``, so even a hot group's distinct values
+    never become one task's sort), pick the two rows straddling
     each target rank, and interpolate with ``F.percentile``'s own
     arithmetic — ``position = p·(n−1)``;
     ``(⌈pos⌉−pos)·lo + (pos−⌊pos⌋)·hi`` on doubles — so the result is
@@ -412,17 +571,26 @@ def histogram_percentiles(
     ).localCheckpoint(eager=False)
     totals = hist.groupBy(*groups).agg(F.sum("__c").alias("__n"))
     if groups:
-        w = (
-            Window.partitionBy(*groups)
-            .orderBy(v_dbl.asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # grouped_running_sum: plain partitioned window while the
+        # histogram is window-sized, the per-(group, partition) offsets
+        # algebra above the threshold — the hot-group bound shared with
+        # weighted_percentiles (VERDICT r10 #3)
+        cum = grouped_running_sum(
+            hist,
+            groups,
+            "__c",
+            [v_dbl.asc()],
+            "__cum",
+            small_rows_threshold=hist_window_max_rows,
         )
-        cum = hist.withColumn("__cum", F.sum("__c").over(w)).join(
-            F.broadcast(totals), groups
-        )
+        cum = _broadcast_join_nullsafe(cum, totals, groups)
     else:
         cum = global_running_sum(
-            hist, "__c", [v_dbl.asc()], "__cum"
+            hist,
+            "__c",
+            [v_dbl.asc()],
+            "__cum",
+            small_rows_threshold=hist_window_max_rows,
         ).crossJoin(F.broadcast(totals))
     # row covers 0-based ranks [__cum - __c, __cum - 1]
     lo_rank = F.col("__cum") - F.col("__c")
@@ -453,6 +621,7 @@ def weighted_percentiles(
     weight_col: Column | str,
     probs: dict[str, tuple[int, int]],
     total_col: str | None = None,
+    hist_window_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """EXACT per-group lower weighted percentiles (weighted median and
     friends) — the weight-carrying sibling of ``histogram_percentiles``
@@ -469,9 +638,14 @@ def weighted_percentiles(
     the boundary.
 
     Plan shape: reduce to a (group, value) → Σweight histogram (one
-    map-side-combinable shuffle), a PARTITIONED cumulative window over
-    distinct values only, one final agg. Task state is O(1); the
-    widest shuffle is distinct-value-sized. ``total_col`` (if named)
+    map-side-combinable shuffle), a cumulative stage over distinct
+    values only — ``grouped_running_sum``'s runtime-adaptive route: a
+    plain partitioned window while the histogram is window-sized, the
+    per-(group, partition) range-partition offsets algebra above
+    ``hist_window_max_rows``, so even a single hot group with ~10⁹
+    distinct values never becomes one task's sort — then one final
+    agg. Task state is O(1); the widest shuffle is
+    distinct-value-sized. ``total_col`` (if named)
     attaches the group's total weight as DOUBLE. Weights must be
     POSITIVE (zero/negative weights break the cumulative-weight
     monotonicity the lower-percentile pick relies on); NULL-weight
@@ -483,7 +657,12 @@ def weighted_percentiles(
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     hist = df.groupBy(*groups, value_col).agg(F.sum(wcol).alias("__w"))
     return weighted_percentiles_from_hist(
-        hist, groups, value_col, probs, total_col
+        hist,
+        groups,
+        value_col,
+        probs,
+        total_col,
+        hist_window_max_rows=hist_window_max_rows,
     )
 
 
@@ -494,14 +673,20 @@ def weighted_percentiles_from_hist(
     probs: dict[str, tuple[int, int]],
     total_col: str | None = None,
     weight_col: str = "__w",
+    hist_window_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """The rank stage of ``weighted_percentiles`` over an ALREADY-BUILT
     (group, value) → weight histogram — the face the streaming log
     reader folds into (histogram weights ADD across micro-batches, so
     a batch-keyed count log reproduces the one-shot histogram exactly
-    and this stage cannot tell the difference)."""
-    from pyspark.sql import Window
+    and this stage cannot tell the difference).
 
+    The cumulative stage routes through ``grouped_running_sum`` — a
+    plain partitioned window while the histogram is window-sized, the
+    per-(group, partition) offsets algebra above its threshold — so a
+    single HOT group (~10⁹ distinct values of a continuous measure)
+    never funnels into one task's sort (VERDICT r10 #3; both paths
+    pytest-pinned bit-identical)."""
     groups = list(group_cols)
     if weight_col != "__w":
         hist = hist.withColumnRenamed(weight_col, "__w")
@@ -510,14 +695,16 @@ def weighted_percentiles_from_hist(
     # multi-branch rule) instead of re-deriving it per branch
     hist = hist.localCheckpoint(eager=False)
     totals = hist.groupBy(*groups).agg(F.sum("__w").alias("__t"))
-    w = (
-        Window.partitionBy(*groups)
-        .orderBy(F.col(value_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_running_sum(
+        hist,
+        groups,
+        "__w",
+        [F.col(value_col).asc()],
+        "__cw",
+        small_rows_threshold=hist_window_max_rows,
     )
-    cum = hist.withColumn("__cw", F.sum("__w").over(w))
     cum = (
-        cum.join(F.broadcast(totals), groups)
+        _broadcast_join_nullsafe(cum, totals, groups)
         if groups
         else cum.crossJoin(F.broadcast(totals))
     )
@@ -557,7 +744,19 @@ def psi_from_bins(b: DataFrame, n_bins: int = 20) -> DataFrame:
     any engine; each term rounds to 12dp and sums as exact DECIMAL
     (the plans.numeric determinism convention), so the result is
     bit-identical however the counts were accumulated — one batch
-    pass or a folded streaming log."""
+    pass or a folded streaming log.
+
+    Residual ulp risk (documented, accepted): the per-term ``F.log``
+    is a libm natural log, and JVM vs C libm may differ in the last
+    ulp on adversarial inputs — the 12dp pre-round leaves ~4 guard
+    digits (double gives ~15-16 significant decimals; PSI terms are
+    O(1)), so a flip requires a term whose 13th decimal sits within
+    an ulp of a .5 boundary AND the two libms landing on opposite
+    sides. Same convention as ``text_entropy``; if a future engine
+    pairing ever diverges here, widen the pre-round to 10dp before
+    reaching for a log-free reformulation (PSI has none — unlike
+    decay factors, which the engine does compute libm-free as
+    integer-shift powers of two)."""
     # b feeds the totals row AND the term projection — materialize the
     # ≤n_bins-row frame once (§4 multi-branch rule) instead of
     # re-running both count aggregations per consumer

@@ -1874,8 +1874,8 @@ def _abc_classify(
 ) -> DataFrame:
     """Runtime-adaptive ABC bucketing over a (s_name, rev_dec) entity
     aggregate. Both paths are pinned identical in
-    tests/test_analytics_ext2.py; the large path's plan is asserted
-    free of SinglePartition exchanges."""
+    tests/test_analytics.py (test_abc_adaptive_paths_identical); the
+    plan is asserted free of SinglePartition exchanges."""
     from ..operators.scale import global_running_sum
 
     ranked = global_running_sum(
@@ -3042,7 +3042,7 @@ def _skyline_from_pts(
 ) -> DataFrame:
     """Runtime-adaptive 2-D skyline sweep over a (s_name, rev,
     n_orders) entity aggregate. Both paths are pinned identical in
-    tests/test_analytics_ext2.py; the large path's plan is asserted
+    tests/test_round10_ops.py; the large path's plan is asserted
     free of SinglePartition exchanges."""
     from ..operators.scale import global_running_max
 
@@ -3281,7 +3281,7 @@ def _time_to_convert_stats(
 ) -> DataFrame:
     """Runtime-adaptive funnel-velocity summary over a 1-column
     ``latency_s`` frame. Both paths are pinned identical in
-    tests/test_analytics_ext2.py; the large path's plan is asserted
+    tests/test_round10_ops.py; the large path's plan is asserted
     free of exact-percentile aggregates."""
     from ..operators.scale import histogram_percentiles
 

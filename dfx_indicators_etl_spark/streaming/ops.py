@@ -1170,14 +1170,21 @@ def stream_last_touch_attribution(
         chunks = [c for c in pdfs if len(c)]
         if not chunks:
             return
-        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        rows = pd.concat(chunks)
         ts_ms = (
             pd.to_datetime(rows["ts"], utc=True)
             .dt.tz_localize(None)
             .astype("datetime64[ms]")
             .astype("int64")
         )
-        rows = rows.assign(__ms=ts_ms, __s=(ts_ms - origin_ms) // 1000)
+        # Sort by the TRUNCATED epoch-seconds column + event_id — the
+        # batch oracle's exact frame order. Sorting by raw ms-precision
+        # ts would let same-second events whose event_id order
+        # contradicts sub-second ts order replay in a different order
+        # than the oracle, flipping which touch a purchase credits.
+        rows = rows.assign(
+            __ms=ts_ms, __s=(ts_ms - origin_ms) // 1000
+        ).sort_values(["__s", "event_id"])
         t, e, tms = state.get if state.exists else (None, None, None)
         out_ids, out_touch, out_vals = [], [], []
         for _, r in rows.iterrows():

@@ -47,7 +47,8 @@ PLANT_OFFSET = 50_000_000_000  # above every replica-offset doc_id
 def planted_corpus(spark, docs, n_planted: int, perturb: bool):
     """Pick ``n_planted`` docs deterministically and append a near-dup
     of each at doc_id + PLANT_OFFSET. ``perturb=True`` replaces every
-    5th token (≈0.8 token-Jaccard rewrite, the minhash case);
+    15th token (≈0.67 shingle-Jaccard rewrite — the module docstring's
+    arithmetic — the minhash case);
     ``perturb=False`` shifts every char by +1 (hash-identical payload
     for the mean-threshold phash, Hamming 0)."""
     pool = docs

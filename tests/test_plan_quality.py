@@ -506,3 +506,77 @@ def test_adaptive_exact_pickers_exist():
         mod_path, attr = dotted.rsplit(".", 1)
         mod = importlib.import_module(f"dfx_indicators_etl_spark.{mod_path}")
         assert callable(getattr(mod, attr)), f"{key}: {dotted} missing"
+
+
+# ---------------------------------------------------------------------------
+# Streaming-face exact-path guard (VERDICT r10 #2): the batch sweep
+# above skips stream_*/sink_* keys because their registered callables
+# execute drains eagerly and expose only the result scan. Their
+# ACTUAL per-micro-batch expressions, foreachBatch folds, and state-log
+# reader folds live in plans.stream_faces.BATCH_FACES — built from the
+# same shipped functions wherever the streaming path shares a pure
+# DataFrame transform. The same two-direction allowlist discipline
+# applies: every hazard must be justified here, and every entry must
+# still show its hazard.
+
+# face key -> why the unpartitioned window is acceptable.
+STREAM_BOUNDED_EXACT = {
+    "stream_late_data": (
+        "staging HARNESS only: the ntile arrival-order sort simulates "
+        "out-of-order delivery at test scale; a real deployment's "
+        "arrival order is the ingest stream itself and the audited "
+        "accounting operator never sorts the stream"
+    ),
+}
+
+STREAM_ADAPTIVE_EXACT: dict[str, str] = {}
+
+
+def test_stream_faces_cover_every_streaming_key():
+    """Completeness direction: every registered stream_*/sink_* key
+    (plus dedup_incremental) must carry a batch face, and no face may
+    name a key that is no longer registered."""
+    from dfx_indicators_etl_spark.plans.stream_faces import BATCH_FACES
+
+    streaming_keys = {
+        k
+        for k in QUERIES
+        if k.startswith(("stream_", "sink_")) or k == "dedup_incremental"
+    }
+    missing = streaming_keys - set(BATCH_FACES)
+    orphaned = set(BATCH_FACES) - streaming_keys
+    assert not missing, f"streaming keys without a batch face: {sorted(missing)}"
+    assert not orphaned, f"faces for unregistered keys: {sorted(orphaned)}"
+
+
+def test_stream_faces_exact_path_hazards_are_allowlisted(spark, sf_dir):
+    """Hazard direction: sweep every face plan for exact-percentile
+    aggregates and unpartitioned windows; offenders == allowlist in
+    both directions, exactly like the batch sweep."""
+    import re
+
+    from dfx_indicators_etl_spark.plans.stream_faces import BATCH_FACES
+
+    pct = re.compile(r"(?<![\w_])percentile\(")
+    offenders = {}
+    for name, builder in BATCH_FACES.items():
+        tags = []
+        for df in builder(spark, sf_dir):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if pct.search(plan):
+                tags.append("exact-percentile")
+            if _window_over_singlepartition(plan):
+                tags.append("window-singlepartition")
+        if tags:
+            offenders[name] = sorted(set(tags))
+    allowed = set(STREAM_ADAPTIVE_EXACT) | set(STREAM_BOUNDED_EXACT)
+    unexpected = {k: v for k, v in offenders.items() if k not in allowed}
+    assert not unexpected, (
+        "unallowlisted exact-path hazard(s) in a streaming face: "
+        f"{unexpected}"
+    )
+    stale = allowed - set(offenders)
+    assert not stale, (
+        "stream allowlist entries whose face no longer shows the "
+        f"hazard — prune them: {sorted(stale)}"
+    )

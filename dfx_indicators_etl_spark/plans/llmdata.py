@@ -2161,6 +2161,88 @@ def emb_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_matryoshka",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+               CAST(embedding[1:8] AS DOUBLE[]), x -> x * x))), 6)
+               AS prefix_norm,
+           round(sqrt(list_sum(list_transform(
+                     CAST(embedding[1:8] AS DOUBLE[]), x -> x * x)))
+                 / sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x * x))), 6)
+               AS norm_ratio
+    FROM embeddings
+    """,
+)
+def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation report (Kusupati et al.
+    NeurIPS'22): per-vector L2 norm of the first 8 dims and the
+    retained-norm fraction — the cosine a truncated-embedding index
+    retains vs the full vector, i.e. the pre-flight check before
+    serving MRL embeddings at a cheaper dimension. One narrow codegen
+    pass, no shuffle; sqrt is IEEE-exact so 6dp rounds are
+    engine-stable (the emb_l2_norm convention)."""
+    return similarity.matryoshka_norms(
+        read_table(spark, sf_dir, "embeddings"), prefix_dims=8
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    top AS (SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 200),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM top
+    ),
+    terms AS (
+        SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)), 12)
+                   AS DECIMAL(28,12)) AS y,
+               CAST(round(round(ln(CAST(rank AS DOUBLE)), 12)
+                          * round(ln(CAST(n AS DOUBLE)), 12), 12)
+                   AS DECIMAL(28,12)) AS xy,
+               CAST(round(round(ln(CAST(rank AS DOUBLE)), 12)
+                          * round(ln(CAST(rank AS DOUBLE)), 12), 12)
+                   AS DECIMAL(28,12)) AS xx
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(xy) AS DOUBLE) AS sxy,
+               CAST(SUM(xx) AS DOUBLE) AS sxx
+        FROM terms
+    )
+    SELECT n_ranks,
+           round((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - round((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6) * sx)
+                 / CAST(n_ranks AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-200 vocabulary — the
+    corpus-health diagnostic (natural text ≈ −1; boilerplate or
+    over-dedup drifts it). Combinable vocab aggregation, LIMIT-bounded
+    rank frame, 12dp-rounded ln terms folded as exact DECIMAL, slope /
+    intercept composed from identical doubles on both engines
+    (operators.text.zipf_fit)."""
+    return text.zipf_fit(read_table(spark, sf_dir, "documents"))
+
+
+@query(
     "text_tfidf",
     oracle="""
     WITH words AS (

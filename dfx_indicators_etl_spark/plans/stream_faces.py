@@ -378,6 +378,32 @@ def _f_psi(spark, sf_dir):
     return [psi_from_bins(b, 20)]
 
 
+@face("stream_scd2")
+def _f_scd2(spark, sf_dir):
+    # per-batch fold AND reader fold share _scd2_changes (a
+    # user-partitioned window); the reader adds the lead() interval
+    # derivation — swept here over the batch feed directly
+    from ..streaming.ops import _scd2_changes
+    from pyspark.sql import Window
+
+    rows = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    changes = _scd2_changes(rows)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return [
+        changes.select(
+            "user_id",
+            "attr",
+            F.col("us").cast("bigint").alias("valid_from_us"),
+            F.lead("us").over(w).cast("bigint").alias("valid_to_us"),
+        )
+    ]
+
+
 @face("stream_bitmap_distinct")
 def _f_bitmap(spark, sf_dir):
     # per-batch fold (per-(week, bucket) bit_or words) + reader fold

@@ -1025,6 +1025,68 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_scd2",
+    # One-shot SCD2 derivation over the raw change feed: keep a row
+    # iff its attribute differs from the user's previous row in
+    # (ts, event_id) order, then lead() closes each run's interval.
+    # The streaming face must reproduce this exactly from its
+    # per-batch compacted change log.
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    c AS (
+        SELECT *,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    ch AS (
+        SELECT * FROM c WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id,
+           event_type AS attr,
+           CAST(us AS BIGINT) AS valid_from_us,
+           CAST(LEAD(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+               AS valid_to_us,
+           LEAD(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) IS NULL
+               AS is_current
+    FROM ch
+    """,
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 dimension-history maintenance
+    (``streaming.incremental_scd2``): the event feed updates each
+    user's current ``event_type`` attribute; per micro-batch the
+    change-capture compaction lands ONLY change rows under
+    batch_id-keyed OVERWRITE partitions, and the reader re-compacts
+    across batch boundaries before deriving ``valid_from/valid_to``
+    intervals — the third replay-state algebra beside the bitmap OR
+    log (idempotent) and the PSI/weight logs (additive): a DERIVED
+    change log whose per-batch content is a pure function of its
+    time-sliced batch. Events land in 6 event-time slices
+    (``stage_time_slices``); equality with the one-shot SQL
+    derivation proves no change row was lost, doubled, or attributed
+    to the wrong interval across slice boundaries."""
+    root = _scratch("dfx_stream_scd2_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        landing = f"{root}/landing"
+        streaming.stage_time_slices(events, landing, n_batches=6)
+        streaming.incremental_scd2(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_scd2(
+            spark, f"{root}/state"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "stream_bitmap_distinct",
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week,

@@ -1665,3 +1665,143 @@ def read_bitmap_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
             F.sum(F.bit_count("word")).cast("bigint").alias("weekly_distinct")
         )
     )
+
+
+def _scd2_changes(batch_df: DataFrame) -> DataFrame:
+    """Per-user attribute-CHANGE rows of one frame: keep a row iff its
+    event_type differs from the user's previous row in (ts, event_id)
+    order — the SCD2 change-capture compaction. Shared by the
+    per-batch fold and the read-time re-compaction so the two stages
+    cannot disagree on what a change is."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("attr").over(w)
+    return (
+        batch_df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col("attr") != F.col("__prev")))
+        .drop("__prev")
+    )
+
+
+def incremental_scd2(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming SCD2 change capture — dimension-history maintenance
+    off a change feed (each event updates its user's current
+    ``event_type`` attribute; history keeps every run as an interval).
+
+    The THIRD replay-state algebra next to the bitmap log (idempotent
+    OR — append freely) and the PSI/weight logs (ADDITIVE — batch-keyed
+    OVERWRITE): SCD2 state is a DERIVED change log. Each micro-batch
+    compacts to its per-user change rows (``_scd2_changes`` — a
+    batch-local partitioned window) and lands them under
+    ``batch_id=<n>/`` OVERWRITE partitions: per-batch content is a
+    pure function of the batch, so a checkpoint replay rewrites the
+    identical rows instead of doubling them. Batches must be
+    TIME-SLICED (the stager below cuts on event time), which makes a
+    row's within-batch predecessor its global predecessor except at
+    slice boundaries — and boundary-crossing runs are healed at read
+    time, where ``read_scd2`` re-runs the SAME compaction over the
+    folded log before deriving intervals. The retained set provably
+    contains every true change row (a batch-first row is always kept),
+    and re-compaction over any order-preserving superset of the change
+    set yields exactly the change set, so the read equals the one-shot
+    batch derivation — which is what the SQL oracle checks.
+    """
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "user_id",
+            F.col("event_type").alias("attr"),
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        _scd2_changes(rows).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"SCD2 drain exceeded {timeout_sec}s")
+    finally:
+        q.stop()
+
+
+def read_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Resolve the SCD2 change log into dimension-history intervals:
+    re-compact across batch boundaries (same ``_scd2_changes``
+    definition), then one lead window per user closes each run —
+    ``valid_to_us`` NULL marks the current row. The log is
+    change-sized, not event-sized, so both windows run over the
+    compacted frame."""
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    log = spark.read.parquet(state_dir).select(
+        "user_id", "attr", "us", "event_id"
+    )
+    changes = _scd2_changes(log)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return changes.select(
+        "user_id",
+        "attr",
+        F.col("us").cast("bigint").alias("valid_from_us"),
+        F.lead("us").over(w).cast("bigint").alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def stage_time_slices(
+    events: DataFrame, landing: str, n_batches: int = 6
+) -> None:
+    """Split a frame into ``n_batches`` event-time-CONTIGUOUS parquet
+    files (equal-width ts slices, file k = slice k) — the staging
+    harness for operators whose per-batch folds assume time-ordered
+    micro-batches (SCD2 change capture). Slice assignment is a pure
+    function of min/max event time, so the oracle can reproduce it;
+    mtimes increase with k, which is the order the file source
+    replays."""
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    width = max((hi - lo) // n_batches + 1, 1)
+    base = 1_600_000_000
+    Path(landing).mkdir(parents=True, exist_ok=True)
+    for k in range(n_batches):
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        tmp = _tempfile.mkdtemp(
+            prefix=f"__slice_{k}_", dir=str(Path(landing).parent)
+        )
+        sl = (F.unix_micros("ts") - F.lit(lo)) / F.lit(width)
+        (
+            events.filter(sl.cast("long") == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(Path(tmp).glob("part-*.parquet"))
+        dst = Path(landing) / f"slice-{k:03d}.parquet"
+        _shutil.move(str(part), str(dst))
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + 60 * k, base + 60 * k))

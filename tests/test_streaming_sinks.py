@@ -859,3 +859,66 @@ def test_weighted_histogram_stream_restart(spark, sf_dir, tmp_path):
         key=repr,
     )
     assert got == want
+
+
+def test_scd2_stream_restart_and_replay_overwrite(spark, sf_dir):
+    """The SCD2 change log follows the DERIVED-state replay
+    discipline: (a) a drain interrupted after 3 of 6 time slices and
+    resumed from the same checkpoint converges to the one-shot batch
+    derivation; (b) replaying one batch's partition (simulated
+    checkpoint replay) changes nothing — per-batch content is a pure
+    function of its slice, and the partition is overwritten, never
+    appended."""
+    import glob as _glob
+    import os as _os
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.plans.streaming_queries import _scratch
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    root = _scratch("dfx_scd2_restart_")
+    try:
+        landing, state, ckpt = (
+            f"{root}/landing",
+            f"{root}/state",
+            f"{root}/ckpt",
+        )
+        streaming.stage_time_slices(events, landing, n_batches=6)
+        # one-shot reference from a separate drain
+        streaming.incremental_scd2(
+            spark, landing, f"{root}/state_ref", f"{root}/ckpt_ref"
+        )
+        want = sorted(
+            map(tuple, streaming.read_scd2(spark, f"{root}/state_ref").collect()),
+            key=repr,
+        )
+
+        files = sorted(_glob.glob(f"{landing}/slice-*.parquet"))
+        held = files[3:]
+        for f in held:  # move OUT of the landing dir (staged-file rule)
+            _os.rename(f, f"{root}/{_os.path.basename(f)}")
+        streaming.incremental_scd2(spark, landing, state, ckpt)
+        mid = streaming.read_scd2(spark, state)
+        assert mid.count() > 0  # partial but readable
+        for f in held:
+            _os.rename(f"{root}/{_os.path.basename(f)}", f)
+        streaming.incremental_scd2(spark, landing, state, ckpt)
+        got = sorted(
+            map(tuple, streaming.read_scd2(spark, state).collect()), key=repr
+        )
+        assert got == want
+
+        # (b) replay slice 0's partition with identical content
+        batch0 = spark.read.parquet(f"{state}/batch_id=0")
+        batch0.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{state}/batch_id=0"
+        )
+        again = sorted(
+            map(tuple, streaming.read_scd2(spark, state).collect()), key=repr
+        )
+        assert again == want
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)

@@ -102,7 +102,14 @@ def probe_running(spark, maker, out_col, sizes):
 
 def main() -> None:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    spark = get_spark("crossover-probe")
+    # SPARK_GRAFT_MASTER=local-cluster[4,8,4096] re-probes the
+    # boundary on a multi-JVM profile (serialized shuffle fetch between
+    # executor processes — the cost component local[n] hides).
+    import os
+
+    spark = get_spark(
+        "crossover-probe", master=os.environ.get("SPARK_GRAFT_MASTER")
+    )
     spark.sparkContext.setLogLevel("ERROR")
     w_sizes = [int(WINDOW_THRESHOLD * f * scale) for f in (0.5, 1, 2)]
     p_sizes = [int(PERCENTILE_THRESHOLD * f * scale) for f in (0.5, 1, 2)]

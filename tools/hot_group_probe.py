@@ -82,7 +82,11 @@ def skewed_hist(spark, n: int, parts: int = 32) -> DataFrame:
 
 def main() -> None:
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    spark = get_spark("hot-group-probe")
+    import os
+
+    spark = get_spark(
+        "hot-group-probe", master=os.environ.get("SPARK_GRAFT_MASTER")
+    )
     spark.sparkContext.setLogLevel("ERROR")
     sizes = [int(THRESHOLD * f * scale) for f in (1, 2, 4)]
     out = {}

@@ -155,6 +155,14 @@ PROBES = {
     # scale (the ANN stack is the scale path) — probe documents the
     # quadratic pair stage honestly rather than hiding it
     "emb_cosine_clusters": ("embeddings",),
+    # round 11: the CAPPED phash face (same banded machinery, bucket
+    # cap active — the production mode), MRL truncation (narrow map,
+    # linear floor), Zipf fit (vocab-sized combinable shuffle + a
+    # 200-row bounded tail), and streaming SCD2's batch face is
+    # covered via q_scd2_intervals above (same change-capture window)
+    "mm_phash_dedup_capped": ("documents",),
+    "emb_matryoshka": ("embeddings",),
+    "text_zipf_fit": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

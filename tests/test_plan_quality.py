@@ -567,6 +567,12 @@ def test_stream_faces_exact_path_hazards_are_allowlisted(spark, sf_dir):
                 tags.append("exact-percentile")
             if _window_over_singlepartition(plan):
                 tags.append("window-singlepartition")
+            # the faces are the JVM-expressible drains/folds — none
+            # may carry row-at-a-time Python (the stateful Python ops
+            # keep their folds in applyInPandasWithState, which the
+            # faces represent by their input frames)
+            if "BatchEvalPython" in plan:
+                tags.append("python-row-udf")
         if tags:
             offenders[name] = sorted(set(tags))
     allowed = set(STREAM_ADAPTIVE_EXACT) | set(STREAM_BOUNDED_EXACT)

@@ -388,50 +388,71 @@ def scd2_intervals(
     attr_col: str,
     ts_col: str = "ts",
     tiebreak_col: str | None = None,
+    window_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Collapse a change log into type-2 slowly-changing-dimension
     history: per key, consecutive runs of the same attribute value
     become one ``[valid_from, valid_to)`` interval, the open interval
     flagged ``is_current``.
 
-    Change detection (``lag``) and interval close (``lead``) run on the
-    SAME key partitioning, so the whole build is one shuffle; window
-    partitions are per-entity streams, never corpus-sized. Ordering is
-    total via ``tiebreak_col`` so equal timestamps resolve
-    deterministically.
+    Change detection (``lag``) and interval close (``lead``) run
+    through ``operators.scale.grouped_lag`` — a plain per-key window
+    while the frame is window-sized, the range-partition
+    boundary-handoff algebra above ``window_max_rows``, so a single
+    HOT entity's change stream (a machine-generated feed hammering one
+    key) never becomes one task's sort. Both paths pytest-pinned
+    bit-identical; the exists indicator keeps change detection
+    null-safe (a change from/to NULL still opens a new interval)
+    because a genuine NULL predecessor stays distinguishable from
+    no-predecessor. Ordering is total via ``tiebreak_col`` so equal
+    timestamps resolve deterministically. The change log feeds the
+    lead probe AND its window — it is materialized once (§4
+    multi-branch rule); lead is ``grouped_lag`` over the REVERSED
+    order.
     """
+    from .scale import grouped_lag
+
     keys = list(key_cols)
-    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
-    w = Window.partitionBy(*keys).orderBy(*order)
-    # a second lag over a constant marks "a previous row exists", so a
-    # genuine NULL attribute is distinguishable from no-previous-row,
-    # and the comparison is null-safe: a change from/to NULL still
-    # opens a new interval.
-    prev = F.lag(F.col(attr_col)).over(w)
-    prev_exists = F.lag(F.lit(True)).over(w)
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
     changes = (
-        df.withColumn("__prev", prev)
-        .withColumn("__has_prev", prev_exists)
+        grouped_lag(
+            df,
+            keys,
+            attr_col,
+            order,
+            "__prev",
+            exists_col="__has_prev",
+            small_rows_threshold=window_max_rows,
+        )
         .filter(
             F.col("__has_prev").isNull()
             | ~F.col("__prev").eqNullSafe(F.col(attr_col))
         )
-        .drop("__has_prev")
         .select(
             *keys,
             attr_col,
             F.col(ts_col).alias("valid_from"),
             *([tiebreak_col] if tiebreak_col else []),
         )
+        .localCheckpoint(eager=False)
     )
-    w2 = Window.partitionBy(*keys).orderBy(
-        "valid_from", *([tiebreak_col] if tiebreak_col else [])
+    rev = [F.col("valid_from").desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
     )
-    valid_to = F.lead("valid_from").over(w2)
-    return changes.select(
+    closed = grouped_lag(
+        changes,
+        keys,
+        "valid_from",
+        rev,
+        "__next",
+        small_rows_threshold=window_max_rows,
+    )
+    return closed.select(
         *keys,
         attr_col,
         "valid_from",
-        valid_to.alias("valid_to"),
-        valid_to.isNull().alias("is_current"),
+        F.col("__next").alias("valid_to"),
+        F.col("__next").isNull().alias("is_current"),
     )

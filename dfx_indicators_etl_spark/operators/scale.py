@@ -521,6 +521,141 @@ def grouped_running_sum(
     )
 
 
+def grouped_lag(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str,
+    exists_col: str | None = None,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 2_000_000,
+) -> DataFrame:
+    """PER-GROUP ``lag(value, 1)`` with a HOT-GROUP bound — the
+    sequential-dependency member of the windows-at-scale family
+    (running sum/max carry prefix OFFSETS; ntile carries rank offsets;
+    lag needs only a 1-row BOUNDARY HANDOFF between range partitions,
+    which is the cheapest algebra of them all).
+
+    Above ``small_rows_threshold``: range-repartition on
+    ``(groups…, order_by…)`` (a hot group splits across consecutive
+    partitions), per-(partition, group) local lag, then each
+    boundary-straddling group's per-partition LAST rows — ≤ 2·n_parts
+    control-plane rows regardless of group count, the
+    ``grouped_running_sum`` bound — are collected and rejoined
+    null-safe so each partition-first row takes its predecessor
+    partition's closing value. Value-identical to the window plan for
+    any partitioning (no arithmetic at all — rows just change hands).
+
+    ``exists_col`` (optional) emits the ``lag(lit(True))``
+    previous-row-EXISTS indicator (True where a previous row exists,
+    NULL on each group's first row) from the same pass — callers doing
+    null-safe change detection need it to tell a genuine NULL
+    predecessor from no-predecessor. ``order_by`` must totally order
+    rows within each group. ``lead`` is this operator over the
+    reversed order.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = Window.partitionBy(*groups).orderBy(*order_by)
+        out = df.withColumn(out_col, F.lag(value_col).over(w))
+        if exists_col is not None:
+            out = out.withColumn(exists_col, F.lag(F.lit(True)).over(w))
+        return out
+    val_type = df.schema[value_col].dataType
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(
+        n_parts, *[F.col(g) for g in groups], *order_by
+    ).localCheckpoint(eager=False)
+    keyed = parted.withColumn("__gl_pid", F.spark_partition_id())
+    w_pg = Window.partitionBy("__gl_pid", *groups).orderBy(*order_by)
+    w_full = Window.partitionBy("__gl_pid", *groups)
+    frame = keyed.withColumn("__gl_rn", F.row_number().over(w_pg)).withColumn(
+        "__gl_cnt", F.count(F.lit(1)).over(w_full)
+    )
+    # collect the straddler groups' per-partition CLOSING rows only:
+    # range contiguity bounds them by the partition count, not the
+    # group count (window-count straddler detection, never an
+    # equi-join — group keys may be NULL)
+    lasts = frame.filter(F.col("__gl_rn") == F.col("__gl_cnt")).select(
+        "__gl_pid", *groups, F.col(value_col).alias("__gl_v")
+    )
+    w_np = Window.partitionBy(*groups)
+    span_rows = (
+        lasts.withColumn("__gl_np", F.count(F.lit(1)).over(w_np))
+        .filter(F.col("__gl_np") > 1)
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in span_rows:
+        by_group.setdefault(tuple(r[g] for g in groups), []).append(
+            (r["__gl_pid"], r["__gl_v"])
+        )
+    handoff_rows = []
+    for key, lst in by_group.items():
+        lst.sort(key=lambda t: t[0])
+        # chain consecutive ENTRIES (an empty range partition may gap
+        # the pid sequence): partition p_{i+1}'s first row follows
+        # partition p_i's closing row
+        for (_, prev_v), (pid, _) in zip(lst, lst[1:]):
+            handoff_rows.append((pid, *key, prev_v))
+    local_lag = F.lag(value_col).over(w_pg)
+    if not handoff_rows:
+        out = frame.withColumn(out_col, local_lag)
+        if exists_col is not None:
+            out = out.withColumn(
+                exists_col,
+                F.when(F.col("__gl_rn") > 1, F.lit(True)).otherwise(
+                    F.lit(None).cast("boolean")
+                ),
+            )
+        return out.drop("__gl_pid", "__gl_rn", "__gl_cnt")
+    ho_schema = T.StructType(
+        [T.StructField("__gl_pid2", T.IntegerType(), False)]
+        + [
+            T.StructField(f"__gl_g{i}", df.schema[g].dataType, True)
+            for i, g in enumerate(groups)
+        ]
+        + [
+            T.StructField("__gl_ho", val_type, True),
+            T.StructField("__gl_has", T.BooleanType(), False),
+        ]
+    )
+    ho_df = spark.createDataFrame(
+        [(*row, True) for row in handoff_rows], ho_schema
+    )
+    cond = F.col("__gl_pid") == F.col("__gl_pid2")
+    for i, g in enumerate(groups):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__gl_g{i}"))
+    joined = frame.join(F.broadcast(ho_df), cond, "left")
+    takes_handoff = (F.col("__gl_rn") == 1) & (F.col("__gl_has") == True)  # noqa: E712
+    out = joined.withColumn(
+        out_col,
+        F.when(takes_handoff, F.col("__gl_ho")).otherwise(local_lag),
+    )
+    if exists_col is not None:
+        out = out.withColumn(
+            exists_col,
+            F.when(
+                (F.col("__gl_rn") > 1) | takes_handoff, F.lit(True)
+            ).otherwise(F.lit(None).cast("boolean")),
+        )
+    return out.drop(
+        "__gl_pid",
+        "__gl_pid2",
+        "__gl_rn",
+        "__gl_cnt",
+        "__gl_ho",
+        "__gl_has",
+        *[f"__gl_g{i}" for i in range(len(groups))],
+    )
+
+
 def histogram_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -228,3 +228,91 @@ def test_wav_odd_length_pcm_roundtrips_word_aligned(spark):
     n_ch, rate, n_samples, back = M.wav_decode(wav)
     assert (n_ch, rate, n_samples) == (1, 8000, 33)
     assert back == pcm
+
+
+def test_grouped_lag_matches_partitioned_window(spark):
+    """Boundary-handoff lag == partitioned window lag: hot + NULL-key
+    straddler groups, NULL values in the lagged column, and the
+    previous-row-exists indicator matching lag(lit(True)) exactly."""
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import grouped_lag
+
+    df = _grouped_frame(spark).withColumn(
+        "dn", F.when(F.col("v") % 7 != 0, F.col("d"))  # NULLs sprinkled in
+    )
+    order = [F.col("v").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["v"]): (r["prev"], r["has"])
+        for r in df.withColumn("prev", F.lag("dn").over(w))
+        .withColumn("has", F.lag(F.lit(True)).over(w))
+        .collect()
+    }
+    for thresh in [None, 0]:  # small path, then forced offsets path
+        kw = {} if thresh is None else {"small_rows_threshold": 0}
+        got = {
+            (r["g"], r["v"]): (r["prev"], r["has"])
+            for r in grouped_lag(
+                df.repartition(7), ["g"], "dn", order, "prev",
+                exists_col="has", **kw,
+            ).collect()
+        }
+        assert got == want, thresh
+
+
+def test_grouped_lag_no_straddlers_and_empty(spark):
+    from dfx_indicators_etl_spark.operators.scale import grouped_lag
+
+    # tiny groups: no straddlers on the forced-large path
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "g string, v long, x long"
+    )
+    got = {
+        (r["g"], r["v"]): r["p"]
+        for r in grouped_lag(
+            df, ["g"], "x", [F.col("v")], "p", small_rows_threshold=0
+        ).collect()
+    }
+    assert got == {("a", 1): None, ("a", 2): 10, ("b", 1): None}
+    empty = df.filter(F.lit(False))
+    assert (
+        grouped_lag(
+            empty, ["g"], "x", [F.col("v")], "p", small_rows_threshold=0
+        ).count()
+        == 0
+    )
+
+
+def test_scd2_intervals_both_paths_identical(spark, sf_dir):
+    """q_scd2_intervals' registered shape pinned bit-identical whether
+    lag/lead ran the per-key window or the boundary-handoff algebra."""
+    from pyspark.sql import functions as F2
+
+    from dfx_indicators_etl_spark.operators.indicator import scd2_intervals
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    kw = dict(
+        key_cols=["user_id"], attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    small = sorted(map(tuple, scd2_intervals(ev, **kw).collect()), key=repr)
+    large = sorted(
+        map(tuple, scd2_intervals(ev, window_max_rows=0, **kw).collect()),
+        key=repr,
+    )
+    assert small == large and len(small) > 0
+    # hot-entity shape: one user carries almost every change
+    hot = ev.withColumn(
+        "user_id", F2.when(F2.col("event_id") % 20 == 0, F2.col("user_id"))
+        .otherwise(F2.lit(7))
+    )
+    s2 = sorted(map(tuple, scd2_intervals(hot, **kw).collect()), key=repr)
+    l2 = sorted(
+        map(tuple, scd2_intervals(hot, window_max_rows=0, **kw).collect()),
+        key=repr,
+    )
+    assert s2 == l2

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from dfx_indicators_etl_spark.operators.scale import (  # noqa: E402
+    grouped_lag,
     grouped_running_sum,
 )
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
@@ -89,7 +90,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sizes = [int(THRESHOLD * f * scale) for f in (1, 2, 4)]
-    out = {}
+    out = {"grouped_running_sum": {}, "grouped_lag": {}}
     for n in sizes:
         df = skewed_hist(spark, n).localCheckpoint(eager=True)
         order = [F.col("v").asc()]
@@ -109,10 +110,31 @@ def main() -> None:
                 )
             )
         )
-        out[n] = {
+        out["grouped_running_sum"][n] = {
             "window_path_s": t_win,
             "offsets_path_s": t_off,
             "agree": win == off,
+        }
+        lw, t_lw = timed(
+            lambda: fingerprint(
+                grouped_lag(
+                    df, ["g"], "w", order, "prev",
+                    n_rows=n, small_rows_threshold=n + 1,
+                )
+            )
+        )
+        lh, t_lh = timed(
+            lambda: fingerprint(
+                grouped_lag(
+                    df, ["g"], "w", order, "prev",
+                    n_rows=n, small_rows_threshold=0,
+                )
+            )
+        )
+        out["grouped_lag"][n] = {
+            "window_path_s": t_lw,
+            "handoff_path_s": t_lh,
+            "agree": lw == lh,
         }
         df.unpersist()
     print(json.dumps(out))

@@ -316,3 +316,37 @@ def test_scd2_intervals_both_paths_identical(spark, sf_dir):
         key=repr,
     )
     assert s2 == l2
+
+
+def test_stage_time_slices_contiguous_and_lossless(spark, sf_dir, tmp_path):
+    """The SCD2 landing contract: slices are event-time CONTIGUOUS
+    (slice k's max ts ≤ slice k+1's min ts) and their union is the
+    exact input — the property the per-batch change-capture
+    compaction's healing argument rests on (a row's within-batch
+    predecessor is its global predecessor except at slice
+    boundaries)."""
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing")
+    streaming.stage_time_slices(events, landing, n_batches=6)
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{landing}/slice-*.parquet"))
+    assert len(files) == 6
+    total, prev_max = 0, None
+    for f in files:
+        part = spark.read.parquet(f)
+        n = part.count()
+        total += n
+        if n == 0:
+            continue
+        row = part.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).collect()[0]
+        if prev_max is not None:
+            assert row["lo"] >= prev_max, f
+        prev_max = row["hi"]
+    assert total == events.count()

@@ -257,6 +257,9 @@ HEADLINE = (
     "emb_matryoshka",
     "text_zipf_fit",
     "stream_scd2",
+    "ind_locf_fill",
+    "q_mode_category",
+    "q_user_stickiness",
 )
 
 

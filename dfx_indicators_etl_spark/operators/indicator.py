@@ -382,6 +382,63 @@ def rebase_index(
     )
 
 
+def locf_fill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    year_col: str = "year",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-observation-carried-forward gap-fill per indicator series —
+    the step-function sibling of ``interpolate_years`` (statistical
+    agencies publish LOCF panels where interpolation would fabricate a
+    trend: population counts between censuses, treaty status, discrete
+    policy indicators).
+
+    Same one-pass shape as ``interpolate_years``: NULL-valued rows
+    drop first (a NULL report never anchors — the carry bridges to the
+    nearest real observation), each reported row looks at the NEXT
+    reported year (one ``lead`` window over single-series partitions)
+    and emits itself plus every missing year up to it (``sequence`` +
+    explode), carrying its own value unchanged — no arithmetic at all,
+    so the fill is exact for any value type. ``filled`` marks
+    generated rows; nothing extends past the last report (no right
+    horizon to carry to).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(year_col, value_col)
+    v = F.col(value_col)
+    year = F.col(year_col)
+    exploded = (
+        df.filter(v.isNotNull())
+        .select(
+            *keys,
+            year.alias("__y1"),
+            v.alias("__v1"),
+            F.lead(year_col).over(w).alias("__y2"),
+        )
+        .select(
+            *keys,
+            "__y1",
+            "__v1",
+            F.explode(
+                F.sequence(
+                    F.col("__y1"),
+                    F.greatest(
+                        F.coalesce(F.col("__y2") - 1, F.col("__y1")),
+                        F.col("__y1"),
+                    ),
+                )
+            ).alias(year_col),
+        )
+    )
+    return exploded.select(
+        *keys,
+        F.col(year_col).cast("int").alias(year_col),
+        F.col("__v1").alias(value_col),
+        (F.col(year_col) != F.col("__y1")).alias("filled"),
+    )
+
+
 def scd2_intervals(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -42,6 +42,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_matryoshka",
     "text_zipf_fit",
     "stream_scd2",
+    "ind_locf_fill",
+    "q_mode_category",
+    "q_user_stickiness",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",
@@ -74,10 +77,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_panel_balance",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    # --- 50-key boundary: everything below overflows to r12 ---
     "q15_top_supplier",
     "q16_supplier_count",
     "sample_priority",
-    # --- 50-key boundary: everything below overflows to r12 ---
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",

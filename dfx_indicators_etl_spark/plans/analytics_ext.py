@@ -3317,3 +3317,133 @@ def _time_to_convert_stats(
         "p50_latency_s",
         "p90_latency_s",
     )
+
+
+@query(
+    "q_mode_category",
+    # The mode is an ARG-MIN over (−count, value) — fully combinable
+    # two-level aggregation, no window anywhere; ties break to the
+    # lexicographically smallest value deterministically.
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS pri
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ),
+    counts AS (
+        SELECT segment, pri, COUNT(*) AS cnt FROM j GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, pri, cnt,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY cnt DESC, pri) AS rn,
+               SUM(cnt) OVER (PARTITION BY segment) AS n_orders
+        FROM counts
+    )
+    SELECT segment, pri AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_count,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_mode_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment modal order priority (the most-frequent-category
+    aggregate — no Spark built-in computes a deterministic mode).
+
+    Distributed as two COMBINABLE aggregations and zero windows: count
+    per (segment, priority), then arg-min of the struct
+    ``(−count, priority)`` per segment — struct ordering gives
+    highest-count-first with a deterministic lexicographic tie-break,
+    and ``min`` is associative so both levels take map-side partials.
+    The window-free shape matters at scale: a hot segment never
+    becomes one task's sort because nothing sorts — the oracle uses a
+    rank window only because DuckDB lacks struct-min arg extraction.
+    """
+    from ..sources import read_table as _rt
+
+    customer = _rt(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _rt(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    counts = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy("segment").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("pri"))).alias(
+            "__m"
+        ),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+    )
+    return best.select(
+        "segment",
+        F.col("__m.pri").alias("mode_priority"),
+        (-F.col("__m.nc")).cast("bigint").alias("mode_count"),
+        "n_orders",
+    )
+
+
+@query(
+    "q_user_stickiness",
+    # avg-DAU/MAU per month: both distinct counts are two-phase
+    # partial aggregates; the ratio composes sum(decimal)/count/mau
+    # from identical doubles on both engines.
+    oracle="""
+    WITH dau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+               COUNT(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(CAST(SUM(CAST(d.dau AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(d.dau), 6) AS avg_dau,
+           round(CAST(SUM(CAST(d.dau AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(d.dau) / m.mau, 6) AS stickiness
+    FROM dau d JOIN mau m USING (month)
+    GROUP BY d.month, m.mau
+    """,
+)
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the growth-analytics staple
+    (what fraction of a month's actives show up on an average day).
+
+    Two distinct-count aggregations (each a two-phase partial — the
+    at-scale swap is the engine's own bitmap_distinct family, same
+    spine), a month-keyed broadcast-ready join of the ≤12-row MAU
+    side, and the avg-DAU quotient on the plans.numeric
+    sum(decimal)/count convention so both engines compose identical
+    doubles.
+    """
+    from ..sources import read_table as _rt
+
+    ev = _rt(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("month")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    avg_dau = F.sum(dec("dau")).cast("double") / F.count("dau")
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.round(avg_dau, 6).alias("avg_dau"),
+            F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+        )
+        .select("month", "mau", "avg_dau", "stickiness")
+    )

@@ -832,6 +832,44 @@ def ind_interpolate_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ind_locf_fill",
+    # Same lead anchors as ind_interpolate_years, value carried
+    # unchanged — no arithmetic, so the fill is exact by construction.
+    oracle=f"""
+    WITH series AS ({SERIES_SQL}),
+    m AS (
+        SELECT *, lead(year) OVER w AS y2
+        FROM series
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY indicator_name, country_code
+                     ORDER BY year, value)
+    ),
+    e AS (
+        SELECT indicator_name, country_code,
+               year AS y1, value,
+               unnest(generate_series(year,
+                   greatest(coalesce(y2 - 1, year), year))) AS year
+        FROM m
+    )
+    SELECT indicator_name, country_code, CAST(year AS INTEGER) AS year,
+           value, year <> y1 AS filled
+    FROM e
+    """,
+)
+def ind_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill of the sparse country-year panel — the
+    step-function sibling of ind_interpolate_years (census counts,
+    treaty status, discrete policy indicators, where interpolation
+    would fabricate a trend). One lead window over single-series
+    partitions + a narrow explode; value carried unchanged, exact for
+    any type (operators.indicator.locf_fill)."""
+    return ops.locf_fill(
+        _series(spark, sf_dir),
+        ["indicator_name", "country_code"],
+    )
+
+
+@query(
     "ind_rebase_index",
     oracle=f"""
     WITH series AS ({SERIES_SQL})

@@ -350,3 +350,66 @@ def test_stage_time_slices_contiguous_and_lossless(spark, sf_dir, tmp_path):
             assert row["lo"] >= prev_max, f
         prev_max = row["hi"]
     assert total == events.count()
+
+
+def test_locf_fill_hand_built(spark):
+    """LOCF: filled years carry the PREVIOUS reported value unchanged,
+    NULL reports never anchor, nothing extends past the last report."""
+    from dfx_indicators_etl_spark.operators.indicator import locf_fill
+
+    rows = [
+        ("A", 2000, 1.5), ("A", 2001, None), ("A", 2003, 9.0),
+        ("B", 2010, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, year int, value double")
+    got = {
+        (r["k"], r["year"]): (r["value"], r["filled"])
+        for r in locf_fill(df, ["k"]).collect()
+    }
+    assert got == {
+        ("A", 2000): (1.5, False),
+        ("A", 2001): (1.5, True),   # carried over the NULL report
+        ("A", 2002): (1.5, True),
+        ("A", 2003): (9.0, False),  # no carry past the last report
+        ("B", 2010): (4.0, False),
+    }
+
+
+def test_mode_category_deterministic_ties(spark, sf_dir):
+    """The struct-arg-min mode breaks count ties to the smallest value
+    and its count reconciles with a Python recount."""
+    import collections
+
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.sources import read_table
+
+    got = {
+        r["segment"]: (r["mode_priority"], r["mode_count"], r["n_orders"])
+        for r in QUERIES["q_mode_category"](spark, sf_dir).collect()
+    }
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in read_table(spark, sf_dir, "customer").collect()
+    }
+    counts: dict = collections.defaultdict(collections.Counter)
+    for r in read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect():
+        seg = cust.get(r["o_custkey"])
+        if seg is not None:
+            counts[seg][r["o_orderpriority"]] += 1
+    for seg, ctr in counts.items():
+        best = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[seg] == (best[0], best[1], sum(ctr.values())), seg
+
+
+def test_user_stickiness_bounds(spark, sf_dir):
+    """avg_dau ≤ mau (a day's actives are a subset of the month's), so
+    stickiness ∈ (0, 1]."""
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    rows = QUERIES["q_user_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness"] <= 1.0
+        assert r["avg_dau"] <= r["mau"]

@@ -163,6 +163,12 @@ PROBES = {
     "mm_phash_dedup_capped": ("documents",),
     "emb_matryoshka": ("embeddings",),
     "text_zipf_fit": ("documents",),
+    # round 11, late: LOCF panel fill (per-series lead + explode — the
+    # interpolate shape), windowless mode (two combinable agg levels),
+    # stickiness (two distinct-count reductions)
+    "ind_locf_fill": ("events",),
+    "q_mode_category": ("customer", "orders"),
+    "q_user_stickiness": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -140,6 +140,22 @@ def main() -> None:
             "recall": round(hit / tot, 4),
             "seconds": round(time.time() - t0, 1),
         }
+
+        # --- 128-bit CAPPED phash (the r11 registered production
+        # twin, mm_phash_dedup_capped: default 8×16-bit bands, cap 64)
+        t0 = time.time()
+        pairs = multimodal.phash_pairs(
+            payload, max_hamming=6, max_band_bucket=64
+        )
+        hit, tot = recall_of(pairs, ids)
+        out["mm_phash_dedup_capped"] = {
+            "k": k,
+            "cap": 64,
+            "n_planted": tot,
+            "n_recovered": hit,
+            "recall": round(hit / tot, 4),
+            "seconds": round(time.time() - t0, 1),
+        }
         payload.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -656,6 +656,172 @@ def grouped_lag(
     )
 
 
+def grouped_running_carry(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str,
+    kind: str = "max",
+    frame_end: int = 0,
+    n_rows: int | None = None,
+    small_rows_threshold: int = 2_000_000,
+) -> DataFrame:
+    """PER-GROUP running carry — max / min / last-non-null — with a
+    HOT-GROUP bound, completing the windows-at-scale family (running
+    sum = prefix offsets, lag = 1-row handoff; the carries here need a
+    single MONOID PARTIAL per boundary-straddling slice).
+
+    ``kind`` picks the carry monoid:
+
+    - ``"max"`` / ``"min"``: running extremum, NULL values ignored
+      (the ``F.max``/``F.min`` convention) — the as-of join family's
+      backbone (latest prior click = running max of a conditional
+      timestamp). A "nearest following" frame is this operator over
+      the REVERSED order (descending ``order_by``).
+    - ``"last"``: running last NON-NULL value in frame order — the
+      LOCF / latest-touch carry (``F.last(..., ignorenulls=True)``).
+
+    ``frame_end`` is the window frame's upper bound relative to the
+    current row: ``0`` for ``...AND CURRENT ROW``, ``-1`` for the
+    exclusive ``...AND 1 PRECEDING`` the as-of joins use.
+
+    Above ``small_rows_threshold`` the frame range-repartitions on
+    ``(groups…, order_by…)`` — a hot group splits across consecutive
+    partitions while at most ``n_parts − 1`` groups straddle a
+    boundary. Each straddler's per-(partition, group) monoid partial
+    (its slice's max / min / last non-null) is collected — ≤ 2·n_parts
+    control-plane rows regardless of group count, the
+    ``grouped_running_sum`` bound — the driver folds partials in
+    partition order into per-partition carry offsets, and the offsets
+    rejoin broadcast + null-safe (group keys may be NULL). The local
+    window's result combines with the offset by the same monoid
+    (``greatest`` / ``least`` / ``coalesce(local, offset)`` — for
+    "last", anything non-null in the local frame is later in order
+    than the whole offset), so the result is value-identical to the
+    window plan for any partitioning. ``order_by`` must totally order
+    rows within each group.
+    """
+    from pyspark.sql import Window
+
+    if kind not in ("max", "min", "last"):
+        raise ValueError(f"unknown carry kind: {kind!r}")
+    if frame_end not in (0, -1):
+        raise ValueError("frame_end must be 0 (current row) or -1 (1 preceding)")
+
+    def local_agg(w):
+        if kind == "max":
+            return F.max(value_col).over(w)
+        if kind == "min":
+            return F.min(value_col).over(w)
+        return F.last(value_col, ignorenulls=True).over(w)
+
+    groups = list(group_cols)
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows <= small_rows_threshold:
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        )
+        return df.withColumn(out_col, local_agg(w))
+    val_type = df.schema[value_col].dataType
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(
+        n_parts, *[F.col(g) for g in groups], *order_by
+    ).localCheckpoint(eager=False)
+    keyed = parted.withColumn("__gc_pid", F.spark_partition_id())
+    # Per-(partition, group) monoid partial over the WHOLE slice. For
+    # "last" the partial is the non-null value at the highest row
+    # number (arg-max struct — the group row survives even when every
+    # value in the slice is NULL, which straddler detection needs).
+    w_pg = (
+        Window.partitionBy("__gc_pid", *groups)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    if kind == "last":
+        w_rn = Window.partitionBy("__gc_pid", *groups).orderBy(*order_by)
+        numbered = keyed.withColumn("__gc_rn", F.row_number().over(w_rn))
+        partials = numbered.groupBy("__gc_pid", *groups).agg(
+            F.max(
+                F.when(
+                    F.col(value_col).isNotNull(),
+                    F.struct(F.col("__gc_rn").alias("r"), F.col(value_col).alias("v")),
+                )
+            ).alias("__gc_sv")
+        )
+        partials = partials.select(
+            "__gc_pid", *groups, F.col("__gc_sv.v").alias("__gc_p")
+        )
+    else:
+        agg_fn = F.max if kind == "max" else F.min
+        partials = keyed.groupBy("__gc_pid", *groups).agg(
+            agg_fn(value_col).alias("__gc_p")
+        )
+    partials = partials.localCheckpoint(eager=False)
+    # straddler detection via a window count, NOT an equi-join: group
+    # keys may be NULL and `=` would drop them.
+    w_np = Window.partitionBy(*groups)
+    span_rows = (
+        partials.withColumn("__gc_np", F.count(F.lit(1)).over(w_np))
+        .filter(F.col("__gc_np") > 1)
+        .collect()
+    )
+    by_group: dict[tuple, list] = {}
+    for r in span_rows:
+        by_group.setdefault(tuple(r[g] for g in groups), []).append(
+            (r["__gc_pid"], r["__gc_p"])
+        )
+    offset_rows = []
+    for key, lst in by_group.items():
+        lst.sort(key=lambda t: t[0])
+        carry = None
+        for pid, p in lst:
+            if carry is not None:
+                offset_rows.append((pid, *key, carry))
+            if p is not None:
+                if carry is None or kind == "last":
+                    carry = p
+                elif kind == "max":
+                    carry = max(carry, p)
+                else:
+                    carry = min(carry, p)
+    local = local_agg(w_pg)
+    if not offset_rows:
+        return keyed.withColumn(out_col, local).drop("__gc_pid")
+    off_schema = T.StructType(
+        [T.StructField("__gc_pid2", T.IntegerType(), False)]
+        + [
+            T.StructField(f"__gc_g{i}", df.schema[g].dataType, True)
+            for i, g in enumerate(groups)
+        ]
+        + [T.StructField("__gc_off", val_type, True)]
+    )
+    off_df = spark.createDataFrame(offset_rows, off_schema)
+    cond = F.col("__gc_pid") == F.col("__gc_pid2")
+    for i, g in enumerate(groups):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__gc_g{i}"))
+    if kind == "max":
+        combined = F.greatest(local, F.col("__gc_off"))
+    elif kind == "min":
+        combined = F.least(local, F.col("__gc_off"))
+    else:
+        combined = F.coalesce(local, F.col("__gc_off"))
+    return (
+        keyed.join(F.broadcast(off_df), cond, "left")
+        .withColumn(out_col, combined)
+        .drop(
+            "__gc_pid",
+            "__gc_pid2",
+            "__gc_off",
+            *[f"__gc_g{i}" for i in range(len(groups))],
+        )
+    )
+
+
 def histogram_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -630,6 +630,35 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_last_click(events: DataFrame, window_max_rows: int = 2_000_000) -> DataFrame:
+    """The q_asof_join tagging stage, runtime-adaptive on its per-user
+    window: the prior-click running MAX rides
+    ``operators.scale.grouped_running_carry`` — a plain partitioned
+    window while the frame is window-sized, the range-partition monoid
+    offsets algebra above ``window_max_rows``, so one HOT user's event
+    stream (a bot hammering one user_id) never becomes one task's
+    sort. Both paths pytest-pinned bit-identical
+    (tests/test_round11b_ops.py)."""
+    from ..operators.scale import grouped_running_carry
+
+    both = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withColumn(
+        "__click_ts",
+        F.when(F.col("event_type") == "click", F.col("ts")),
+    )
+    return grouped_running_carry(
+        both,
+        ["user_id"],
+        "__click_ts",
+        [F.col("ts"), F.col("event_id")],
+        "last_click_ts",
+        kind="max",
+        frame_end=-1,
+        small_rows_threshold=window_max_rows,
+    ).drop("__click_ts")
+
+
 @query(
     "q_asof_join",
     oracle="""
@@ -652,19 +681,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implemented as the scalable union-sort pattern: one shuffle on the
     entity key, a running MAX over the time-ordered stream, then filter
-    to the probe side — no per-row range join, no O(n²) blow-up.
+    to the probe side — no per-row range join, no O(n²) blow-up. The
+    running max is runtime-adaptive (``_asof_last_click``): above the
+    probed threshold it switches to the boundary-offsets algebra so a
+    hot user never funnels through one window task.
     """
     events = read_table(spark, sf_dir, "events")
-    both = events.filter(F.col("event_type").isin("click", "purchase"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    tagged = both.withColumn(
-        "last_click_ts",
-        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
-    )
+    tagged = _asof_last_click(events)
     return tagged.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",

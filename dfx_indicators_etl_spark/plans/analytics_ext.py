@@ -330,6 +330,74 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_prev_next(events: DataFrame, window_max_rows: int = 2_000_000) -> DataFrame:
+    """The q_asof_nearest tagging stage, runtime-adaptive on BOTH its
+    per-user windows: prior running MAX and following running MIN each
+    ride ``operators.scale.grouped_running_carry`` (the following
+    frame is the same carry over the REVERSED order) — plain
+    partitioned windows while the frame is window-sized, the
+    range-partition monoid offsets algebra above ``window_max_rows``.
+    The frame feeds both carries, so it is counted once and
+    materialized once (§4 multi-branch rule). Both paths
+    pytest-pinned bit-identical (tests/test_round11b_ops.py)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.scale import grouped_running_carry
+
+    both = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn(
+            "__click_ts",
+            F.when(F.col("event_type") == "click", F.col("ts")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_rows = both.count()
+    if n_rows <= window_max_rows:
+        # window-sized: BOTH frames over ONE sort (a single WindowExec
+        # computes the preceding max and following min)
+        order = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            both.withColumn(
+                "prev_click",
+                F.max("__click_ts").over(
+                    order.rowsBetween(W.unboundedPreceding, -1)
+                ),
+            )
+            .withColumn(
+                "next_click",
+                F.min("__click_ts").over(
+                    order.rowsBetween(1, W.unboundedFollowing)
+                ),
+            )
+            .drop("__click_ts")
+        )
+    fwd = [F.col("ts"), F.col("event_id")]
+    rev = [F.col("ts").desc(), F.col("event_id").desc()]
+    tagged = grouped_running_carry(
+        both,
+        ["user_id"],
+        "__click_ts",
+        fwd,
+        "prev_click",
+        kind="max",
+        frame_end=-1,
+        n_rows=n_rows,
+        small_rows_threshold=window_max_rows,
+    )
+    return grouped_running_carry(
+        tagged,
+        ["user_id"],
+        "__click_ts",
+        rev,
+        "next_click",
+        kind="min",
+        frame_end=-1,
+        n_rows=n_rows,
+        small_rows_threshold=window_max_rows,
+    ).drop("__click_ts")
+
+
 @query(
     "q_asof_nearest",
     oracle="""
@@ -362,24 +430,15 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scalable union-sort shape as the backward as-of
     (plans/analytics.py q_asof_join): one shuffle on the entity key,
     two frame-bounded window passes over the time-ordered stream
-    (running MAX before / running MIN after), then an arithmetic pick —
-    never a per-row range join.
+    (running MAX before / running MIN after — each runtime-adaptive
+    via ``_asof_prev_next`` so a hot user never funnels through one
+    window task), then an arithmetic pick — never a per-row range
+    join.
     """
-    from pyspark.sql import Window as W
-
     from ..sources import read_table as _rt
 
     events = _rt(spark, sf_dir, "events")
-    both = events.filter(F.col("event_type").isin("click", "purchase"))
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    tagged = both.withColumn(
-        "prev_click",
-        F.max(click_ts).over(order.rowsBetween(W.unboundedPreceding, -1)),
-    ).withColumn(
-        "next_click",
-        F.min(click_ts).over(order.rowsBetween(1, W.unboundedFollowing)),
-    )
+    tagged = _asof_prev_next(events)
     # Interval subtraction instead of unix_micros: type-agnostic across
     # TIMESTAMP / TIMESTAMP_NTZ (unix_micros refuses NTZ, and the
     # testdata's physical type has changed between generations).
@@ -2732,6 +2791,36 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _last_touch_carry(seq: DataFrame, window_max_rows: int = 2_000_000) -> DataFrame:
+    """The q_attribution carry stage, runtime-adaptive on its per-user
+    window: the latest-prior-touch struct rides
+    ``operators.scale.grouped_running_carry`` with the LAST-non-null
+    monoid — a plain partitioned window while the frame is
+    window-sized, the range-partition boundary-carry algebra above
+    ``window_max_rows`` (each straddling slice hands its last non-null
+    touch forward; ``coalesce(local, offset)`` is exact because any
+    non-null local value is later in order than the whole offset).
+    Both paths pytest-pinned bit-identical
+    (tests/test_round11b_ops.py). Expects columns
+    (user_id, event_type, s, event_id); adds ``lt``."""
+    from ..operators.scale import grouped_running_carry
+
+    touch_struct = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(F.col("s").alias("t"), F.col("event_type").alias("e")),
+    )
+    return grouped_running_carry(
+        seq.withColumn("__touch", touch_struct),
+        ["user_id"],
+        "__touch",
+        [F.col("s"), F.col("event_id")],
+        "lt",
+        kind="last",
+        frame_end=-1,
+        small_rows_threshold=window_max_rows,
+    ).drop("__touch")
+
+
 @query(
     "q_attribution",
     oracle="""
@@ -2771,12 +2860,13 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECEDING`` so the carried struct is always the latest prior
     touch — the same streaming-friendly shape as sessionization, and
     the oracle replays the identical frame with DuckDB's IGNORE
-    NULLS. Timestamps reduce to epoch seconds against a fixed origin
+    NULLS. The carry is runtime-adaptive (``_last_touch_carry``):
+    above the probed threshold it switches to the boundary-carry
+    algebra so a hot user never funnels through one window task.
+    Timestamps reduce to epoch seconds against a fixed origin
     (the portable-timestamp convention), ties broken by event_id so
     both engines order identically.
     """
-    from pyspark.sql import Window
-
     from ..sources import read_table as _rt
 
     e = _rt(spark, sf_dir, "events").filter(
@@ -2785,16 +2875,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
     s = (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("s")
     seq = e.select("user_id", "event_type", "value", s, "event_id")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch_struct = F.when(
-        F.col("event_type").isin("click", "view"),
-        F.struct(F.col("s").alias("t"), F.col("event_type").alias("e")),
-    )
-    seq = seq.withColumn("lt", F.last(touch_struct, ignorenulls=True).over(w))
+    seq = _last_touch_carry(seq)
     purchases = seq.filter(F.col("event_type") == "purchase").select(
         F.coalesce(
             F.when(

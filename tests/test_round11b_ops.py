@@ -1,0 +1,229 @@
+"""Round-11 (second batch): ``grouped_running_carry`` — the running
+max / min / last-non-null member of the windows-at-scale family — and
+its consumers (the as-of join family + last-touch attribution) pinned
+bit-identical on the window path and the range-partition
+boundary-carry path.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _carry_frame(spark):
+    """One HOT group straddling many range partitions, a NULL group
+    key large enough to straddle, two small groups — and NULLs in the
+    VALUE column (the carries skip nulls; a slice whose values are all
+    NULL must still hand off its predecessor's carry)."""
+    rows = []
+    for i in range(240):
+        # long null runs: values only every 7th row
+        v = (i * 13) % 97 if i % 7 == 0 else None
+        rows.append(("hot", i, v))
+    for i in range(90):
+        rows.append((None, i, (i * 5) % 31 if i % 3 == 0 else None))
+    for g, n in [("a", 4), ("b", 6)]:
+        for i in range(n):
+            rows.append((g, i, i if i % 2 == 0 else None))
+    return spark.createDataFrame(rows, "g string, o long, v long")
+
+
+def test_grouped_running_carry_matches_partitioned_window(spark):
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import grouped_running_carry
+
+    df = _carry_frame(spark)
+    order = [F.col("o").asc()]
+    for kind, agg in [
+        ("max", lambda w: F.max("v").over(w)),
+        ("min", lambda w: F.min("v").over(w)),
+        ("last", lambda w: F.last("v", ignorenulls=True).over(w)),
+    ]:
+        for frame_end in (0, -1):
+            w = (
+                Window.partitionBy("g")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, frame_end)
+            )
+            want = {
+                (r["g"], r["o"]): r["c"]
+                for r in df.withColumn("c", agg(w)).collect()
+            }
+            got = {
+                (r["g"], r["o"]): r["c"]
+                for r in grouped_running_carry(
+                    df.repartition(7),
+                    ["g"],
+                    "v",
+                    order,
+                    "c",
+                    kind=kind,
+                    frame_end=frame_end,
+                    small_rows_threshold=0,
+                ).collect()
+            }
+            assert got == want, (kind, frame_end)
+            small = {
+                (r["g"], r["o"]): r["c"]
+                for r in grouped_running_carry(
+                    df, ["g"], "v", order, "c", kind=kind, frame_end=frame_end
+                ).collect()
+            }
+            assert small == want, (kind, frame_end)
+
+
+def test_grouped_running_carry_reversed_order_is_following_frame(spark):
+    """min over (1 FOLLOWING, UNBOUNDED FOLLOWING) == the carry over
+    the REVERSED order with the exclusive frame — the q_asof_nearest
+    next-click shape."""
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import grouped_running_carry
+
+    df = _carry_frame(spark)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    want = {
+        (r["g"], r["o"]): r["c"]
+        for r in df.withColumn("c", F.min("v").over(w)).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["c"]
+        for r in grouped_running_carry(
+            df,
+            ["g"],
+            "v",
+            [F.col("o").desc()],
+            "c",
+            kind="min",
+            frame_end=-1,
+            small_rows_threshold=0,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_running_carry_struct_values(spark):
+    """The attribution shape: a carried STRUCT value survives the
+    driver handoff round-trip (collect → createDataFrame) exactly."""
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import grouped_running_carry
+
+    rows = []
+    for i in range(150):
+        s = (i, f"e{i % 3}") if i % 5 == 0 else None
+        rows.append(("hot", i, s))
+    rows += [("cold", 0, (0, "x")), ("cold", 1, None)]
+    df = spark.createDataFrame(
+        rows, "g string, o long, v struct<t:long, e:string>"
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["o"]): r["c"]
+        for r in df.withColumn(
+            "c", F.last("v", ignorenulls=True).over(w)
+        ).collect()
+    }
+    got = {
+        (r["g"], r["o"]): r["c"]
+        for r in grouped_running_carry(
+            df,
+            ["g"],
+            "v",
+            [F.col("o")],
+            "c",
+            kind="last",
+            frame_end=-1,
+            small_rows_threshold=0,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_asof_join_both_paths_identical(spark, sf_dir):
+    """q_asof_join's tagging stage pinned bit-identical whether the
+    prior-click running max ran the per-user window or the
+    boundary-carry algebra — including a hot-user shape."""
+    from dfx_indicators_etl_spark.plans.analytics import _asof_last_click
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    for frame in [ev, _hot_user(ev)]:
+        small = _norm(_asof_last_click(frame).collect())
+        large = _norm(_asof_last_click(frame, window_max_rows=0).collect())
+        assert small == large and len(small) > 0
+
+
+def test_asof_nearest_both_paths_identical(spark, sf_dir):
+    from dfx_indicators_etl_spark.plans.analytics_ext import _asof_prev_next
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    for frame in [ev, _hot_user(ev)]:
+        small = _norm(_asof_prev_next(frame).collect())
+        large = _norm(_asof_prev_next(frame, window_max_rows=0).collect())
+        assert small == large and len(small) > 0
+
+
+def test_attribution_both_paths_identical(spark, sf_dir):
+    """The last-touch STRUCT carry pinned bit-identical on both paths
+    over the registered q_attribution frame, hot-user shape included."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import _last_touch_carry
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "user_id",
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+            ).alias("s"),
+            "event_id",
+        )
+    )
+    for frame in [ev, _hot_user(ev)]:
+        small = _norm(_last_touch_carry(frame).collect())
+        large = _norm(_last_touch_carry(frame, window_max_rows=0).collect())
+        assert small == large and len(small) > 0
+
+
+def _hot_user(ev):
+    """Remap ~95% of rows onto one user — the hot-group shape the
+    adaptive route exists for."""
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 20 == 0, F.col("user_id")).otherwise(
+            F.lit(7)
+        ),
+    )
+
+
+def _norm(rows):
+    def c(v):
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        return v
+
+    return sorted(
+        [tuple(c(v) for v in row) for row in map(tuple, rows)], key=repr
+    )

@@ -1712,6 +1712,12 @@ def incremental_scd2(
     and re-compaction over any order-preserving superset of the change
     set yields exactly the change set, so the read equals the one-shot
     batch derivation — which is what the SQL oracle checks.
+
+    Time-contiguity is a CONTRACT, not an optimization: interleaved
+    batches can compact true changes away irrecoverably, so each
+    batch's raw time range lands with its rows and ``read_scd2``
+    refuses interleaved logs (see its docstring for the counterexample
+    and the executable check).
     """
     ensure_session_confs(spark)
     schema = spark.read.parquet(landing).schema
@@ -1727,10 +1733,21 @@ def incremental_scd2(
             F.col("event_type").alias("attr"),
             F.unix_micros("ts").alias("us"),
             "event_id",
-        )
-        _scd2_changes(rows).write.mode("overwrite").parquet(
-            f"{state_dir}/batch_id={batch_id}"
-        )
+        ).localCheckpoint(eager=False)
+        # Land the RAW batch's time range beside its change rows (two
+        # per-partition-constant columns — RLE-compressed to nothing):
+        # the healing argument is only valid for time-contiguous
+        # batches, and the landed CHANGE rows alone can't witness the
+        # raw range (a batch's last rows may compact away), so the
+        # range rides along and read_scd2 verifies the contract.
+        span = rows.agg(
+            F.min("us").alias("lo"), F.max("us").alias("hi")
+        ).collect()[0]
+        _scd2_changes(rows).withColumn(
+            "__batch_min_us", F.lit(span["lo"]).cast("long")
+        ).withColumn(
+            "__batch_max_us", F.lit(span["hi"]).cast("long")
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -1751,13 +1768,46 @@ def read_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
     definition), then one lead window per user closes each run —
     ``valid_to_us`` NULL marks the current row. The log is
     change-sized, not event-sized, so both windows run over the
-    compacted frame."""
+    compacted frame.
+
+    ENFORCES the time-contiguity contract the healing argument rests
+    on: batches whose raw event-time ranges INTERLEAVE can silently
+    drop true change rows at fold time (rows A@t1, A@t3 in one batch
+    and B@t2 in another — A@t3's within-batch predecessor shares its
+    attribute, so the A@t3 change compacts away and no read-time pass
+    can recover it). The per-batch raw ranges land beside the change
+    rows; this reader sorts batches by range start and raises
+    ``ValueError`` unless each batch's max is strictly below the
+    next's min — a #batches-row control-plane check
+    (tests/test_round11b_ops.py pins both the raise on a round-robin
+    split and the clean pass on the time-sliced stager)."""
     from pyspark.sql import Window
 
     ensure_session_confs(spark)
-    log = spark.read.parquet(state_dir).select(
-        "user_id", "attr", "us", "event_id"
-    )
+    raw = spark.read.parquet(state_dir)
+    if "__batch_min_us" in raw.columns:
+        spans = sorted(
+            raw.groupBy("batch_id")
+            .agg(
+                F.min("__batch_min_us").alias("lo"),
+                F.max("__batch_max_us").alias("hi"),
+            )
+            .collect(),
+            key=lambda r: (r["lo"], r["hi"]),
+        )
+        for prev, nxt in zip(spans, spans[1:]):
+            if prev["hi"] >= nxt["lo"]:
+                raise ValueError(
+                    "SCD2 change log violates the time-contiguity "
+                    f"contract: batch {prev['batch_id']} spans "
+                    f"[{prev['lo']}, {prev['hi']}] and batch "
+                    f"{nxt['batch_id']} spans [{nxt['lo']}, "
+                    f"{nxt['hi']}] — interleaved batches can drop "
+                    "change rows at fold time and cannot be healed "
+                    "at read time. Land time-sliced batches "
+                    "(streaming.stage_time_slices)."
+                )
+    log = raw.select("user_id", "attr", "us", "event_id")
     changes = _scd2_changes(log)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return changes.select(

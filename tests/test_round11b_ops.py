@@ -207,6 +207,61 @@ def test_attribution_both_paths_identical(spark, sf_dir):
         assert small == large and len(small) > 0
 
 
+def test_scd2_contiguity_contract_is_executable(spark, sf_dir):
+    """Round-12 queue #3 resolved: the SCD2 healing argument does NOT
+    cover arbitrary batch splits — rows A@t1, A@t3 folded in one batch
+    while B@t2 lands in another compact the A@t3 change away
+    irrecoverably — so time-contiguity is a CONTRACT, enforced at read
+    time from the per-batch raw ranges the writer now lands. A
+    round-robin (interleaved) split must RAISE; the time-sliced stager
+    must read clean."""
+    import glob as _glob
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tempfile
+    from pathlib import Path
+
+    import pytest
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events").limit(400)
+    root = _tempfile.mkdtemp(prefix="dfx_scd2_contract_")
+    try:
+        # ARBITRARY split: round-robin by event_id — every file spans
+        # the whole time range, so ranges interleave maximally
+        landing = f"{root}/landing_rr"
+        Path(landing).mkdir(parents=True)
+        base = 1_600_000_000
+        for k in range(3):
+            tmp = f"{root}/__rr_{k}"
+            events.filter(F.col("event_id") % 3 == k).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(Path(tmp).glob("part-*.parquet"))
+            dst = Path(landing) / f"slice-{k:03d}.parquet"
+            _os.rename(str(part), str(dst))
+            _os.utime(dst, (base + 60 * k, base + 60 * k))
+        streaming.incremental_scd2(
+            spark, landing, f"{root}/state_rr", f"{root}/ckpt_rr"
+        )
+        with pytest.raises(ValueError, match="time-contiguity"):
+            streaming.read_scd2(spark, f"{root}/state_rr").collect()
+
+        # the CONTRACTUAL staging reads clean
+        landing_ok = f"{root}/landing_ok"
+        streaming.stage_time_slices(events, landing_ok, n_batches=3)
+        assert len(_glob.glob(f"{landing_ok}/slice-*.parquet")) == 3
+        streaming.incremental_scd2(
+            spark, landing_ok, f"{root}/state_ok", f"{root}/ckpt_ok"
+        )
+        out = streaming.read_scd2(spark, f"{root}/state_ok")
+        assert out.count() > 0
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 def _hot_user(ev):
     """Remap ~95% of rows onto one user — the hot-group shape the
     adaptive route exists for."""

@@ -1660,3 +1660,37 @@ def mips_augment(
         ),
     )
     return out, max_norm
+
+
+def dim_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-DIMENSION distribution profile of an embedding column —
+    mean / min / max per coordinate, the drift-and-degeneracy check an
+    embedding feed needs (a dead dimension pins min=max; a mean far
+    off 0 flags a normalization bug upstream).
+
+    ``posexplode`` then one aggregation keyed by dimension index: the
+    shuffle carries d rows per map partition (map-side combine), never
+    corpus-sized. Cross-row float sums ride the exact-decimal
+    convention (component → DECIMAL(18,9), deterministic rounding
+    identical on both engines) so the mean is bit-stable under any
+    partitioning; min/max are order-free.
+    """
+    u = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        u.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .select("dim", "n", "mean_v", "min_v", "max_v")
+    )

@@ -1047,3 +1047,41 @@ def cdc_excise(
         F.length("__new").cast("bigint").alias("new_len"),
         F.sha2(F.col("__new"), 256).alias("new_sha"),
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary-health scalars: type count, token count,
+    hapax-legomenon count and ratio, type-token ratio — the standard
+    "is this corpus diverse or boilerplate" diagnostic before
+    tokenizer training (a high hapax share means a long vocabulary
+    tail; a collapsing TTR means duplication).
+
+    Same tokenization as ``word_vocab`` (lowercase, non-letter split).
+    Two combinable aggregation levels — word counts (vocab-sized
+    shuffle, map-side combined), then a single global fold — and all
+    counts are exact integers; the two ratios are composed once at the
+    output (plans.numeric convention).
+    """
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != "")
+    ).alias("word")
+    counts = df.select(words).groupBy("word").agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    ).select(
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )

@@ -45,6 +45,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_locf_fill",
     "q_mode_category",
     "q_user_stickiness",
+    "q_hhi",
+    "q_streaks",
+    "q_lorenz",
+    "q_calendar_spine",
+    "text_vocab_stats",
+    "emb_dim_stats",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -3528,3 +3528,289 @@ def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "mau", "avg_dau", "stickiness")
     )
+
+
+@query(
+    "q_hhi",
+    # Herfindahl–Hirschman concentration: HHI = Σshare² = Σrev²/(Σrev)².
+    # Both Σ are EXACT decimal aggregates (per-supplier revenue re-cast
+    # to the fixed DECIMAL(18,4) before squaring so the product's
+    # precision/scale is engine-identical); the quotient is the only
+    # double, composed once from identical inputs on both engines.
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(r) AS DOUBLE) AS total_rev,
+           -- DECIMAL(19,4) factors: DuckDB multiplies DECIMAL(18) in
+           -- int64 (overflows); 19 digits promotes to int128 and the
+           -- (38,8) product is exact on both engines
+           round(CAST(SUM(CAST(r AS DECIMAL(19,4))
+                          * CAST(r AS DECIMAL(19,4))) AS DOUBLE)
+                 / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)),
+                 6) AS hhi
+    FROM rev GROUP BY nation
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-revenue concentration per nation (Herfindahl–Hirschman
+    index — the antitrust/market-structure staple; 1/n ≤ HHI ≤ 1).
+
+    Two combinable aggregation levels and zero windows: per-(nation,
+    supplier) exact decimal revenue, then per-nation Σrev and Σrev² —
+    the share-free formulation HHI = Σrev²/(Σrev)² avoids summing
+    order-dependent double shares, so the only float is the final
+    quotient. Supplier and nation broadcast (dimension-sized); the
+    fact shuffles once on its join key.
+    """
+    lineitem, supplier, nation = read_tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    rev = (
+        lineitem.join(
+            F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("decimal(18,4)")
+            .alias("r")
+        )
+    )
+    tot = F.sum("r").cast("double")
+    return rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        tot.alias("total_rev"),
+        F.round(
+            F.sum(F.col("r") * F.col("r")).cast("double") / (tot * tot), 6
+        ).alias("hhi"),
+    )
+
+
+@query(
+    "q_streaks",
+    # Gaps-and-islands: on a user's DISTINCT active days ordered by
+    # day, (day − row_number DAYS) is constant exactly within one
+    # consecutive-day run — a pure-arithmetic island key, no
+    # self-join. The per-user window runs over distinct DAYS, so a
+    # group is CALENDAR-bounded (≤ span days) no matter how many raw
+    # events a hot user emits — the q_cumulative_distinct boundedness
+    # argument, per group.
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    runs AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER)
+                   * INTERVAL 1 DAY AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, COUNT(*) AS len FROM runs
+        GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the
+    engagement-analytics staple) via gaps-and-islands.
+
+    The fact first collapses to DISTINCT (user, day) — one map-side
+    combinable shuffle, after which every per-user frame is bounded by
+    the CALENDAR span, not the event volume (a bot hammering one user
+    adds rows to the fact, never to this frame). The island key is
+    pure date arithmetic over a per-user row_number; two further
+    combinable aggregations finish — no self-join, no range join.
+    """
+    from pyspark.sql import Window
+
+    (events,) = read_tables(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+@query(
+    "q_lorenz",
+    # Lorenz curve by customer decile — cumulative share of revenue
+    # held by the bottom-k/10 of customers; the inequality-curve
+    # companion to q_gini's scalar. Deciles ride global_ntile (exact
+    # window-NTILE semantics, range-partition + offsets above the
+    # threshold); the cumulative frame is exactly 10 rows.
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT rev, NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM cust
+    ),
+    per AS (
+        SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS decile_rev
+        FROM tiled GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_rev,
+           round(CAST(SUM(decile_rev) OVER (
+                     ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(decile_rev) OVER () AS DOUBLE), 6)
+               AS cum_rev_share
+    FROM per
+    """,
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue by decile — what share of
+    total revenue the bottom 10%, 20%, … of customers hold.
+
+    One shuffle reduces orders to per-customer exact decimal revenue;
+    decile assignment rides ``operators.scale.global_ntile`` (fourth
+    registered consumer — never a single-task global sort at scale);
+    the cumulative-share window runs over exactly 10 decile rows.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.scale import global_ntile
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("rev")
+    )
+    n = cust.count()
+    tiled = global_ntile(
+        cust, 10, [F.col("rev"), F.col("o_custkey")], "decile", n_rows=n
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.col("decile_rev").cast("double").alias("decile_rev"),
+        F.sum("decile_rev").over(w).alias("__cum"),
+        F.sum("decile_rev").over(wa).alias("__tot"),
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        "decile_rev",
+        F.round(
+            F.col("__cum").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("cum_rev_share"),
+    )
+
+
+@query(
+    "q_calendar_spine",
+    # Dense-fill: every (month, priority) cell exists even with zero
+    # orders — the reporting/timeseries-training prerequisite (a
+    # missing month silently breaks lag features and YoY ratios).
+    # The spine is CALENDAR × 5 priorities — bounded by time, not
+    # data volume; both spine sides and the aggregated actuals are
+    # broadcast-sized at any fact scale.
+    oracle="""
+    WITH b AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    months AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                    AS DATE) AS month
+        FROM b
+    ),
+    pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+    actual AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority AS pri,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT m.month, p.pri,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(a.rev, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM months m
+    CROSS JOIN pris p
+    LEFT JOIN actual a ON a.month = m.month AND a.pri = p.pri
+    """,
+)
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense month × priority spine with zero-filled order counts and
+    revenue — the gaps-closed calendar frame lag/YoY features need.
+
+    The fact aggregates once (map-side combinable) to calendar×5 rows;
+    the spine generates in-plan from the 1-row min/max aggregate
+    (``sequence`` + ``explode`` — no driver round-trip), cross-joins
+    the ≤5-row priority dim, and left-joins the aggregated actuals —
+    every frame after the first aggregation is broadcast-sized
+    regardless of fact volume.
+    """
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    bounds = orders.agg(
+        F.min(month).alias("lo"), F.max(month).alias("hi")
+    )
+    months = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+        ).alias("month")
+    )
+    pris = orders.select(
+        F.col("o_orderpriority").alias("pri")
+    ).distinct()
+    actual = orders.groupBy(
+        month.alias("month"), F.col("o_orderpriority").alias("pri")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).alias("rev"),
+    )
+    spine = months.crossJoin(F.broadcast(pris))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return spine.join(F.broadcast(actual), ["month", "pri"], "left").select(
+        "month",
+        "pri",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("rev"), zero).cast("double").alias("revenue"),
+    )

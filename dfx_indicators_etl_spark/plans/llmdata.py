@@ -3020,3 +3020,59 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_mips_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+@query(
+    "text_vocab_stats",
+    # corpus vocabulary health: exact integer counts via the
+    # word_vocab tokenization; the two ratios compose once from
+    # identical doubles on both engines.
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+               AS type_token_ratio
+    FROM counts
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary-health scalars: types, tokens, hapax
+    legomena, hapax ratio, type-token ratio (the pre-tokenizer
+    diversity diagnostic)."""
+    return text.vocab_stats(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "emb_dim_stats",
+    # per-dimension profile: generate_subscripts/unnest align
+    # positionally in DuckDB; cross-row means ride DECIMAL(18,9)
+    # component casts so the sum is exact under any partitioning.
+    oracle="""
+    WITH u AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_v,
+           round(MIN(v), 6) AS min_v,
+           round(MAX(v), 6) AS max_v
+    FROM u GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile — dead-dimension
+    and normalization-drift detection over an embedding feed."""
+    return similarity.dim_stats(read_table(spark, sf_dir, "embeddings"))

@@ -412,6 +412,7 @@ ADAPTIVE_EXACT = {
     "q_gini": "operators.scale.global_running_sum",
     "q_ks_drift": "operators.scale.global_running_sum",
     "q_gains_lift": "operators.scale.global_ntile",
+    "q_lorenz": "operators.scale.global_ntile",
 }
 
 # key -> why the windowed frame cannot grow with data volume.
@@ -419,6 +420,7 @@ BOUNDED_EXACT = {
     "q_cumulative_distinct": "running sum over one row per calendar DAY",
     "q_growth_accounting": "lag over one row per calendar WEEK",
     "q_gains_lift": "cumulative windows over exactly 10 decile rows",
+    "q_lorenz": "cumulative windows over exactly 10 decile rows",
 }
 
 _PASS_NODES = ("Sort", "Window", "WindowGroupLimit", "InputAdapter")

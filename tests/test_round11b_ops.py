@@ -282,3 +282,107 @@ def _norm(rows):
     return sorted(
         [tuple(c(v) for v in row) for row in map(tuple, rows)], key=repr
     )
+
+
+def test_hhi_bounds_and_monopoly(spark, sf_dir):
+    """HHI ∈ [1/n, 1]; a single-supplier nation pins exactly 1.0."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_hhi
+
+    rows = q_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0 + 1e-9
+        if r["n_suppliers"] == 1:
+            assert abs(r["hhi"] - 1.0) < 1e-9
+
+
+def test_streaks_hand_built(spark):
+    """3 consecutive days + a gap + 2 consecutive days → longest 3,
+    active 5, streaks 2; duplicate same-day events collapse."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.operators.scale import salted_agg  # noqa: F401
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_streaks
+
+    days = ["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-03",
+            "2024-01-07", "2024-01-08"]
+    rows = [
+        (i, dt.datetime.fromisoformat(d + "T12:00:00"), 1, "click", 1.0, "")
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        out = {r["user_id"]: r for r in q_streaks(spark, tmp).collect()}
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["n_active_days"] == 5
+    assert out[1]["n_streaks"] == 2
+
+
+def test_lorenz_is_monotone_and_closes_at_one(spark, sf_dir):
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_lorenz
+
+    rows = sorted(q_lorenz(spark, sf_dir).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_rev_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # bottom decile holds less than an equal share, top more
+    assert shares[0] < 0.1 and rows[-1]["decile_rev"] > rows[0]["decile_rev"]
+
+
+def test_vocab_stats_hand_built(spark):
+    from dfx_indicators_etl_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [("the cat the dog",), ("THE bird!",)], "text string"
+    )
+    # tokens: the×3, cat, dog, bird → 6 tokens, 4 types, 3 hapax
+    r = vocab_stats(df).collect()[0]
+    assert (r["n_types"], r["n_tokens"], r["n_hapax"]) == (4, 6, 3)
+    assert abs(r["hapax_ratio"] - 0.75) < 1e-9
+    assert abs(r["type_token_ratio"] - round(4 / 6, 6)) < 1e-9
+
+
+def test_dim_stats_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from dfx_indicators_etl_spark.operators.similarity import dim_stats
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = {r["dim"]: r for r in dim_stats(emb).collect()}
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert len(got) == mat.shape[1]
+    for d in range(mat.shape[1]):
+        assert got[d]["n"] == mat.shape[0]
+        assert abs(got[d]["mean_v"] - round(float(mat[:, d].mean()), 6)) < 1e-5
+        assert got[d]["min_v"] == round(float(mat[:, d].min()), 6)
+        assert got[d]["max_v"] == round(float(mat[:, d].max()), 6)
+
+
+def test_calendar_spine_is_dense_and_zero_filled(spark, sf_dir):
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_calendar_spine
+    from dfx_indicators_etl_spark.sources import read_table
+
+    out = q_calendar_spine(spark, sf_dir).collect()
+    months = {r["month"] for r in out}
+    pris = {r["pri"] for r in out}
+    # dense: every (month, pri) cell exactly once
+    assert len(out) == len(months) * len(pris)
+    # months are consecutive
+    ms = sorted(months)
+    for a, b in zip(ms, ms[1:]):
+        assert (b.year - a.year) * 12 + (b.month - a.month) == 1
+    # totals preserved (zero-fill adds nothing)
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_orders"] for r in out) == n_orders

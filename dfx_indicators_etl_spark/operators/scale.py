@@ -681,6 +681,10 @@ def grouped_running_carry(
       the REVERSED order (descending ``order_by``).
     - ``"last"``: running last NON-NULL value in frame order — the
       LOCF / latest-touch carry (``F.last(..., ignorenulls=True)``).
+    - ``"first"``: running FIRST non-null value in frame order — the
+      first-touch carry (``F.first(..., ignorenulls=True)``); the
+      offset wins the combine (``coalesce(offset, local)``) because
+      everything in the offset precedes the local frame.
 
     ``frame_end`` is the window frame's upper bound relative to the
     current row: ``0`` for ``...AND CURRENT ROW``, ``-1`` for the
@@ -704,7 +708,7 @@ def grouped_running_carry(
     """
     from pyspark.sql import Window
 
-    if kind not in ("max", "min", "last"):
+    if kind not in ("max", "min", "last", "first"):
         raise ValueError(f"unknown carry kind: {kind!r}")
     if frame_end not in (0, -1):
         raise ValueError("frame_end must be 0 (current row) or -1 (1 preceding)")
@@ -714,6 +718,8 @@ def grouped_running_carry(
             return F.max(value_col).over(w)
         if kind == "min":
             return F.min(value_col).over(w)
+        if kind == "first":
+            return F.first(value_col, ignorenulls=True).over(w)
         return F.last(value_col, ignorenulls=True).over(w)
 
     groups = list(group_cols)
@@ -742,11 +748,12 @@ def grouped_running_carry(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    if kind == "last":
+    if kind in ("last", "first"):
+        pick = F.max if kind == "last" else F.min
         w_rn = Window.partitionBy("__gc_pid", *groups).orderBy(*order_by)
         numbered = keyed.withColumn("__gc_rn", F.row_number().over(w_rn))
         partials = numbered.groupBy("__gc_pid", *groups).agg(
-            F.max(
+            pick(
                 F.when(
                     F.col(value_col).isNotNull(),
                     F.struct(F.col("__gc_rn").alias("r"), F.col(value_col).alias("v")),
@@ -808,6 +815,8 @@ def grouped_running_carry(
         combined = F.greatest(local, F.col("__gc_off"))
     elif kind == "min":
         combined = F.least(local, F.col("__gc_off"))
+    elif kind == "first":
+        combined = F.coalesce(F.col("__gc_off"), local)
     else:
         combined = F.coalesce(local, F.col("__gc_off"))
     return (

@@ -51,6 +51,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_calendar_spine",
     "text_vocab_stats",
     "emb_dim_stats",
+    "q_first_touch",
+    "q_json_props",
+    "sample_entity_split",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -3814,3 +3814,133 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         F.coalesce(F.col("rev"), zero).cast("double").alias("revenue"),
     )
+
+
+def _first_touch_carry(seq: DataFrame, window_max_rows: int = 2_000_000) -> DataFrame:
+    """The q_first_touch carry stage — ``grouped_running_carry`` with
+    the FIRST-non-null monoid (offset wins the combine: everything in
+    the offset precedes the local frame). Runtime-adaptive like
+    ``_last_touch_carry``; both paths pytest-pinned bit-identical
+    (tests/test_round11b_ops.py). Expects (user_id, event_type, s,
+    event_id); adds ``ft``."""
+    from ..operators.scale import grouped_running_carry
+
+    touch_struct = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(F.col("s").alias("t"), F.col("event_type").alias("e")),
+    )
+    return grouped_running_carry(
+        seq.withColumn("__touch", touch_struct),
+        ["user_id"],
+        "__touch",
+        [F.col("s"), F.col("event_id")],
+        "ft",
+        kind="first",
+        frame_end=-1,
+        small_rows_threshold=window_max_rows,
+    ).drop("__touch")
+
+
+@query(
+    "q_first_touch",
+    # First-touch attribution — the acquisition-credit complement of
+    # q_attribution's last-touch: each purchase credits the user's
+    # EARLIEST prior click/view, else 'direct'. Same portable epoch-
+    # second convention; DuckDB replays the frame with FIRST_VALUE
+    # IGNORE NULLS.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s,
+               event_id,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS ft
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT coalesce(ft, 'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution — each purchase credits the
+    user's EARLIEST prior click/view (acquisition credit), else
+    'direct'; the complement of q_attribution's last-touch.
+
+    Same single per-user event-time pass; the carry is the
+    first-non-null monoid of ``grouped_running_carry``
+    (runtime-adaptive — a hot user never funnels through one window
+    task). Once a user's first touch is set it never changes, which
+    is also why this operator streams trivially (state is
+    write-once per user).
+    """
+    from ..sources import read_table as _rt
+
+    e = _rt(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    s = (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("s")
+    seq = _first_touch_carry(
+        e.select("user_id", "event_type", "value", s, "event_id")
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.col("ft.e"), F.lit("direct")).alias("touch"), "value"
+    )
+    return purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )
+
+
+@query(
+    "q_json_props",
+    # Semi-structured extraction: the events feed's JSON props column
+    # parsed with a declared schema (from_json — JVM codegen, no
+    # Python), then one combinable aggregate. Malformed/missing keys
+    # surface as NULLs and are counted, not dropped.
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_missing,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM x GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction over the semi-structured ``props`` JSON column
+    (schema-on-read: declare the projection, parse in-plan, aggregate)
+    — the everyday ETL shape for event payloads.
+
+    ``from_json`` with an explicit schema runs JVM-side inside
+    codegen (never a Python UDF); malformed rows parse to NULL and are
+    COUNTED (n_missing) rather than silently dropped. Integer sums
+    stay exact; the mean composes once. One narrow map + one
+    combinable aggregate — no shuffle beyond the 5-group agg.
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    x = events.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.count(F.lit(1)) - F.count("k")).cast("bigint").alias("n_missing"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )

@@ -3076,3 +3076,47 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding distribution profile — dead-dimension
     and normalization-drift detection over an embedding feed."""
     return similarity.dim_stats(read_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "sample_entity_split",
+    # ENTITY-consistent train/test split: the split key is md5 of the
+    # USER, not the row, so every event of a user lands in one split —
+    # the leakage-safe discipline for per-entity features (a row-level
+    # split trains on half of a user's history and tests on the rest).
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                         >= 'cc'
+                    THEN 'test' ELSE 'train' END AS split,
+               user_id, event_type
+        FROM events
+    )
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY split, event_type
+    """,
+)
+def sample_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent (leakage-safe) train/test split: events split
+    by md5 of USER id so a user's whole history lands in one split,
+    summarized per split × event_type.
+
+    A pure map over the portable md5 stream (no shuffle to assign, no
+    RNG state, identical on any engine) + one combinable aggregate
+    with a two-phase distinct count. The invariant — no user appears
+    in both splits — is pytest-pinned."""
+    ev = read_table(spark, sf_dir, "events")
+    split = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) >= "cc",
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    return (
+        ev.select(split.alias("split"), "user_id", "event_type")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

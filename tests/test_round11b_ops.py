@@ -41,6 +41,7 @@ def test_grouped_running_carry_matches_partitioned_window(spark):
         ("max", lambda w: F.max("v").over(w)),
         ("min", lambda w: F.min("v").over(w)),
         ("last", lambda w: F.last("v", ignorenulls=True).over(w)),
+        ("first", lambda w: F.first("v", ignorenulls=True).over(w)),
     ]:
         for frame_end in (0, -1):
             w = (
@@ -386,3 +387,86 @@ def test_calendar_spine_is_dense_and_zero_filled(spark, sf_dir):
     # totals preserved (zero-fill adds nothing)
     n_orders = read_table(spark, sf_dir, "orders").count()
     assert sum(r["n_orders"] for r in out) == n_orders
+
+
+def test_first_touch_both_paths_identical(spark, sf_dir):
+    """The first-touch carry (kind='first') pinned bit-identical on
+    both paths over the registered q_first_touch frame."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import _first_touch_carry
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "user_id",
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+            ).alias("s"),
+            "event_id",
+        )
+    )
+    for frame in [ev, _hot_user(ev)]:
+        small = _norm(_first_touch_carry(frame).collect())
+        large = _norm(_first_touch_carry(frame, window_max_rows=0).collect())
+        assert small == large and len(small) > 0
+
+
+def test_entity_split_is_leakage_free(spark, sf_dir):
+    """No user appears in both splits — the invariant the op exists
+    for — and the split covers every event exactly once."""
+    from dfx_indicators_etl_spark.plans.llmdata import sample_entity_split
+    from dfx_indicators_etl_spark.sources import read_table
+
+    out = sample_entity_split(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in out) == ev.count()
+    # recompute membership per user: the same md5 rule, user-level
+    users = ev.select("user_id").distinct()
+    tagged = users.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) >= "cc",
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+    both = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert both == 0
+    # both splits are non-empty at test SF
+    assert {r["split"] for r in out} == {"train", "test"}
+
+
+def test_json_props_counts_malformed(spark, tmp_path):
+    """Malformed / missing JSON keys surface as n_missing, never
+    dropped rows."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_json_props
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, ts, 1, "click", 1.0, '{"k": 5}'),
+        (2, ts, 1, "click", 1.0, "not json"),
+        (3, ts, 1, "click", 1.0, '{"other": 1}'),
+        (4, ts, 1, "view", 1.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {r["event_type"]: r for r in q_json_props(spark, str(tmp_path)).collect()}
+    assert out["click"]["n_events"] == 3
+    assert out["click"]["n_missing"] == 2
+    assert out["click"]["sum_k"] == 5
+    assert out["view"]["max_k"] == 7

@@ -54,6 +54,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_first_touch",
     "q_json_props",
     "sample_entity_split",
+    "q_funnel_paths",
+    "emb_outlier_dist",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -3944,3 +3944,67 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("int").alias("min_k"),
         F.max("k").cast("int").alias("max_k"),
     )
+
+
+@query(
+    "q_funnel_paths",
+    # Path analysis: each user's first-5-event journey as an ordered
+    # type string, top-20 by frequency — "what do users actually do"
+    # (the product-analytics complement of q_event_transitions'
+    # first-order Markov matrix, which forgets position).
+    oracle="""
+    WITH r2 AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r2 WHERE rn <= 5 GROUP BY user_id
+    ),
+    c AS (SELECT path, COUNT(*) AS n FROM p GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 20
+    """,
+)
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey paths: each user's first five events as an
+    ordered ``a>b>c`` string, ranked by how many users share it.
+
+    One per-user rank window (partitioned; every later frame is
+    ≤5 rows per user after the rn cut), a 5-element-bounded
+    ``sort_array(collect_list(struct))`` for a DETERMINISTIC path
+    string regardless of partitioning, then a path-cardinality-bounded
+    count (paths of length ≤5 over a handful of event types — never
+    corpus-sized). Only the 20 surviving rows see the rank window
+    (the word_vocab pattern).
+    """
+    from pyspark.sql import Window
+
+    (events,) = read_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r2 = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = r2.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("path")).limit(20)
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return top.select(
+        "path",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

@@ -3120,3 +3120,92 @@ def sample_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "emb_outlier_dist",
+    # Distance-to-label-centroid outliers: centroid means ride the
+    # DECIMAL(18,9) convention (exact under any partitioning, rounded
+    # once), per-vector squared distances fold as DECIMAL(18,12) casts
+    # of identical doubles, and only the 20 survivors see a rank
+    # window.
+    oracle="""
+    WITH u AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, dim,
+               round(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM u GROUP BY label, dim
+    ),
+    d AS (
+        SELECT u.vec_id, u.label,
+               round(sqrt(CAST(SUM(CAST((u.v - c.c) * (u.v - c.c)
+                                        AS DECIMAL(18,12))) AS DOUBLE)),
+                     6) AS dist
+        FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+        GROUP BY u.vec_id, u.label
+    )
+    SELECT vec_id, CAST(label AS INT) AS label, dist,
+           CAST(ROW_NUMBER() OVER (ORDER BY dist DESC, vec_id) AS INT)
+               AS rank
+    FROM d
+    QUALIFY rank <= 20
+    """,
+)
+def emb_outlier_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier report: the 20 vectors farthest from their
+    label's centroid — mislabeled/contaminated-sample detection over
+    an embedding feed.
+
+    Centroids are the d×labels per-dimension exact-decimal means
+    (posexplode + combinable agg — the emb_dim_stats spine, label-
+    keyed); they broadcast back onto the exploded vectors, squared
+    distances fold per vector as DECIMAL casts of identical doubles
+    (engine-stable), and the top-20 cut is a TakeOrdered — only the
+    survivors see the rank window.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    c = u.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    d = (
+        u.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((diff * diff).cast("decimal(18,12)")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    top = d.orderBy(F.col("dist").desc(), F.col("vec_id")).limit(20)
+    wr = Window.orderBy(F.col("dist").desc(), F.col("vec_id"))
+    return top.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "dist",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

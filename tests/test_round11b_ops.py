@@ -470,3 +470,60 @@ def test_json_props_counts_malformed(spark, tmp_path):
     assert out["click"]["n_missing"] == 2
     assert out["click"]["sum_k"] == 5
     assert out["view"]["max_k"] == 7
+
+
+def test_funnel_paths_deterministic_and_bounded(spark, sf_dir):
+    """Paths are ≤5 hops, ranks are 1..20 without gaps, and the count
+    of users over all paths equals the distinct-user count."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_funnel_paths
+    from dfx_indicators_etl_spark.sources import read_table
+
+    rows = sorted(q_funnel_paths(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 5
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_emb_outlier_dist_agrees_with_numpy(spark, sf_dir):
+    """Top-outlier distances match a numpy recomputation of
+    distance-to-label-centroid (within the rounding conventions)."""
+    import numpy as np
+
+    from dfx_indicators_etl_spark.plans.llmdata import emb_outlier_dist
+    from dfx_indicators_etl_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    data = emb.select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in data:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    cent = {
+        lab: np.round(np.stack(vs).mean(axis=0), 6)
+        for lab, vs in by_label.items()
+    }
+    want = {
+        r["vec_id"]: round(
+            float(
+                np.sqrt(
+                    np.sum(
+                        np.round(
+                            (np.array(r["embedding"], dtype=np.float64)
+                             - cent[r["label"]]) ** 2,
+                            12,
+                        )
+                    )
+                )
+            ),
+            6,
+        )
+        for r in data
+    }
+    got = emb_outlier_dist(spark, sf_dir).collect()
+    assert len(got) == 20
+    for r in got:
+        assert abs(r["dist"] - want[r["vec_id"]]) < 1e-4, r

@@ -169,6 +169,30 @@ PROBES = {
     "ind_locf_fill": ("events",),
     "q_mode_category": ("customer", "orders"),
     "q_user_stickiness": ("events",),
+    # round 11, second/third batch: HHI (two combinable agg levels,
+    # zero windows — linear bound), streaks (distinct-day collapse
+    # dominates; replicas share ts so the post-distinct frame is
+    # flat), Lorenz (per-customer reduce + global_ntile at K×
+    # customers), calendar spine (fact agg then broadcast-sized
+    # frames), vocab stats (vocab-sized combinable shuffle), dim
+    # stats (posexplode + d-key agg), first-touch (the 'first' carry,
+    # same per-user window shape as q_attribution above), JSON
+    # extraction (narrow codegen map + 5-group agg), entity split
+    # (pure map + distinct-count agg)
+    "q_hhi": ("lineitem",),
+    "q_streaks": ("events",),
+    "q_lorenz": ("orders",),
+    "q_calendar_spine": ("orders",),
+    "text_vocab_stats": ("documents",),
+    "emb_dim_stats": ("embeddings",),
+    "q_first_touch": ("events",),
+    "q_json_props": ("events",),
+    "sample_entity_split": ("events",),
+    # path analysis (per-user rank window then 5-row-bounded frames;
+    # path space is bounded by type-alphabet^5, never corpus-sized)
+    # and centroid-distance outliers (d×labels broadcast + TakeOrdered)
+    "q_funnel_paths": ("events",),
+    "emb_outlier_dist": ("embeddings",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -56,6 +56,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_entity_split",
     "q_funnel_paths",
     "emb_outlier_dist",
+    "stream_first_touch",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -232,6 +232,39 @@ def _f_attribution(spark, sf_dir):
     ]
 
 
+@face("stream_first_touch")
+def _f_first_touch(spark, sf_dir):
+    # the batch twin its oracle replays: first non-null over a
+    # user-partitioned frame + the drained groupBy(touch) aggregate
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    s = (
+        F.unix_micros("ts") / 1_000_000
+        - F.lit(1_704_067_200)
+    ).cast("bigint")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(s, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+    credited = seq.filter(F.col("event_type") == "purchase").withColumn(
+        "touch", F.coalesce(F.col("ft"), F.lit("direct"))
+    )
+    return [
+        credited.groupBy("touch").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("attributed_value"),
+        )
+    ]
+
+
 @face("stream_static_enrich")
 def _f_static_enrich(spark, sf_dir):
     ev = _events(spark, sf_dir)

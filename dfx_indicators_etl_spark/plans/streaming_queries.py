@@ -495,6 +495,52 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_first_touch",
+    # Same oracle as q_first_touch: the streaming face must reproduce
+    # the batch first-touch frame exactly (portable origin-seconds,
+    # (s, event_id) order, 'direct' fallback).
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s,
+               event_id,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS ft
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT coalesce(ft, 'direct') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch attribution: WRITE-ONCE per-user state in
+    ``applyInPandasWithState`` (a monotone register — set at the first
+    click/view, never updated; replay is trivially idempotent), one
+    emitted row per purchase, aggregated by credited touch — the
+    batch/stream parity face of ``q_first_touch``, value-oracled
+    against the identical DuckDB FIRST_VALUE replay. No timeout by
+    design: first-touch semantics require remembering the touch for
+    as long as purchases can arrive (state = 2 scalars per touched
+    user, a per-entity dimension); the restart test pins checkpoint
+    recovery."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.stream_first_touch_attribution(stream)
+    drained = streaming.run_available_now(out, output_mode="append")
+    return drained.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )
+
+
 @query("sink_compact_roundtrip", oracle="SELECT * FROM nation")
 def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction round trip (§E maintenance op): a

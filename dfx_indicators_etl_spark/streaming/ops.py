@@ -1232,6 +1232,92 @@ def stream_last_touch_attribution(
     )
 
 
+def stream_first_touch_attribution(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming FIRST-touch attribution — the stateful face of
+    ``q_first_touch``: per user, remember the earliest click/view ever
+    seen and emit one row per purchase crediting it (else
+    ``'direct'``).
+
+    The WRITE-ONCE state shape: state is two scalars set at the first
+    touch and never updated again, which makes replay trivially
+    idempotent (re-processing any batch writes the same value — a
+    monotone register, the simplest of the engine's replay algebras
+    next to idempotent-OR, additive-OVERWRITE, and the derived change
+    log). No timeout: first-touch semantics REQUIRE remembering the
+    first touch for as long as purchases can arrive, so state is
+    user-cardinality-bounded (2 scalars per user with a touch — a
+    per-entity dimension, RocksDB-store-sized at cluster scale;
+    evicting would silently turn late purchases into 'direct', so any
+    TTL is a knowing semantics change, not an optimization). Batch
+    rows process in the oracle's (origin-seconds, event_id) frame
+    order, so results are deterministic under any partition
+    interleaving.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    origin_ms = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks)
+        ts_ms = (
+            pd.to_datetime(rows["ts"], utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[ms]")
+            .astype("int64")
+        )
+        # the batch oracle's exact frame order (truncated seconds +
+        # event_id — see stream_last_touch_attribution's note)
+        rows = rows.assign(__s=(ts_ms - origin_ms) // 1000).sort_values(
+            ["__s", "event_id"]
+        )
+        t, e = state.get if state.exists else (None, None)
+        out_ids, out_touch, out_vals = [], [], []
+        for _, r in rows.iterrows():
+            etype = r["event_type"]
+            if etype == "purchase":
+                out_touch.append(e if e is not None else "direct")
+                out_ids.append(int(r["event_id"]))
+                v = r["value"]
+                out_vals.append(None if pd.isna(v) else float(v))
+            elif t is None:  # click / view — first touch, write once
+                t, e = int(r["__s"]), etype
+        if t is not None and not state.exists:
+            state.update((t, e))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "touch": out_touch,
+                    "value": out_vals,
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, event_id long, touch string, value double"
+            ),
+            stateStructType="t bigint, e string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stage_arrival_batches(
     events: DataFrame, landing: str, n_batches: int = 6
 ) -> None:

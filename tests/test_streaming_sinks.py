@@ -922,3 +922,87 @@ def test_scd2_stream_restart_and_replay_overwrite(spark, sf_dir):
         import shutil as _sh
 
         _sh.rmtree(root, ignore_errors=True)
+
+
+def test_stream_first_touch_restart_and_write_once(spark, tmp_path):
+    """First-touch attribution survives a mid-backlog restart (two
+    drains from the SAME checkpoint == one uninterrupted drain) and
+    the state is WRITE-ONCE: a later touch never displaces the first
+    one, and a purchase before any touch is 'direct' forever-after
+    the touch only for later purchases."""
+    from dfx_indicators_etl_spark import streaming
+
+    schema = (
+        "user_id bigint, event_id bigint, event_type string, "
+        "ts timestamp, value double"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        import shutil as sh
+
+        stage = tmp_path / "stage" / name
+        spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, event_type string, "
+            "ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        sh.copy(part, src / f"{name}.parquet")
+
+    write_file("f1", [
+        (1, 10, "purchase", "2024-01-01 09:00:00", 2.0),  # -> direct (no touch yet)
+        (1, 11, "click", "2024-01-01 10:00:00", 0.0),     # FIRST touch
+        (1, 12, "purchase", "2024-01-01 10:30:00", 5.0),  # -> click
+        (2, 20, "purchase", "2024-01-01 12:00:00", 7.0),  # -> direct
+    ])
+
+    def drain(out, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(src))
+        )
+        q = (
+            streaming.stream_first_touch_attribution(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "drain timed out"
+        q.stop()
+
+    drain("out", "ckpt")
+    write_file("f2", [
+        (1, 13, "view", "2024-01-02 13:00:00", 0.0),      # later touch: ignored
+        (1, 14, "purchase", "2024-01-02 13:30:00", 9.0),  # -> click (STILL)
+        (2, 21, "view", "2024-01-02 08:00:00", 0.0),
+        (2, 22, "purchase", "2024-01-09 09:30:00", 3.0),  # -> view (no expiry)
+    ])
+    drain("out", "ckpt")  # SAME checkpoint: resumes, processes only f2
+
+    expect = {
+        10: ("direct", 2.0),
+        12: ("click", 5.0),
+        14: ("click", 9.0),
+        20: ("direct", 7.0),
+        22: ("view", 3.0),
+    }
+    got = {
+        r["event_id"]: (r["touch"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expect
+    drain("out_oneshot", "ckpt_oneshot")
+    oneshot = {
+        r["event_id"]: (r["touch"], r["value"])
+        for r in spark.read.parquet(str(tmp_path / "out_oneshot")).collect()
+    }
+    assert oneshot == expect

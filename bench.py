@@ -260,6 +260,19 @@ HEADLINE = (
     "ind_locf_fill",
     "q_mode_category",
     "q_user_stickiness",
+    # round 11, second session
+    "q_hhi",
+    "q_streaks",
+    "q_lorenz",
+    "q_calendar_spine",
+    "text_vocab_stats",
+    "emb_dim_stats",
+    "q_first_touch",
+    "q_json_props",
+    "sample_entity_split",
+    "q_funnel_paths",
+    "emb_outlier_dist",
+    "stream_first_touch",
 )
 
 
@@ -276,6 +289,17 @@ HEADLINE = (
 # regression. The workload below is FROZEN BY CONTRACT: changing it
 # (or ANCHOR_BASELINE_S) resets the baseline and must re-measure.
 ANCHOR_BASELINE_S = 2.13  # idle-host min-of-3, round 11
+
+# Second, SCAN-bound anchor (round-12 queue #4, shipped early): a
+# frozen full-column parquet scan of the sf0.1 lineitem (path pinned
+# regardless of SPARK_GRAFT_SF_DIR so the workload never varies) —
+# decode every column, minimal arithmetic. The CPU anchor and this
+# one dissociate I/O drift from CPU drift: if a round's parquet-heavy
+# keys regress while the CPU anchor is flat, compare against
+# scan_drift_factor before blaming a plan. Same reset rule: touching
+# this workload or the baseline requires re-measuring idle-host
+# min-of-3.
+SCAN_ANCHOR_BASELINE_S = 0.63  # idle-host min-of-3, round 11 (2nd session)
 
 
 def _anchor_seconds(spark) -> float:
@@ -301,6 +325,27 @@ def _anchor_seconds(spark) -> float:
 
     run(1_000_000)  # codegen warm
     return round(min(run(400_000_000) for _ in range(3)), 3)
+
+
+def _scan_anchor_seconds(spark) -> float:
+    import pyspark.sql.functions as F
+
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    df = spark.read.parquet(path)
+    aggs = [
+        F.sum(F.col(f.name))
+        if f.dataType.typeName() in ("double", "long", "integer", "bigint")
+        else F.max(F.col(f.name))
+        for f in df.schema.fields
+    ]
+
+    def run() -> float:
+        t0 = time.time()
+        spark.read.parquet(path).agg(*aggs).collect()
+        return time.time() - t0
+
+    run()  # warm codegen + page cache so min-of-3 measures decode I/O
+    return round(min(run() for _ in range(3)), 3)
 
 
 def main() -> None:
@@ -352,6 +397,7 @@ def main() -> None:
             spark.catalog.clearCache()
 
     anchor_s = _anchor_seconds(spark)
+    scan_anchor_s = _scan_anchor_seconds(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_wall",
@@ -363,6 +409,11 @@ def main() -> None:
             "wall_s": anchor_s,
             "baseline_s": ANCHOR_BASELINE_S,
             "drift_factor": round(anchor_s / ANCHOR_BASELINE_S, 3),
+            "scan_wall_s": scan_anchor_s,
+            "scan_baseline_s": SCAN_ANCHOR_BASELINE_S,
+            "scan_drift_factor": round(
+                scan_anchor_s / SCAN_ANCHOR_BASELINE_S, 3
+            ),
         },
     }
     if errors:

@@ -17,12 +17,13 @@ from . import streaming_queries  # noqa: E402,F401
 # first — the verdict flagged that the committed r10 queue named only
 # 10 of them (q12_priority_class and stream_incremental_sink also sit
 # at r6); (b) keys NEW in round 11, appended as they land so they
-# never join the unstamped backlog; (c) the 42-key r7-evidence cohort
-# ordered highest-signal-first (dedup family, ANN trio, streaming
-# state, the text LM keys) — the last 8 (q17–q21 TPC-H block,
-# ind_rebase_index, ind_series_export, sink_compact_roundtrip: the
-# most-stable pure-relational shapes and a round-trip) absorb the
-# overflow past the 50-key boundary and lead the r12 queue.
+# never join the unstamped backlog — the second-session additions
+# grew this block to 19, pushing more of (c) past the boundary; (c)
+# the 42-key r7-evidence cohort ordered highest-signal-first (dedup
+# family, ANN trio, streaming state, the text LM keys) — everything
+# past the 50-key boundary overflows to the r12 queue (the overflow
+# now reaches back into the text-LM/indicator block, still the
+# most-stable shapes).
 _DRIVER_WINDOW_PRIORITY = [
     # (a) the full 12-key r6-evidence cohort
     "emb_pca",
@@ -77,6 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_bigram_logprob",
     "text_entropy",
     "text_pmi_bigrams",
+    # --- 50-key boundary (after the second-session additions):
+    # everything below overflows to r12 ---
     "q_event_transitions",
     "q_histogram",
     "q_incremental_agg",
@@ -89,7 +92,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_panel_balance",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    # --- 50-key boundary: everything below overflows to r12 ---
     "q15_top_supplier",
     "q16_supplier_count",
     "sample_priority",

@@ -273,6 +273,7 @@ HEADLINE = (
     "q_funnel_paths",
     "emb_outlier_dist",
     "stream_first_touch",
+    "ind_splice",
 )
 
 

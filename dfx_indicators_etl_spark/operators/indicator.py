@@ -513,3 +513,69 @@ def scd2_intervals(
         F.col("__next").alias("valid_to"),
         F.col("__next").isNull().alias("is_current"),
     )
+
+
+def splice_series(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    year_col: str = "year",
+    val_col: str = "sv",
+) -> DataFrame:
+    """Ratio-link two vintages of a panel into one continuous series —
+    the statistical-agency SPLICE (a methodology revision re-bases a
+    series; history before the revision is rescaled by the overlap
+    ratio so levels stay comparable; cf. the reference's vintage
+    handling in its versioned storage, dfx_etl/storage.py).
+
+    Per series key: ``ratio = Σnew / Σold`` over the OVERLAP years
+    (both sums exact decimals, the quotient composed once as a
+    double); output takes the new vintage where it exists and
+    ``old × ratio`` elsewhere, labeled by ``source``. Series with no
+    overlap (or a zero old-overlap sum) are dropped — there is no
+    defensible link factor, and silently passing unscaled history
+    through would be a correctness bug, not a convenience.
+
+    Scale shape: the two vintage panels are year-grain aggregates
+    (combinable, far below fact size); the per-series ratio is one
+    more combinable aggregate at series cardinality, broadcast back
+    onto the union frame. Zero windows.
+    """
+    keys = list(key_cols)
+    o = old.select(*keys, year_col, F.col(val_col).alias("__so"))
+    n = new.select(*keys, year_col, F.col(val_col).alias("__sn"))
+    both = o.join(n, [*keys, year_col], "full_outer")
+    overlap = both.filter(
+        F.col("__so").isNotNull() & F.col("__sn").isNotNull()
+    )
+    ratio = (
+        overlap.groupBy(*keys)
+        .agg(
+            F.sum("__sn").alias("__rn"),
+            F.sum("__so").alias("__rd"),
+        )
+        .filter(F.col("__rd") != 0)
+        .select(
+            *keys,
+            (
+                F.col("__rn").cast("double") / F.col("__rd").cast("double")
+            ).alias("__ratio"),
+        )
+    )
+    return (
+        both.join(F.broadcast(ratio), keys)
+        .select(
+            *keys,
+            year_col,
+            F.when(
+                F.col("__sn").isNotNull(), F.round(F.col("__sn").cast("double"), 6)
+            )
+            .otherwise(
+                F.round(F.col("__so").cast("double") * F.col("__ratio"), 6)
+            )
+            .alias("spliced"),
+            F.when(F.col("__sn").isNotNull(), F.lit("new"))
+            .otherwise(F.lit("rescaled_old"))
+            .alias("source"),
+        )
+    )

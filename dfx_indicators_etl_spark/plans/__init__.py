@@ -58,6 +58,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_funnel_paths",
     "emb_outlier_dist",
     "stream_first_touch",
+    "ind_splice",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -1663,3 +1663,65 @@ def ind_deseasonalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("si").alias("seasonal_index"),
         F.round(F.col("day_mean") / F.col("si"), 6).alias("deseasonalized"),
     )
+
+
+@query(
+    "ind_splice",
+    # Splice two vintages by the overlap ratio: both vintage panels
+    # are exact-decimal yearly sums, the per-series link factor is one
+    # quotient composed from identical doubles, and the rescale is one
+    # double multiply rounded at the output (cf. reference
+    # dfx_etl/storage.py's versioned vintages).
+    oracle=f"""
+    WITH obs AS ({OBS_SQL}),
+    o AS (
+        SELECT indicator_name, country_code, year,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS so
+        FROM obs WHERE event_id % 2 = 0 GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT indicator_name, country_code, year,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS sn
+        FROM obs WHERE event_id % 2 = 1 GROUP BY 1, 2, 3
+    ),
+    b AS (
+        SELECT * FROM o
+        FULL JOIN n USING (indicator_name, country_code, year)
+    ),
+    r AS (
+        SELECT indicator_name, country_code,
+               CAST(SUM(sn) AS DOUBLE) / CAST(SUM(so) AS DOUBLE) AS ratio
+        FROM b WHERE so IS NOT NULL AND sn IS NOT NULL
+        GROUP BY 1, 2
+        HAVING SUM(so) <> 0
+    )
+    SELECT b.indicator_name, b.country_code, b.year,
+           round(CASE WHEN b.sn IS NOT NULL THEN CAST(b.sn AS DOUBLE)
+                      ELSE CAST(b.so AS DOUBLE) * r.ratio END, 6)
+               AS spliced,
+           CASE WHEN b.sn IS NOT NULL THEN 'new'
+                ELSE 'rescaled_old' END AS source
+    FROM b JOIN r USING (indicator_name, country_code)
+    """,
+)
+def ind_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage splice: ratio-link the old and new vintages of each
+    series over their overlap years so pre-revision history stays
+    level-comparable (``operators.indicator.splice_series``). Series
+    with no overlap are DROPPED, never passed through unscaled."""
+    obs = observations(spark, sf_dir)
+
+    def vintage(pred):
+        return (
+            obs.filter(pred)
+            .groupBy("indicator_name", "country_code", "year")
+            .agg(F.sum(dec("value")).cast("decimal(18,4)").alias("sv"))
+        )
+
+    return ops.splice_series(
+        vintage(F.col("event_id") % 2 == 0),
+        vintage(F.col("event_id") % 2 == 1),
+        ["indicator_name", "country_code"],
+    )

@@ -527,3 +527,30 @@ def test_emb_outlier_dist_agrees_with_numpy(spark, sf_dir):
     assert len(got) == 20
     for r in got:
         assert abs(r["dist"] - want[r["vec_id"]]) < 1e-4, r
+
+
+def test_splice_series_hand_built(spark):
+    """Ratio link: old vintage (years 1-3, values 10,20,30) overlaps
+    new (years 2-4, values 40,80,100) on years 2-3 → ratio =
+    (40+80)/(20+30) = 2.4; year 1 rescales to 24, years 2-4 pass
+    through; a series with no overlap is dropped."""
+    from dfx_indicators_etl_spark.operators.indicator import splice_series
+
+    old = spark.createDataFrame(
+        [("a", "US", 1, 10.0), ("a", "US", 2, 20.0), ("a", "US", 3, 30.0),
+         ("b", "US", 1, 5.0)],  # no overlap with new
+        "ind string, cc string, year int, sv double",
+    )
+    new = spark.createDataFrame(
+        [("a", "US", 2, 40.0), ("a", "US", 3, 80.0), ("a", "US", 4, 100.0),
+         ("b", "US", 9, 7.0)],
+        "ind string, cc string, year int, sv double",
+    )
+    out = {
+        (r["ind"], r["year"]): (r["spliced"], r["source"])
+        for r in splice_series(old, new, ["ind", "cc"]).collect()
+    }
+    assert out[("a", 1)] == (24.0, "rescaled_old")
+    assert out[("a", 2)] == (40.0, "new")
+    assert out[("a", 4)] == (100.0, "new")
+    assert not any(k[0] == "b" for k in out)

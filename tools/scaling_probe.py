@@ -193,6 +193,9 @@ PROBES = {
     # and centroid-distance outliers (d×labels broadcast + TakeOrdered)
     "q_funnel_paths": ("events",),
     "emb_outlier_dist": ("embeddings",),
+    # vintage splice: two year-grain combinable panels + a
+    # series-cardinality ratio broadcast; zero windows
+    "ind_splice": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

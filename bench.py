@@ -274,6 +274,7 @@ HEADLINE = (
     "emb_outlier_dist",
     "stream_first_touch",
     "ind_splice",
+    "q_order_gaps",
 )
 
 

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "emb_outlier_dist",
     "stream_first_touch",
     "ind_splice",
+    "q_order_gaps",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

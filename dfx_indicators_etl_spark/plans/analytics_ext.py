@@ -4008,3 +4008,68 @@ def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+@query(
+    "q_order_gaps",
+    # Purchase-cadence stats: per customer, the day-gaps between
+    # consecutive orders (lag), folded to count/avg/max. Gaps are
+    # exact integer day differences; the mean rides the
+    # sum(decimal)/count convention.
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ),
+    g AS (
+        SELECT o_custkey, date_diff('day', prev, d) AS gap
+        FROM seq WHERE prev IS NOT NULL
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(CAST(SUM(CAST(gap AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(gap), 6) AS avg_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (purchase cadence — the
+    re-engagement/churn-risk signal): day gaps between consecutive
+    orders, folded to count / mean / max.
+
+    The lag rides ``operators.scale.grouped_lag`` runtime-adaptively
+    (a plain per-customer window at window-sized inputs, the 1-row
+    boundary-handoff algebra above the threshold — a hot account's
+    order stream never becomes one task's sort), then one combinable
+    aggregate; gaps are exact integer day diffs and the mean composes
+    once on the sum(decimal)/count convention.
+    """
+    from ..operators.scale import grouped_lag
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    seq = grouped_lag(
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderkey",
+        ),
+        ["o_custkey"],
+        "d",
+        [F.col("d"), F.col("o_orderkey")],
+        "__prev",
+    )
+    g = seq.filter(F.col("__prev").isNotNull()).select(
+        "o_custkey", F.datediff(F.col("d"), F.col("__prev")).alias("gap")
+    )
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum(dec("gap")).cast("double") / F.count("gap"), 6
+        ).alias("avg_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )

@@ -554,3 +554,41 @@ def test_splice_series_hand_built(spark):
     assert out[("a", 2)] == (40.0, "new")
     assert out[("a", 4)] == (100.0, "new")
     assert not any(k[0] == "b" for k in out)
+
+
+def test_order_gaps_both_paths_identical(spark, sf_dir):
+    """q_order_gaps' lag pinned bit-identical whether it ran the
+    per-customer window or the boundary-handoff algebra (grouped_lag
+    threshold forced to 0), including a hot-customer shape."""
+    from dfx_indicators_etl_spark.operators.scale import grouped_lag
+    from dfx_indicators_etl_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    hot = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 20 == 0, F.col("o_custkey")).otherwise(
+            F.lit(7)
+        ),
+    )
+    for frame in [orders, hot]:
+        kw = dict(
+            group_cols=["o_custkey"],
+            value_col="d",
+            order_by=[F.col("d"), F.col("o_orderkey")],
+            out_col="__prev",
+        )
+        small = sorted(
+            map(tuple, grouped_lag(frame, **kw).collect()), key=repr
+        )
+        large = sorted(
+            map(
+                tuple,
+                grouped_lag(frame, small_rows_threshold=0, **kw).collect(),
+            ),
+            key=repr,
+        )
+        assert small == large and len(small) > 0

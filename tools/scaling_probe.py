@@ -196,6 +196,8 @@ PROBES = {
     # vintage splice: two year-grain combinable panels + a
     # series-cardinality ratio broadcast; zero windows
     "ind_splice": ("events",),
+    # purchase cadence: adaptive grouped_lag + one combinable agg
+    "q_order_gaps": ("orders",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -275,6 +275,8 @@ HEADLINE = (
     "stream_first_touch",
     "ind_splice",
     "q_order_gaps",
+    "dedup_templates",
+    "q_new_vs_returning",
 )
 
 

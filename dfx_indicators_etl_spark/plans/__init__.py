@@ -60,6 +60,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_first_touch",
     "ind_splice",
     "q_order_gaps",
+    "dedup_templates",
+    "q_new_vs_returning",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

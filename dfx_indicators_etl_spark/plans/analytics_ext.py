@@ -4073,3 +4073,53 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_gap_days"),
         F.max("gap").cast("bigint").alias("max_gap_days"),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    # Growth split: per day, actives partition into NEW (first-ever
+    # day) vs RETURNING — two first-occurrence aggregates, no window.
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+    )
+    SELECT d.day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users,
+           round(CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS returning_share
+    FROM d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active-user split (the growth-accounting
+    daily face): each active day of each user labels as the user's
+    first-ever day or a return visit.
+
+    The fact collapses to DISTINCT (user, day) once; first days are a
+    min-aggregate over that frame (map-side combinable); the label is
+    a join back on user_id (self-equi-join of a user-grain frame, both
+    sides co-partition on the key) and one grouped fold. Zero windows;
+    counts exact, the share composed once.
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = d.join(firsts, "user_id")
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    is_ret = (F.col("day") > F.col("first_day")).cast("int")
+    return j.groupBy("day").agg(
+        F.sum(is_new).cast("bigint").alias("new_users"),
+        F.sum(is_ret).cast("bigint").alias("returning_users"),
+        F.round(
+            F.sum(is_ret).cast("double") / F.count(F.lit(1)), 6
+        ).alias("returning_share"),
+    )

@@ -3209,3 +3209,68 @@ def emb_outlier_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+@query(
+    "dedup_templates",
+    # Skeleton dedup: normalize volatile spans (digit runs -> 0), then
+    # reduce each document to its SORTED DISTINCT token set — a
+    # word-order- and multiplicity-invariant skeleton that catches
+    # shuffled/re-ordered boilerplate exact dedup misses and MinHash
+    # only finds after paying shingling. Same groupBy shape as
+    # dedup_exact (sha of the skeleton, min-id survivor).
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               sha256(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(
+                       regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+                       ' '), x -> x <> ''))), ' ')) AS skel_hash,
+               sha256(text) AS text_hash
+        FROM documents
+    )
+    SELECT skel_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text_hash) AS BIGINT) AS n_variants
+    FROM t GROUP BY skel_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-skeleton dedup: digit runs collapse to ``0`` and each
+    document reduces to its sorted distinct token set, so copies that
+    differ only in IDs/counters OR in word order/repetition share one
+    skeleton — the machine-generated-boilerplate catcher between
+    exact dedup (misses both) and MinHash (finds them, but pays
+    shingle explosion for what one narrow normalize decides).
+
+    One narrow codegen pass (split -> filter -> distinct -> sort ->
+    join -> sha2) + the dedup_exact groupBy shape (min-id survivor,
+    distinct-variant count); emits only skeletons with >1 document.
+    Map-side combinable end to end.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "0"), " "
+        ),
+        lambda x: x != "",
+    )
+    skel = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256
+    )
+    t = docs.select(
+        "doc_id",
+        skel.alias("skel_hash"),
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+    )
+    return (
+        t.groupBy("skel_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("text_hash").cast("bigint").alias("n_variants"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

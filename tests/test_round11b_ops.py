@@ -592,3 +592,48 @@ def test_order_gaps_both_paths_identical(spark, sf_dir):
             key=repr,
         )
         assert small == large and len(small) > 0
+
+
+def test_dedup_templates_catches_shuffle_and_digits(spark, tmp_path):
+    """Docs differing only in word order or digit runs share one
+    skeleton; a genuinely different doc does not."""
+    from dfx_indicators_etl_spark.plans.llmdata import dedup_templates
+
+    rows = [
+        (1, "order 123 shipped to alice", "en", "a", 0),
+        (2, "order 999 shipped to alice", "en", "a", 0),   # digits differ
+        (3, "shipped to alice order 456", "en", "a", 0),   # shuffled
+        (4, "a completely different text", "en", "a", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = dedup_templates(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["keep_doc_id"] == 1 and r["n_docs"] == 3 and r["n_variants"] == 3
+
+
+def test_new_vs_returning_conserves_actives(spark, sf_dir):
+    """new + returning per day == distinct actives per day, and the
+    global sum of new_users == total distinct users."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_new_vs_returning
+    from dfx_indicators_etl_spark.sources import read_table
+
+    out = q_new_vs_returning(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    actives = {
+        r["day"]: r["n"]
+        for r in ev.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r["new_users"] + r["returning_users"] == actives[r["day"]]
+    assert sum(r["new_users"] for r in out) == ev.select("user_id").distinct().count()

@@ -198,6 +198,11 @@ PROBES = {
     "ind_splice": ("events",),
     # purchase cadence: adaptive grouped_lag + one combinable agg
     "q_order_gaps": ("orders",),
+    # skeleton dedup: one narrow normalize + sha groupBy (the
+    # dedup_exact shape); new-vs-returning: two first-occurrence
+    # aggregates + a user-grain co-partitioned self-join
+    "dedup_templates": ("documents",),
+    "q_new_vs_returning": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

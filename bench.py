@@ -277,6 +277,8 @@ HEADLINE = (
     "q_order_gaps",
     "dedup_templates",
     "q_new_vs_returning",
+    "q_peak_concurrency",
+    "q_cohort_ltv",
 )
 
 

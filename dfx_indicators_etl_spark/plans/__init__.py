@@ -62,6 +62,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_order_gaps",
     "dedup_templates",
     "q_new_vs_returning",
+    "q_peak_concurrency",
+    "q_cohort_ltv",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

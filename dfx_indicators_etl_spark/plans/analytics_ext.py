@@ -4123,3 +4123,176 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_ret).cast("double") / F.count(F.lit(1)), 6
         ).alias("returning_share"),
     )
+
+
+@query(
+    "q_peak_concurrency",
+    # Sweep line: each session interval contributes (+1 at start, -1
+    # at end); the running sum over the time-ordered deltas IS the
+    # concurrency curve, and its max the peak. Intervals are
+    # 30-minute windows after each event's second (deterministic,
+    # engine-portable seconds arithmetic). The running sum rides
+    # operators.scale.global_running_sum — the sweep is event-scale,
+    # exactly the class the offsets algebra exists for.
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s
+        FROM events
+    ),
+    pts AS (
+        SELECT s AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT s + 1800 AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+        SELECT t, delta,
+               SUM(delta) OVER (
+                   ORDER BY t, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM pts
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+           CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run)
+                         THEN t END) AS BIGINT) AS first_peak_s
+    FROM run
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over session intervals (capacity planning's
+    first question): every event opens a 30-minute presence window;
+    the sweep-line running sum of +1/−1 deltas is the concurrency
+    curve and its max the peak (with the first time it is reached).
+
+    The deltas frame is 2× events and the running sum rides
+    ``operators.scale.global_running_sum`` — a plain window at
+    window-sized inputs, the range-partition + control-plane-offsets
+    two-phase above the threshold, so the global time sort never
+    funnels through one task. Ends sort BEFORE starts at the same
+    instant via (t, delta, event_id) — a half-open [s, s+1800)
+    interval convention shared with the oracle.
+    """
+    from ..operators.scale import global_running_sum
+
+    (events,) = read_tables(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    s = (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("s")
+    iv = events.select("event_id", s)
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            (F.col("s") + 1800).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    run = global_running_sum(
+        pts,
+        "delta",
+        [F.col("t"), F.col("delta"), F.col("event_id")],
+        "conc",
+    )
+    peak = run.agg(F.max("conc").alias("__p"))
+    return (
+        run.crossJoin(F.broadcast(peak))  # 1-row scalar broadcast
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_concurrency"),
+            F.min(
+                F.when(F.col("conc") == F.col("__p"), F.col("t"))
+            )
+            .cast("bigint")
+            .alias("first_peak_s"),
+        )
+    )
+
+
+@query(
+    "q_cohort_ltv",
+    # LTV curves: cumulative revenue per signup-cohort month over
+    # cohort age — the revenue companion of q_retention_cohort's
+    # active counts. Cohort and age are calendar-grain, so the
+    # cumulative window runs over ≤ span² calendar cells; revenue
+    # stays exact decimal until the final output.
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort,
+               (EXTRACT(year FROM o.o_orderdate) * 12
+                + EXTRACT(month FROM o.o_orderdate))
+               - (EXTRACT(year FROM f.cohort) * 12
+                  + EXTRACT(month FROM f.cohort)) AS age_months,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS r,
+               COUNT(DISTINCT o.o_custkey) AS active_customers
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    ),
+    size_ AS (
+        SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    )
+    SELECT r.cohort, CAST(r.age_months AS INT) AS age_months,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(r.active_customers AS BIGINT) AS active_customers,
+           round(CAST(SUM(r.r) OVER (
+                     PARTITION BY r.cohort ORDER BY r.age_months
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / s.cohort_size, 6) AS cum_ltv_per_customer
+    FROM rev r JOIN size_ s ON r.cohort = s.cohort
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: for each signup-month cohort, cumulative
+    revenue per customer by cohort age — the revenue companion of
+    q_retention_cohort's activity counts (the "when does a cohort pay
+    back" view).
+
+    One shuffle reduces orders to customer first-months, a second to
+    (cohort, age) cells with exact decimal revenue; the cumulative
+    window is per-cohort over AGE — both calendar-grain, so the frame
+    is span²-bounded regardless of fact volume (the
+    q_cumulative_distinct argument); cohort sizes broadcast back and
+    the per-customer quotient composes once.
+    """
+    from pyspark.sql import Window
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    j = orders.join(firsts, "o_custkey")
+    rev = j.groupBy(
+        "cohort",
+        (
+            month_idx
+            - (F.year("cohort") * 12 + F.month("cohort"))
+        ).alias("age_months"),
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("r"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    size = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = rev.join(F.broadcast(size), "cohort")
+    return out.select(
+        "cohort",
+        F.col("age_months").cast("int").alias("age_months"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.col("active_customers").cast("bigint").alias("active_customers"),
+        F.round(
+            F.sum("r").over(w).cast("double") / F.col("cohort_size"), 6
+        ).alias("cum_ltv_per_customer"),
+    )

@@ -413,6 +413,7 @@ ADAPTIVE_EXACT = {
     "q_ks_drift": "operators.scale.global_running_sum",
     "q_gains_lift": "operators.scale.global_ntile",
     "q_lorenz": "operators.scale.global_ntile",
+    "q_peak_concurrency": "operators.scale.global_running_sum",
 }
 
 # key -> why the windowed frame cannot grow with data volume.

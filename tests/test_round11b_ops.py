@@ -637,3 +637,32 @@ def test_new_vs_returning_conserves_actives(spark, sf_dir):
     for r in out:
         assert r["new_users"] + r["returning_users"] == actives[r["day"]]
     assert sum(r["new_users"] for r in out) == ev.select("user_id").distinct().count()
+
+
+def test_peak_concurrency_hand_built(spark, tmp_path):
+    """Three overlapping 30-min windows peak at 3; a disjoint later
+    one doesn't raise it; half-open ends free a slot exactly at
+    start+1800."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_peak_concurrency
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0, ""),
+        (2, base + dt.timedelta(minutes=10), 2, "click", 1.0, ""),
+        (3, base + dt.timedelta(minutes=20), 3, "click", 1.0, ""),
+        # starts exactly when event 1's window ends: must NOT make 4
+        (4, base + dt.timedelta(minutes=30), 4, "click", 1.0, ""),
+        (5, base + dt.timedelta(hours=5), 5, "click", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    r = q_peak_concurrency(spark, str(tmp_path)).collect()[0]
+    assert r["peak_concurrency"] == 3
+    # first reached when event 3 starts: 12:20 = 44400s after origin
+    assert r["first_peak_s"] == (11 * 3600 + 60 * 20) + 3600  # 12:20:00

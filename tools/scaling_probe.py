@@ -203,6 +203,11 @@ PROBES = {
     # aggregates + a user-grain co-partitioned self-join
     "dedup_templates": ("documents",),
     "q_new_vs_returning": ("events",),
+    # sweep line at 2x events through global_running_sum's adaptive
+    # route; cohort LTV is two combinable reductions + a
+    # calendar-bounded per-cohort window
+    "q_peak_concurrency": ("events",),
+    "q_cohort_ltv": ("orders",),
 }
 
 # per-table key columns to offset per replica — join keys offset

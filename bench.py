@@ -279,6 +279,8 @@ HEADLINE = (
     "q_new_vs_returning",
     "q_peak_concurrency",
     "q_cohort_ltv",
+    "text_vocab_coverage",
+    "ind_ytd",
 )
 
 

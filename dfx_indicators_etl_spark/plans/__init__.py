@@ -64,6 +64,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_new_vs_returning",
     "q_peak_concurrency",
     "q_cohort_ltv",
+    "text_vocab_coverage",
+    "ind_ytd",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -1725,3 +1725,76 @@ def ind_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         vintage(F.col("event_id") % 2 == 1),
         ["indicator_name", "country_code"],
     )
+
+
+@query(
+    "ind_ytd",
+    # Year-to-date cumulative per series: the BI staple. The panel is
+    # (indicator, country, year)-grain with a DAY refinement derived
+    # from the observation stream; here the YTD frame is per
+    # (series, year) over months — calendar-bounded per group by
+    # construction.
+    oracle=f"""
+    WITH obs AS ({OBS_SQL}),
+    monthly AS (
+        SELECT indicator_name, country_code, year,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('month',
+                         TIMESTAMP '2024-01-01' + INTERVAL (event_id % 330) DAY)
+                         AS DATE)) AS BIGINT) AS m_key,
+               SUM(CAST(value AS DECIMAL(18,4))) AS mv
+        FROM obs
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT indicator_name, country_code, year, m_key,
+           CAST(mv AS DOUBLE) AS month_value,
+           CAST(SUM(mv) OVER (
+               PARTITION BY indicator_name, country_code, year
+               ORDER BY m_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS ytd_value
+    FROM monthly
+    """,
+)
+def ind_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-to-date cumulative per series (the BI running-total
+    staple): monthly sums per (indicator, country, year) folded into
+    a YTD curve.
+
+    A sub-year month key derives deterministically from the
+    observation stream (the panel's native grain is yearly); the
+    cumulative window is per (series, year) over MONTHS — ≤12 rows
+    per frame by construction, the strongest boundedness in the
+    registry. Monthly sums stay exact decimal; both output columns
+    cast once.
+    """
+    from pyspark.sql import Window
+
+    obs = observations(spark, sf_dir)
+    m_key = F.datediff(
+        F.date_trunc(
+            "month",
+            F.lit("2024-01-01").cast("date")
+            + (F.col("event_id") % 330).cast("int"),
+        ).cast("date"),
+        F.lit("1970-01-01").cast("date"),
+    ).cast("bigint")
+    monthly = obs.groupBy(
+        "indicator_name",
+        "country_code",
+        "year",
+        m_key.alias("m_key"),
+    ).agg(F.sum(dec("value")).alias("mv"))
+    w = (
+        Window.partitionBy("indicator_name", "country_code", "year")
+        .orderBy("m_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "indicator_name",
+        "country_code",
+        "year",
+        "m_key",
+        F.col("mv").cast("double").alias("month_value"),
+        F.sum("mv").over(w).cast("double").alias("ytd_value"),
+    )

@@ -3274,3 +3274,73 @@ def dedup_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_vocab_coverage",
+    # Tokenizer sizing: what share of all corpus TOKENS the top-K
+    # vocabulary covers, for K in {10, 100, 1000}. Each top-K sum is
+    # a TakeOrdered over the vocab-sized count frame (never a global
+    # rank window); the scalar total broadcasts; shares compose once.
+    oracle="""
+    WITH words AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM counts
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT k,
+           CAST((SELECT SUM(n) FROM ranked WHERE rank <= k) AS BIGINT)
+               AS covered_tokens,
+           round(CAST((SELECT SUM(n) FROM ranked WHERE rank <= k)
+                      AS DOUBLE) / (SELECT t FROM tot), 6) AS coverage
+    FROM (VALUES (10), (100), (1000)) ks(k)
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    the top-10 / top-100 / top-1000 words cover — the
+    how-big-must-the-vocab-be diagnostic before tokenizer training
+    (flat coverage growth means a long tail BPE must handle).
+
+    One vocab-sized combinable count shuffle, then each top-K sum is
+    an ``orderBy().limit(K)`` TakeOrdered fold — no global rank
+    window ever materializes the full vocabulary in one task; the
+    token total is a 1-row broadcast scalar and the shares compose
+    once.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        )
+    ).alias("word")
+    counts = (
+        docs.select(words)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    parts = []
+    for k in (10, 100, 1000):
+        topk = (
+            counts.orderBy(F.col("n").desc(), F.col("word"))
+            .limit(k)
+            .agg(F.sum("n").alias("c"))
+            .select(F.lit(k).alias("k"), "c")
+        )
+        parts.append(topk)
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("c").cast("bigint").alias("covered_tokens"),
+        F.round(
+            F.col("c").cast("double") / F.col("t").cast("double"), 6
+        ).alias("coverage"),
+    )

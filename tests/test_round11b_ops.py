@@ -666,3 +666,29 @@ def test_peak_concurrency_hand_built(spark, tmp_path):
     assert r["peak_concurrency"] == 3
     # first reached when event 3 starts: 12:20 = 44400s after origin
     assert r["first_peak_s"] == (11 * 3600 + 60 * 20) + 3600  # 12:20:00
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from dfx_indicators_etl_spark.plans.llmdata import text_vocab_coverage
+
+    rows = {r["k"]: r for r in text_vocab_coverage(spark, sf_dir).collect()}
+    assert set(rows) == {10, 100, 1000}
+    assert rows[10]["coverage"] <= rows[100]["coverage"] <= rows[1000]["coverage"] <= 1.0
+    assert rows[10]["covered_tokens"] > 0
+
+
+def test_ind_ytd_closes_at_year_total(spark, sf_dir):
+    """Per (series, year): the max YTD value equals the sum of the
+    months, and frames never exceed 12 rows."""
+    from dfx_indicators_etl_spark.plans.indicator_queries import ind_ytd
+
+    out = ind_ytd(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    months = defaultdict(list)
+    for r in out:
+        months[(r["indicator_name"], r["country_code"], r["year"])].append(r)
+    for key, rs in months.items():
+        assert len(rs) <= 12, key
+        rs.sort(key=lambda r: r["m_key"])
+        assert abs(rs[-1]["ytd_value"] - sum(r["month_value"] for r in rs)) < 1e-6

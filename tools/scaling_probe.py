@@ -208,6 +208,10 @@ PROBES = {
     # calendar-bounded per-cohort window
     "q_peak_concurrency": ("events",),
     "q_cohort_ltv": ("orders",),
+    # vocab coverage: vocab-sized count shuffle + three TakeOrdered
+    # folds; YTD: combinable monthly sums + <=12-row frames
+    "text_vocab_coverage": ("documents",),
+    "ind_ytd": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from dfx_indicators_etl_spark.operators.scale import (  # noqa: E402
     grouped_lag,
+    grouped_running_carry,
     grouped_running_sum,
 )
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
@@ -136,6 +137,35 @@ def main() -> None:
             "handoff_path_s": t_lh,
             "agree": lw == lh,
         }
+        # the carry monoids: conditional value (NULL-heavy — only
+        # every 7th row carries one, the as-of shape) with the
+        # exclusive frame the as-of family uses
+        sparse = df.withColumn(
+            "w", F.when(F.col("v") % 7 == 0, F.col("w"))
+        ).localCheckpoint(eager=True)
+        for kind in ("max", "last"):
+            cw, t_cw = timed(
+                lambda: fingerprint(
+                    grouped_running_carry(
+                        sparse, ["g"], "w", order, "carry", kind=kind,
+                        frame_end=-1, n_rows=n, small_rows_threshold=n + 1,
+                    )
+                )
+            )
+            co, t_co = timed(
+                lambda: fingerprint(
+                    grouped_running_carry(
+                        sparse, ["g"], "w", order, "carry", kind=kind,
+                        frame_end=-1, n_rows=n, small_rows_threshold=0,
+                    )
+                )
+            )
+            out.setdefault(f"grouped_running_carry[{kind}]", {})[n] = {
+                "window_path_s": t_cw,
+                "carry_path_s": t_co,
+                "agree": cw == co,
+            }
+        sparse.unpersist()
         df.unpersist()
     print(json.dumps(out))
 

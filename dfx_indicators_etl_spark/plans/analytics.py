@@ -600,33 +600,77 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity gap).
 
     One shuffle on user_id serves both window passes and the final
-    aggregate — the canonical scalable sessionization plan. (The
-    streaming twin is ``stream_events_windowed`` with session windows.)
+    aggregate — the canonical scalable sessionization plan, and since
+    round 11 runtime-adaptive end to end (``_sessionized``): above the
+    probed threshold the gap detection rides ``grouped_lag`` and the
+    session-id cumsum rides ``grouped_running_sum``, so a single hot
+    user's stream never becomes one window task's sort. (The
+    streaming twin is ``stream_events_windowed`` with session
+    windows.)
     """
     events = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = _sessionized(events)
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        dcount("n_events"),
+    )
+
+
+def _sessionized(events: DataFrame, window_max_rows: int = 2_000_000) -> DataFrame:
+    """Per-row session ids, runtime-adaptive on BOTH windows: the
+    gap-detection lag and the flag cumsum each route through the
+    windows-at-scale primitives (``grouped_lag`` /
+    ``grouped_running_sum``) above ``window_max_rows`` — a plain
+    two-window plan below it. The frame feeds both passes, so it is
+    counted once. Both paths pytest-pinned bit-identical including a
+    hot-user shape (tests/test_round11b_ops.py)."""
+    from ..operators.scale import grouped_lag, grouped_running_sum
+
+    n_rows = events.count()
     # Interval arithmetic is timestamp-type-agnostic (works on both
     # TIMESTAMP and TIMESTAMP_NTZ), unlike a long cast — the physical
     # type of the source files must never decide whether this plan
     # analyzes (it broke once when the testdata regenerated as NTZ).
-    flagged = events.withColumn(
-        "new_session",
-        F.when(
-            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"),
-            1,
+    gap = F.expr("INTERVAL 30 MINUTES")
+    if n_rows <= window_max_rows:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = events.withColumn(
+            "new_session",
+            F.when(F.col("ts") - F.lag("ts").over(w) > gap, 1)
+            .when(F.lag("ts").over(w).isNull(), 1)
+            .otherwise(0),
         )
-        .when(F.lag("ts").over(w).isNull(), 1)
+        w_cum = (
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return flagged.withColumn(
+            "session_id", F.sum("new_session").over(w_cum)
+        )
+    lagged = grouped_lag(
+        events,
+        ["user_id"],
+        "ts",
+        [F.col("ts"), F.col("event_id")],
+        "__prev_ts",
+        n_rows=n_rows,
+        small_rows_threshold=window_max_rows,
+    )
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(F.col("ts") - F.col("__prev_ts") > gap, 1)
+        .when(F.col("__prev_ts").isNull(), 1)
         .otherwise(0),
-    )
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
-    return sessions.groupBy("user_id").agg(
-        F.max("session_id").cast("bigint").alias("n_sessions"),
-        dcount("n_events"),
+    ).drop("__prev_ts")
+    return grouped_running_sum(
+        flagged,
+        ["user_id"],
+        "new_session",
+        [F.col("event_id")],
+        "session_id",
+        n_rows=n_rows,
+        small_rows_threshold=window_max_rows,
     )
 
 

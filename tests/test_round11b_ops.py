@@ -692,3 +692,27 @@ def test_ind_ytd_closes_at_year_total(spark, sf_dir):
         assert len(rs) <= 12, key
         rs.sort(key=lambda r: r["m_key"])
         assert abs(rs[-1]["ytd_value"] - sum(r["month_value"] for r in rs)) < 1e-6
+
+
+def test_sessionize_both_paths_identical(spark, sf_dir):
+    """q_events_sessionize's session-id assignment pinned bit-identical
+    whether both windows ran per-user or the lag+cumsum primitives,
+    including a hot-user shape."""
+    from dfx_indicators_etl_spark.plans.analytics import _sessionized
+    from dfx_indicators_etl_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    for frame in [ev, _hot_user(ev)]:
+        small = _norm(
+            _sessionized(frame)
+            .select("user_id", "event_id", "session_id")
+            .collect()
+        )
+        large = _norm(
+            _sessionized(frame, window_max_rows=0)
+            .select("user_id", "event_id", "session_id")
+            .collect()
+        )
+        assert small == large and len(small) > 0

@@ -281,6 +281,7 @@ HEADLINE = (
     "q_cohort_ltv",
     "text_vocab_coverage",
     "ind_ytd",
+    "q_rolling_wau",
 )
 
 

@@ -66,6 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_cohort_ltv",
     "text_vocab_coverage",
     "ind_ytd",
+    "q_rolling_wau",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

@@ -4296,3 +4296,66 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").over(w).cast("double") / F.col("cohort_size"), 6
         ).alias("cum_ltv_per_customer"),
     )
+
+
+@query(
+    "q_rolling_wau",
+    # Rolling 7-day active users per day. A sliding COUNT(DISTINCT)
+    # window is unsupported (and would buffer user sets per frame);
+    # the exact reformulation EXPLODES each (user, day) activity into
+    # the 7 report-days it supports, then one combinable two-phase
+    # distinct count per report-day — the q_cumulative_distinct
+    # argument, sliding. Report days clip to the observed range so
+    # every row reflects a full week of data availability.
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    contrib AS (
+        SELECT d.user_id,
+               CAST(unnest(generate_series(d.day, d.day + 6,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS report_day
+        FROM d
+    )
+    SELECT report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib, bounds
+    WHERE report_day <= bounds.hi
+    GROUP BY report_day
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU-by-day — the growth
+    dashboard's sliding reach curve).
+
+    No sliding distinct window exists (and a naive one buffers a user
+    set per frame); instead each DISTINCT (user, day) activity
+    explodes into the ≤7 report-days it supports — a bounded 7×
+    expansion of the user-day frame, NOT the fact — and one two-phase
+    distinct count per report-day finishes. All frames after the
+    first collapse are user-day-grain; the report range clips to the
+    observed max so no partial trailing days appear.
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    hi = d.agg(F.max("day").alias("hi"))
+    contrib = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(hi))  # 1-row scalar broadcast
+        .filter(F.col("report_day") <= F.col("hi"))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )

@@ -716,3 +716,26 @@ def test_sessionize_both_paths_identical(spark, sf_dir):
             .collect()
         )
         assert small == large and len(small) > 0
+
+
+def test_rolling_wau_brackets_dau_and_mau_style_bounds(spark, sf_dir):
+    """WAU(day) ≥ DAU(day) and WAU(day) ≤ distinct users overall;
+    each report day's WAU ≥ WAU contribution of that day alone."""
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_rolling_wau
+    from dfx_indicators_etl_spark.sources import read_table
+
+    out = {r["report_day"]: r["wau"] for r in q_rolling_wau(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_users = ev.select("user_id").distinct().count()
+    for day, wau in out.items():
+        assert wau <= total_users
+        if day in dau:
+            assert wau >= dau[day]

@@ -212,6 +212,9 @@ PROBES = {
     # folds; YTD: combinable monthly sums + <=12-row frames
     "text_vocab_coverage": ("documents",),
     "ind_ytd": ("events",),
+    # rolling WAU: bounded 7x explode of the user-day frame + one
+    # two-phase distinct count
+    "q_rolling_wau": ("events",),
 }
 
 # per-table key columns to offset per replica — join keys offset

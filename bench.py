@@ -282,6 +282,8 @@ HEADLINE = (
     "text_vocab_coverage",
     "ind_ytd",
     "q_rolling_wau",
+    "ind_price_index",
+    "q_discount_elasticity",
 )
 
 

@@ -67,6 +67,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_vocab_coverage",
     "ind_ytd",
     "q_rolling_wau",
+    "ind_price_index",
+    "q_discount_elasticity",
     # (c) the r7-evidence cohort, highest-signal first (34 fit)
     "dedup_clusters",
     "dedup_containment",

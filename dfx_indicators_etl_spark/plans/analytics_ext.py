@@ -4359,3 +4359,77 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+@query(
+    "q_discount_elasticity",
+    # Per-brand OLS slope of quantity on discount — does discounting
+    # move volume. All five moments are exact decimal aggregates
+    # (each product term is one double multiply re-cast to DECIMAL,
+    # identical on both engines); the slope composes once from the
+    # closed-form quotient.
+    oracle="""
+    WITH x AS (
+        SELECT p.p_brand AS brand,
+               l.l_discount AS x, l.l_quantity AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+        SELECT brand,
+               COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+               SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+               SUM(CAST(x * y AS DECIMAL(18,6))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(18,6))) AS sxx
+        FROM x GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)), 6) AS slope,
+           round(CAST(sy AS DOUBLE) / n, 6) AS avg_qty
+    FROM m
+    """,
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount elasticity of demand: the OLS slope of
+    line quantity on discount rate (does a deeper discount move
+    volume for this brand).
+
+    One broadcast part join, then FIVE combinable moments per brand —
+    n, Σx, Σy, Σxy, Σx², each product term a single double multiply
+    re-cast to exact DECIMAL so the cross-row sums are
+    order-independent — and the closed-form slope composes once.
+    Zero windows; the regression never materializes per-group vectors
+    (the forecast_trend shape, keyed by brand instead of time).
+    """
+    lineitem, part = read_tables(spark, sf_dir, "lineitem", "part")
+    x = lineitem.join(
+        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    m = x.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,6)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)")).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        "brand",
+        n.cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("sy").cast("double") / n, 6).alias("avg_qty"),
+    )

@@ -1798,3 +1798,105 @@ def ind_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mv").cast("double").alias("month_value"),
         F.sum("mv").over(w).cast("double").alias("ytd_value"),
     )
+
+
+@query(
+    "ind_price_index",
+    # Laspeyres / Paasche / Fisher price indices between consecutive
+    # shipment years, the statistical-agency compilation the
+    # reference's indicator domain publishes. Unit values compose as
+    # rev/qty quotients of exact decimal sums (identical doubles both
+    # engines); each basket TERM (p·q) re-casts to DECIMAL before the
+    # basket Σ so the cross-part sum is order-independent; the three
+    # index quotients and the Fisher sqrt compose once at the output.
+    oracle="""
+    WITH py AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS p
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT b.yr AS base_year, c.yr AS comp_year,
+               SUM(CAST(c.p * b.q AS DECIMAL(18,6))) AS l_num,
+               SUM(CAST(b.p * b.q AS DECIMAL(18,6))) AS l_den,
+               SUM(CAST(c.p * c.q AS DECIMAL(18,6))) AS p_num,
+               SUM(CAST(b.p * c.q AS DECIMAL(18,6))) AS p_den,
+               COUNT(*) AS n_parts
+        FROM py b JOIN py c
+          ON b.l_partkey = c.l_partkey AND c.yr = b.yr + 1
+        GROUP BY 1, 2
+    )
+    SELECT CAST(base_year AS INT) AS base_year,
+           CAST(comp_year AS INT) AS comp_year,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+               AS laspeyres,
+           round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+               AS paasche,
+           round(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                      * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))),
+                 6) AS fisher
+    FROM pairs
+    """,
+)
+def ind_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices between
+    consecutive shipment years — the price-statistics compilation at
+    the heart of the reference's indicator domain (base-weighted,
+    current-weighted, and their geometric mean).
+
+    Per (part, year) unit values reduce once (combinable exact-decimal
+    sums; the rev/qty quotient composes from identical doubles);
+    consecutive years match per part with one self-equi-join
+    co-partitioned on partkey; each basket term re-casts to DECIMAL
+    before the cross-part Σ so basket totals are order-independent;
+    the index quotients and the IEEE-exact sqrt compose once.
+    """
+    from ..sources import read_tables as _rts
+
+    (lineitem,) = _rts(spark, sf_dir, "lineitem")
+    py = lineitem.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("q"),
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("p"),
+    )
+    b = py.alias("b")
+    c = py.alias("c")
+    pairs = (
+        b.join(
+            c,
+            (F.col("b.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("c.yr") == F.col("b.yr") + 1),
+        )
+        .groupBy(
+            F.col("b.yr").alias("base_year"),
+            F.col("c.yr").alias("comp_year"),
+        )
+        .agg(
+            F.sum((F.col("c.p") * F.col("b.q")).cast("decimal(18,6)")).alias("l_num"),
+            F.sum((F.col("b.p") * F.col("b.q")).cast("decimal(18,6)")).alias("l_den"),
+            F.sum((F.col("c.p") * F.col("c.q")).cast("decimal(18,6)")).alias("p_num"),
+            F.sum((F.col("b.p") * F.col("c.q")).cast("decimal(18,6)")).alias("p_den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        )
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return pairs.select(
+        F.col("base_year").cast("int").alias("base_year"),
+        F.col("comp_year").cast("int").alias("comp_year"),
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -739,3 +739,66 @@ def test_rolling_wau_brackets_dau_and_mau_style_bounds(spark, sf_dir):
         assert wau <= total_users
         if day in dau:
             assert wau >= dau[day]
+
+
+def test_price_index_identity_on_flat_prices(spark, tmp_path):
+    """If unit prices are identical across years, all three indices
+    pin exactly 1.0 regardless of quantity shifts."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.plans.indicator_queries import ind_price_index
+
+    rows = []
+    ln = 0
+    for part in (1, 2):
+        for yr, qty in [(1994, 10.0), (1995, 25.0)]:
+            ln += 1
+            rows.append(
+                (ln, part, 1, 1, qty, qty * 5.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(yr, 6, 1))
+            )
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = ind_price_index(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["base_year"], r["comp_year"], r["n_parts"]) == (1994, 1995, 2)
+    for c in ("laspeyres", "paasche", "fisher"):
+        assert abs(r[c] - 1.0) < 1e-9, c
+
+
+def test_discount_elasticity_recovers_planted_slope(spark, tmp_path):
+    """A brand with quantity = 100 + 50·discount recovers slope 50."""
+    import datetime as dt
+
+    from dfx_indicators_etl_spark.plans.analytics_ext import q_discount_elasticity
+
+    rows, ln = [], 0
+    for d in (0.00, 0.02, 0.04, 0.06, 0.08, 0.10):
+        ln += 1
+        qty = 100.0 + 50.0 * d
+        rows.append((ln, 1, 1, 1, qty, qty * 3.0, d, 0.0, "N", "O",
+                     dt.datetime(1995, 1, 1)))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "widget", "BrandA", "t", 1, 3.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    part.write.parquet(f"{tmp_path}/part.parquet")
+    r = q_discount_elasticity(spark, str(tmp_path)).collect()[0]
+    assert r["brand"] == "BrandA" and r["n_lines"] == 6
+    assert abs(r["slope"] - 50.0) < 1e-6

@@ -215,6 +215,10 @@ PROBES = {
     # rolling WAU: bounded 7x explode of the user-day frame + one
     # two-phase distinct count
     "q_rolling_wau": ("events",),
+    # price indices: part-year unit-value reduce + a partkey
+    # co-partitioned self-join; elasticity: five combinable moments
+    "ind_price_index": ("lineitem",),
+    "q_discount_elasticity": ("lineitem",),
 }
 
 # per-table key columns to offset per replica — join keys offset

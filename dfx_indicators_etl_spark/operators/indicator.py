@@ -544,7 +544,9 @@ def splice_series(
     keys = list(key_cols)
     o = old.select(*keys, year_col, F.col(val_col).alias("__so"))
     n = new.select(*keys, year_col, F.col(val_col).alias("__sn"))
-    both = o.join(n, [*keys, year_col], "full_outer")
+    both = o.join(n, [*keys, year_col], "full_outer").localCheckpoint(
+        eager=False
+    )  # feeds the overlap/ratio branch AND the final select (§4)
     overlap = both.filter(
         F.col("__so").isNotNull() & F.col("__sn").isNotNull()
     )

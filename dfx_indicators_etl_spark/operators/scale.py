@@ -790,12 +790,19 @@ def grouped_running_carry(
             if carry is not None:
                 offset_rows.append((pid, *key, carry))
             if p is not None:
-                if carry is None or kind == "last":
+                if carry is None:
                     carry = p
+                elif kind == "last":
+                    carry = p  # later slice wins
                 elif kind == "max":
                     carry = max(carry, p)
-                else:
+                elif kind == "min":
                     carry = min(carry, p)
+                # kind == "first": carry is write-once — the earliest
+                # slice's first non-null stands; folding by VALUE here
+                # (e.g. min) would be wrong for any value column not
+                # monotone in the order key (caught by code review,
+                # r11 second session)
     local = local_agg(w_pg)
     if not offset_rows:
         return keyed.withColumn(out_col, local).drop("__gc_pid")

@@ -3706,8 +3706,10 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import global_ntile
 
     (orders,) = read_tables(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.sum(dec("o_totalprice")).alias("rev")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        .localCheckpoint(eager=False)  # feeds the probe count AND ntile (§4)
     )
     n = cust.count()
     tiled = global_ntile(
@@ -4109,9 +4111,11 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts exact, the share composed once.
     """
     (events,) = read_tables(spark, sf_dir, "events")
-    d = events.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    d = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds firsts AND the join (§4)
+    )
     firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
     j = d.join(firsts, "user_id")
     is_new = (F.col("day") == F.col("first_day")).cast("int")
@@ -4154,9 +4158,10 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS conc
         FROM pts
     )
-    SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
-           CAST(MIN(CASE WHEN conc = (SELECT MAX(conc) FROM run)
-                         THEN t END) AS BIGINT) AS first_peak_s
+    SELECT CAST(-(MIN({'nc': -conc, 't': t})).nc AS BIGINT)
+               AS peak_concurrency,
+           CAST((MIN({'nc': -conc, 't': t})).t AS BIGINT)
+               AS first_peak_s
     FROM run
     """,
 )
@@ -4195,17 +4200,18 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("t"), F.col("delta"), F.col("event_id")],
         "conc",
     )
-    peak = run.agg(F.max("conc").alias("__p"))
-    return (
-        run.crossJoin(F.broadcast(peak))  # 1-row scalar broadcast
-        .agg(
-            F.max("conc").cast("bigint").alias("peak_concurrency"),
-            F.min(
-                F.when(F.col("conc") == F.col("__p"), F.col("t"))
-            )
-            .cast("bigint")
-            .alias("first_peak_s"),
-        )
+    # ONE arg-min aggregate computes the peak and its first time —
+    # min over (−conc, t) structs — so the sweep frame feeds a single
+    # branch (no scalar-subquery self-branch, no checkpoint; §4 and
+    # the plan guard both stay honest — a code-review fix)
+    best = run.agg(
+        F.min(
+            F.struct((-F.col("conc")).alias("nc"), F.col("t").alias("t"))
+        ).alias("m")
+    )
+    return best.select(
+        (-F.col("m.nc")).cast("bigint").alias("peak_concurrency"),
+        F.col("m.t").cast("bigint").alias("first_peak_s"),
     )
 
 
@@ -4264,8 +4270,14 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = read_tables(spark, sf_dir, "orders")
     month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
-    firsts = orders.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    firsts = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate"))
+            .cast("date")
+            .alias("cohort")
+        )
+        .localCheckpoint(eager=False)  # feeds the join AND size (§4)
     )
     j = orders.join(firsts, "o_custkey")
     rev = j.groupBy(
@@ -4322,7 +4334,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT report_day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
     FROM contrib, bounds
-    WHERE report_day <= bounds.hi
+    WHERE report_day <= bounds.hi AND report_day >= bounds.lo + 6
     GROUP BY report_day
     """,
 )
@@ -4335,14 +4347,21 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes into the ≤7 report-days it supports — a bounded 7×
     expansion of the user-day frame, NOT the fact — and one two-phase
     distinct count per report-day finishes. All frames after the
-    first collapse are user-day-grain; the report range clips to the
-    observed max so no partial trailing days appear.
+    first collapse are user-day-grain; the report range clips to
+    [lo+6, hi] so EVERY emitted day reflects a full 7-day observable
+    window — no partial-lookback rows at either edge (the leading-edge
+    clip was a code-review fix: days before lo+6 would quietly report
+    a 1-6 day "week").
     """
     (events,) = read_tables(spark, sf_dir, "events")
-    d = events.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    hi = d.agg(F.max("day").alias("hi"))
+    d = (
+        events.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds hi AND contrib (§4)
+    )
+    bounds = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
     contrib = d.select(
         "user_id",
         F.explode(
@@ -4354,8 +4373,11 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("report_day"),
     )
     return (
-        contrib.crossJoin(F.broadcast(hi))  # 1-row scalar broadcast
-        .filter(F.col("report_day") <= F.col("hi"))
+        contrib.crossJoin(F.broadcast(bounds))  # 1-row scalar broadcast
+        .filter(
+            (F.col("report_day") <= F.col("hi"))
+            & (F.col("report_day") >= F.date_add(F.col("lo"), 6))
+        )
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )

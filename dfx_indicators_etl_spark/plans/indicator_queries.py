@@ -1711,7 +1711,9 @@ def ind_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     series over their overlap years so pre-revision history stays
     level-comparable (``operators.indicator.splice_series``). Series
     with no overlap are DROPPED, never passed through unscaled."""
-    obs = observations(spark, sf_dir)
+    obs = observations(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds BOTH vintage filters (§4)
 
     def vintage(pred):
         return (

@@ -1872,13 +1872,22 @@ def read_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     raw = spark.read.parquet(state_dir)
     if "__batch_min_us" in raw.columns:
+        # Batches landed before the range columns existed read their
+        # lo/hi as NULL when the merged schema carries the columns —
+        # they predate the executable contract and cannot be checked
+        # (their raw range was never recorded), so they are excluded
+        # from the pairwise check rather than crashing the sort.
         spans = sorted(
-            raw.groupBy("batch_id")
-            .agg(
-                F.min("__batch_min_us").alias("lo"),
-                F.max("__batch_max_us").alias("hi"),
-            )
-            .collect(),
+            (
+                r
+                for r in raw.groupBy("batch_id")
+                .agg(
+                    F.min("__batch_min_us").alias("lo"),
+                    F.max("__batch_max_us").alias("hi"),
+                )
+                .collect()
+                if r["lo"] is not None and r["hi"] is not None
+            ),
             key=lambda r: (r["lo"], r["hi"]),
         )
         for prev, nxt in zip(spans, spans[1:]):

@@ -16,17 +16,27 @@ def _carry_frame(spark):
     """One HOT group straddling many range partitions, a NULL group
     key large enough to straddle, two small groups — and NULLs in the
     VALUE column (the carries skip nulls; a slice whose values are all
-    NULL must still hand off its predecessor's carry)."""
+    NULL must still hand off its predecessor's carry). The value
+    sequence is deliberately NON-monotone in the order key AND the
+    first non-null of each group is neither its min nor its max —
+    otherwise a fold that picks by VALUE (min/max) instead of by
+    ORDER is indistinguishable from keep-first/keep-last (the exact
+    blindness that let the r11 'first'-fold bug ship green before
+    code review caught it)."""
     rows = []
     for i in range(240):
-        # long null runs: values only every 7th row
-        v = (i * 13) % 97 if i % 7 == 0 else None
+        # long null runs: values only every 7th row; the +30 offset
+        # makes the first value (i=0 → 20) interior to the [-46, 50]
+        # range, and the last non-null is neither extreme either
+        v = 50 - ((i * 13 + 30) % 97) if i % 7 == 0 else None
         rows.append(("hot", i, v))
     for i in range(90):
-        rows.append((None, i, (i * 5) % 31 if i % 3 == 0 else None))
-    for g, n in [("a", 4), ("b", 6)]:
+        v = 15 - ((i * 5 + 10) % 31) if i % 3 == 0 else None
+        rows.append((None, i, v))
+    small_vals = [1, None, 5, None, -2, None, 3, None]
+    for g, n in [("a", 6), ("b", 8)]:
         for i in range(n):
-            rows.append((g, i, i if i % 2 == 0 else None))
+            rows.append((g, i, small_vals[i]))
     return spark.createDataFrame(rows, "g string, o long, v long")
 
 

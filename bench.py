@@ -273,6 +273,7 @@ HEADLINE = (
     "q_funnel_paths",
     "emb_outlier_dist",
     "stream_first_touch",
+    "stream_first_touch_ttl",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",
@@ -338,10 +339,15 @@ def _anchor_seconds(spark) -> float:
     return round(min(run(400_000_000) for _ in range(3)), 3)
 
 
-def _scan_anchor_seconds(spark) -> float:
+def _scan_anchor_seconds(spark) -> float | None:
     import pyspark.sql.functions as F
 
     path = "/root/testdata/sf0.1/lineitem.parquet"
+    # The anchor workload is pinned to this exact path by contract; on
+    # a host without it, report null rather than crashing the whole
+    # bench (the headline measurements stay usable — ADVICE r11).
+    if not os.path.exists(path):
+        return None
     df = spark.read.parquet(path)
     aggs = [
         F.sum(F.col(f.name))
@@ -422,14 +428,39 @@ def main() -> None:
             "drift_factor": round(anchor_s / ANCHOR_BASELINE_S, 3),
             "scan_wall_s": scan_anchor_s,
             "scan_baseline_s": SCAN_ANCHOR_BASELINE_S,
-            "scan_drift_factor": round(
-                scan_anchor_s / SCAN_ANCHOR_BASELINE_S, 3
+            "scan_drift_factor": (
+                round(scan_anchor_s / SCAN_ANCHOR_BASELINE_S, 3)
+                if scan_anchor_s is not None
+                else None
             ),
         },
     }
+    if scan_anchor_s is None:
+        result["anchor"]["scan_note"] = "pinned anchor path absent on this host"
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # The LAST stdout line is a compact (<2000 chars) contract-shaped
+    # summary: the driver's BENCH_r{N}.json keeps only a 2000-char
+    # stdout tail, so the full per-query JSON above overflows it and
+    # its `parsed` field came back null in r10/r11. The compact line
+    # keeps metric/value/unit/sf plus the 5 slowest queries, the
+    # anchors, and error count — enough for cross-round driver diffs;
+    # the committed BENCH_full_r{N}.json carries the complete map.
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": worst5,
+        "anchor": result["anchor"],
+    }
+    print(json.dumps(compact))
     _write_full_result(result)
     spark.stop()
 

@@ -536,6 +536,14 @@ def splice_series(
     defensible link factor, and silently passing unscaled history
     through would be a correctness bug, not a convenience.
 
+    NULL series keys are DROPPED by design: both the vintage-union
+    join and the ratio re-join are plain equi-joins (``=``), matching
+    ANSI USING-join semantics (and therefore the DuckDB oracle). A
+    panel keyed by nullable series ids should coalesce them to a
+    sentinel before splicing (ADVICE r11: deliberately different from
+    grouped_running_carry's eqNullSafe handling, where NULL group
+    keys are first-class).
+
     Scale shape: the two vintage panels are year-grain aggregates
     (combinable, far below fact size); the per-series ratio is one
     more combinable aggregate at series cardinality, broadcast back

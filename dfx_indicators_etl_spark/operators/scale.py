@@ -656,6 +656,27 @@ def grouped_lag(
     )
 
 
+def _fold_extremum(carry, p, want_max: bool):
+    """Fold two monoid partials with SPARK ordering, not Python's.
+
+    Spark's ``max``/``min`` treat float NaN as LARGER than every other
+    value, while Python NaN comparisons are all-False (order-dependent
+    folds). Only top-level float NaN needs the special case — other
+    orderable types (ints, timestamps, strings, structs-as-tuples)
+    compare identically in both systems. NaN nested INSIDE a struct
+    value is not normalized here; don't use struct carries whose
+    ordering fields can be NaN.
+    """
+    def _is_nan(x):
+        return isinstance(x, float) and x != x
+
+    if _is_nan(p):
+        return p if want_max else carry
+    if _is_nan(carry):
+        return carry if want_max else p
+    return max(carry, p) if want_max else min(carry, p)
+
+
 def grouped_running_carry(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -795,9 +816,9 @@ def grouped_running_carry(
                 elif kind == "last":
                     carry = p  # later slice wins
                 elif kind == "max":
-                    carry = max(carry, p)
+                    carry = _fold_extremum(carry, p, want_max=True)
                 elif kind == "min":
-                    carry = min(carry, p)
+                    carry = _fold_extremum(carry, p, want_max=False)
                 # kind == "first": carry is write-once — the earliest
                 # slice's first non-null stands; folding by VALUE here
                 # (e.g. min) would be wrong for any value column not

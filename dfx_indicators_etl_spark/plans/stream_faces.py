@@ -265,6 +265,50 @@ def _f_first_touch(spark, sf_dir):
     ]
 
 
+@face("stream_first_touch_ttl")
+def _f_first_touch_ttl(spark, sf_dir):
+    # the TTL twin: same first-touch frame, plus the touch's own
+    # origin-seconds so the 7-day freshness test is a plain column
+    # expression (credit only while s − ft_s ≤ TTL)
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    s = (
+        F.unix_micros("ts") / 1_000_000
+        - F.lit(1_704_067_200)
+    ).cast("bigint")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_s = F.when(
+        F.col("event_type").isin("click", "view"), s
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(s, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("__s", s).withColumn(
+        "ft", F.first(touch, ignorenulls=True).over(w)
+    ).withColumn("ft_s", F.first(touch_s, ignorenulls=True).over(w))
+    credited = seq.filter(F.col("event_type") == "purchase").withColumn(
+        "touch",
+        F.when(
+            F.col("ft").isNotNull()
+            & (F.col("__s") - F.col("ft_s") <= 7 * 86400),
+            F.col("ft"),
+        ).otherwise(F.lit("direct")),
+    )
+    return [
+        credited.groupBy("touch").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("attributed_value"),
+        )
+    ]
+
+
 @face("stream_static_enrich")
 def _f_static_enrich(spark, sf_dir):
     ev = _events(spark, sf_dir)

@@ -541,6 +541,56 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_first_touch_ttl",
+    # The TTL semantic replayed in SQL: the first touch in the
+    # 1-PRECEDING frame credits only while purchase_s − touch_s ≤ TTL
+    # (7 days); stale first touches are 'direct'. Pure event time, so
+    # the oracle is exact regardless of when state eviction fires.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value,
+               CAST(date_diff('second',
+                    TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS s,
+               event_id,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+                   OVER w AS ft,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                    THEN CAST(date_diff('second',
+                         TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+                    END IGNORE NULLS)
+                   OVER w AS ft_s
+        FROM events WHERE event_type IN ('purchase', 'click', 'view')
+        WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN ft IS NOT NULL AND s - ft_s <= 7 * 86400
+                THEN ft ELSE 'direct' END AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_first_touch_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution with a 7-day TTL — the BOUNDED-STATE
+    variant of ``stream_first_touch`` (VERDICT r11 #7): purchases more
+    than 7 days after the user's first touch credit 'direct', and the
+    state store evicts at ``touch + TTL`` (live-touch-bounded, the
+    ``stream_last_touch`` eviction argument) instead of growing with
+    users ever seen. The credit test is pure event time, so the DuckDB
+    frame replay is an exact value oracle."""
+    stream = streaming.read_events_stream(spark, sf_dir)
+    out = streaming.stream_first_touch_attribution_ttl(stream)
+    drained = streaming.run_available_now(out, output_mode="append")
+    return drained.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum(dec("value")).cast("double").alias("attributed_value"),
+    )
+
+
 @query("sink_compact_roundtrip", oracle="SELECT * FROM nation")
 def sink_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction round trip (§E maintenance op): a

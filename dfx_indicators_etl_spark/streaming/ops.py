@@ -1241,20 +1241,30 @@ def stream_first_touch_attribution(
     seen and emit one row per purchase crediting it (else
     ``'direct'``).
 
-    The WRITE-ONCE state shape: state is two scalars set at the first
-    touch and never updated again, which makes replay trivially
-    idempotent (re-processing any batch writes the same value — a
-    monotone register, the simplest of the engine's replay algebras
-    next to idempotent-OR, additive-OVERWRITE, and the derived change
-    log). No timeout: first-touch semantics REQUIRE remembering the
-    first touch for as long as purchases can arrive, so state is
-    user-cardinality-bounded (2 scalars per user with a touch — a
-    per-entity dimension, RocksDB-store-sized at cluster scale;
-    evicting would silently turn late purchases into 'direct', so any
-    TTL is a knowing semantics change, not an optimization). Batch
-    rows process in the oracle's (origin-seconds, event_id) frame
-    order, so results are deterministic under any partition
-    interleaving.
+    The MONOTONE-REGISTER state shape: state is the (origin-seconds,
+    event_id, type) triple of the EARLIEST touch seen so far, folded
+    downward by (s, event_id) — replay is idempotent (re-processing
+    any batch re-folds to the same minimum; the simplest of the
+    engine's replay algebras next to idempotent-OR, additive-
+    OVERWRITE, and the derived change log). A purchase credits the
+    stored touch only when (t, tid) < (s, event_id) — the batch
+    oracle's exact 1-PRECEDING frame — so a purchase arriving in a
+    LATER micro-batch with event time before the touch is 'direct',
+    matching the DuckDB replay (ADVICE r11). No timeout: first-touch
+    semantics REQUIRE remembering the first touch for as long as
+    purchases can arrive, so state is user-cardinality-bounded (3
+    scalars per user with a touch — a per-entity dimension,
+    RocksDB-store-sized at cluster scale; evicting would silently
+    turn late purchases into 'direct', so any TTL is a knowing
+    semantics change — see ``stream_first_touch_attribution_ttl``).
+    Batch rows process in the oracle's (origin-seconds, event_id)
+    frame order. One cross-batch arrival-order caveat remains: a
+    purchase EMITS its credit in the batch where it arrives, so a
+    true-first touch arriving in a later batch than a purchase with
+    later event time cannot retro-credit that already-emitted row
+    (it corrects all future purchases); under in-event-time-order
+    arrival (what the staging harness guarantees) emitted rows equal
+    the batch oracle exactly.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1279,19 +1289,26 @@ def stream_first_touch_attribution(
         rows = rows.assign(__s=(ts_ms - origin_ms) // 1000).sort_values(
             ["__s", "event_id"]
         )
-        t, e = state.get if state.exists else (None, None)
+        t, tid, e = state.get if state.exists else (None, None, None)
+        stored = (t, tid, e)
         out_ids, out_touch, out_vals = [], [], []
         for _, r in rows.iterrows():
             etype = r["event_type"]
             if etype == "purchase":
-                out_touch.append(e if e is not None else "direct")
-                out_ids.append(int(r["event_id"]))
+                s, eid = int(r["__s"]), int(r["event_id"])
+                # credit only touches strictly inside the oracle's
+                # 1-PRECEDING frame: (t, tid) < (s, event_id)
+                credited = t is not None and (t, tid) < (s, eid)
+                out_touch.append(e if credited else "direct")
+                out_ids.append(eid)
                 v = r["value"]
                 out_vals.append(None if pd.isna(v) else float(v))
-            elif t is None:  # click / view — first touch, write once
-                t, e = int(r["__s"]), etype
-        if t is not None and not state.exists:
-            state.update((t, e))
+            else:  # click / view — fold the earliest-touch register
+                s, eid = int(r["__s"]), int(r["event_id"])
+                if t is None or (s, eid) < (t, tid):
+                    t, tid, e = s, eid, etype
+        if t is not None and (t, tid, e) != stored:
+            state.update((t, tid, e))
         if out_ids:
             yield pd.DataFrame(
                 {
@@ -1311,9 +1328,112 @@ def stream_first_touch_attribution(
             outputStructType=(
                 "user_id long, event_id long, touch string, value double"
             ),
-            stateStructType="t bigint, e string",
+            stateStructType="t bigint, tid bigint, e string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_first_touch_attribution_ttl(
+    events: DataFrame,
+    ttl_days: int = 7,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First-touch attribution with a BOUNDED-STATE TTL — the second,
+    deliberately-different semantic next to
+    ``stream_first_touch_attribution`` (VERDICT r11 #7: never silently
+    change the NoTimeout key; register the TTL as its own face).
+
+    Semantics: a purchase credits the user's earliest touch only while
+    it is FRESH — ``purchase_s − touch_s ≤ ttl_days·86400`` (and the
+    touch precedes the purchase in the oracle's (s, event_id) frame
+    order). Beyond the TTL the purchase is ``'direct'``. The credit
+    test is pure EVENT TIME, so the result is deterministic and
+    SQL-oracle-expressible regardless of when the timeout actually
+    fires; the ``EventTimeTimeout`` is CLEANUP, not semantics — state
+    evicts once the watermark passes ``touch + ttl``, at which point
+    any in-watermark purchase would be beyond the TTL anyway (an
+    expired touch attributes 'direct' either way, the
+    ``stream_last_touch_attribution`` eviction argument). State is
+    therefore bounded by LIVE touches, not users ever seen — the
+    bounded-state trade the NoTimeout key refuses.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_s = ttl_days * 86400
+    origin_ms = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()  # stale touch == 'direct' either way
+            return
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks)
+        ts_ms = (
+            pd.to_datetime(rows["ts"], utc=True)
+            .dt.tz_localize(None)
+            .astype("datetime64[ms]")
+            .astype("int64")
+        )
+        rows = rows.assign(__s=(ts_ms - origin_ms) // 1000).sort_values(
+            ["__s", "event_id"]
+        )
+        t, tid, e = state.get if state.exists else (None, None, None)
+        stored = (t, tid, e)
+        out_ids, out_touch, out_vals = [], [], []
+        for _, r in rows.iterrows():
+            etype = r["event_type"]
+            if etype == "purchase":
+                s, eid = int(r["__s"]), int(r["event_id"])
+                credited = (
+                    t is not None
+                    and (t, tid) < (s, eid)
+                    and s - t <= ttl_s
+                )
+                out_touch.append(e if credited else "direct")
+                out_ids.append(eid)
+                v = r["value"]
+                out_vals.append(None if pd.isna(v) else float(v))
+            else:  # click / view — fold the earliest-touch register
+                s, eid = int(r["__s"]), int(r["event_id"])
+                if t is None or (s, eid) < (t, tid):
+                    t, tid, e = s, eid, etype
+        if t is not None:
+            expiry_ms = (t * 1000 + origin_ms) + ttl_s * 1000
+            if expiry_ms <= state.getCurrentWatermarkMs():
+                state.remove()  # already beyond TTL — keep state tight
+            else:
+                if (t, tid, e) != stored:
+                    state.update((t, tid, e))
+                state.setTimeoutTimestamp(expiry_ms)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "touch": out_touch,
+                    "value": out_vals,
+                }
+            )
+
+    return (
+        events.filter(F.col("event_type").isin("purchase", "click", "view"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, event_id long, touch string, value double"
+            ),
+            stateStructType="t bigint, tid bigint, e string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "fast_row_count",
     "salted_agg",
     "salted_join",
     "global_ntile",
@@ -32,6 +33,46 @@ __all__ = [
     "zorder_scaled",
     "REAGG",
 ]
+
+
+def fast_row_count(df: DataFrame) -> int:
+    """EXACT row count with the cheapest available evidence (VERDICT
+    r11 #5 / committed queue #6: the adaptive pickers' ``df.count()``
+    probes cost +0.13–0.21 s per key in pure job-scheduling overhead).
+
+    When the optimized plan is row-count-PRESERVING over a parquet
+    relation — only Project/Relation nodes, so no Filter/Join/
+    Aggregate/Generate/Sample can have changed cardinality — the count
+    is the sum of the parquet footers' ``num_rows`` (pyarrow,
+    driver-side, no Spark job, exact by the parquet spec). Everything
+    else falls back to ``df.count()``: filtered inputs keep the real
+    count (measured check pinned in tests/test_round12_ops.py), and
+    lazily-checkpointed frames (LogicalRDD plans) still materialize
+    through the count like callers rely on.
+    """
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        nodes = {
+            m.group(1)
+            for m in re.finditer(r"(?:^|[+:]- )(\w+)", plan, re.MULTILINE)
+        }
+        if nodes <= {"Project", "Relation"} and "parquet" in plan:
+            files = [
+                f[7:] if f.startswith("file://") else f
+                for f in df.inputFiles()
+            ]
+            if files and all(f.startswith("/") for f in files):
+                import pyarrow.parquet as pq
+
+                return sum(
+                    pq.ParquetFile(f).metadata.num_rows for f in files
+                )
+    except Exception:  # noqa: BLE001 — metadata probe is best-effort
+        pass
+    return df.count()
+
 
 # How each partial aggregate re-aggregates in phase 2.
 REAGG = {
@@ -148,7 +189,7 @@ def global_ntile(
 
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = Window.orderBy(*order_by)
         return df.withColumn(out_col, F.ntile(n_tiles).over(w))
@@ -235,7 +276,7 @@ def global_running_sum(
 
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = Window.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -323,7 +364,7 @@ def global_running_max(
 
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = Window.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, -1
@@ -436,7 +477,7 @@ def grouped_running_sum(
         )
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = (
             Window.partitionBy(*groups)
@@ -560,7 +601,7 @@ def grouped_lag(
     groups = list(group_cols)
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = Window.partitionBy(*groups).orderBy(*order_by)
         out = df.withColumn(out_col, F.lag(value_col).over(w))
@@ -746,7 +787,7 @@ def grouped_running_carry(
     groups = list(group_cols)
     spark = df.sparkSession
     if n_rows is None:
-        n_rows = df.count()
+        n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
         w = (
             Window.partitionBy(*groups)

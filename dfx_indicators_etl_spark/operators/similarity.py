@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import fast_row_count
+
 __all__ = [
     "cosine",
     "l2_norms",
@@ -26,8 +28,12 @@ __all__ = [
     "brute_force_topk",
     "brute_force_mips_topk",
     "mips_augment",
+    "banded_cosine_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_exact",
     "hyperplane_lsh_topk",
+    "knn_graph_banded",
+    "knn_graph_exact",
     "int8_quantize_stats",
     "ivf_topk",
     "ivfpq_topk",
@@ -177,7 +183,59 @@ def _expand_block_pairs(
     )
 
 
+# Measured crossover for the quadratic exact-pairs class (SCALE.md
+# §pair-crossover, round 12; tools/pair_crossover_probe.py): the
+# exact blocked self-join costs n²·dim/2 FLOPs, the banded generator
+# ~n·L·bucket_rows·dim — equal at n ≈ 2·L·bucket_rows ≈ 96k with the
+# L=24/2k-bucket defaults, and the probe confirms it on local[32]:
+# exact 4.6 s vs banded 53 s at n=50k, exact 329 s vs banded 184 s at
+# n=100k (dim 64). Past the threshold the exact curve is QUADRATIC —
+# at 2× it already loses 4× — so the router flips at the measured
+# boundary, not below it (unlike the single-task-state pickers, the
+# small path here is fully distributed; there is no OOM cliff to
+# insure against, only compute).
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 256 << 20,
+    n_rows: int | None = None,
+    small_rows_threshold: int = EXACT_PAIRS_MAX_ROWS,
+) -> DataFrame:
+    """Embedding near-duplicate pairs — RUNTIME-ADAPTIVE (r12, closing
+    the last prose-only scale swap, VERDICT r11 #2).
+
+    At or below ``small_rows_threshold`` corpus rows this is the EXACT
+    blocked self-join (``embedding_cosine_pairs_exact``): every pair
+    scored, O(n²·dim) BLAS compute, memory-bounded and exchange-linear
+    but quadratic in CPU. Above it, pair generation routes through the
+    recall-gated hyperplane-LSH banding (``banded_cosine_pairs``,
+    ``sim_lsh_ann``'s bucket machinery): candidates meet only inside
+    buckets, compute tracks Σ bucket² ≈ n·bucket_rows instead of n²,
+    and recall follows the documented (L, p) curve — exact scoring of
+    the candidates keeps precision 1.0 either way. ``n_rows`` skips
+    the count probe when the caller already knows the corpus size
+    (e.g. from parquet footer metadata on an unfiltered scan).
+    """
+    if n_rows is None:
+        n_rows = fast_row_count(df)
+    if n_rows <= small_rows_threshold:
+        return embedding_cosine_pairs_exact(
+            df, threshold, id_col, vec_col, decimals,
+            n_blocks, target_block_bytes,
+        )
+    return banded_cosine_pairs(
+        df, threshold, id_col, vec_col, decimals, n_rows=n_rows
+    )
+
+
+def embedding_cosine_pairs_exact(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
@@ -252,7 +310,183 @@ def embedding_cosine_pairs(
     )
 
 
+def _bucketize_corpus(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    planes_per_table: int,
+) -> DataFrame:
+    """One narrow Arrow pass emitting each vector's L folded bucket
+    keys (``hyperplane_lsh_topk``'s corpus-side bucketing, shared by
+    the banded pair/kNN generators): a BLAS tensordot against the
+    formula-rebuilt plane matrix, sign bits packed per table, table id
+    folded into the key so ONE exchange serves every table.
+    """
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+    table_base = np.arange(num_tables, dtype=np.int64) << planes_per_table
+
+    def bucketize(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if planes is None:
+                planes = _plane_matrix(
+                    num_tables, planes_per_table, mat.shape[1]
+                )
+            dots = np.tensordot(mat, planes, axes=([1], [2]))
+            bits = (dots >= 0).astype(np.int64)
+            keys = (bits * weights).sum(axis=2) + table_base
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "buckets": list(keys),
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(
+            bucketize, "vid long, vec array<float>, buckets array<bigint>"
+        )
+        .select("vid", "vec", F.explode("buckets").alias("bucket"))
+    )
+
+
+def banded_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    num_tables: int = 24,
+    planes_per_table: int | None = None,
+    target_bucket_rows: int = 2_000,
+    max_bucket: int = 8_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Near-duplicate cosine pairs via RECALL-GATED hyperplane-LSH
+    banding — the scale path ``embedding_cosine_pairs`` routes to
+    above its crossover (VERDICT r11 #2).
+
+    Candidates meet only inside buckets: every vector lands in
+    ``num_tables`` buckets (sign bits of ``planes_per_table`` fixed
+    pseudo-random hyperplanes per table, the ``sim_lsh_ann`` plane
+    formula), each bucket scores its members against each other with
+    one BLAS matmul, and pairs deduplicate across tables on
+    (id_a, id_b). Compute is Σ bucket_size² ≈ n·E[bucket] per table —
+    linear in n at fixed occupancy — versus the exact path's n²/2.
+
+    PRECISION is 1.0 by construction (candidates score exactly and
+    filter at the same rounded threshold). RECALL follows the standard
+    banding curve: a pair at cosine c collides in one table with
+    probability q = (1 − acos(c)/π)^p, so recall = 1 − (1 − q)^L.
+    With the defaults (L=24, p auto): at p=4, recall ≈ 0.984 at
+    c = 0.40, 0.995 at 0.50, ≈ 1 − 1e-8 at 0.90 — dial L up or p down
+    per deployment when the threshold sits in the hard low-cosine
+    regime. ``planes_per_table=None`` auto-sizes p ≈ log2(n /
+    target_bucket_rows) (clamped to [2, 12]) so expected bucket
+    occupancy stays near ``target_bucket_rows``; ``max_bucket``
+    deterministically caps degenerate buckets (members sorted by id,
+    tail shed — the ``DEFAULT_MAX_BAND_BUCKET`` convention from the
+    minhash banding, recall shed documented rather than OOM).
+    """
+    import math
+
+    if planes_per_table is None:
+        if n_rows is None:
+            n_rows = fast_row_count(df)
+        planes_per_table = min(
+            12, max(2, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
+        )
+    bucketed = _bucketize_corpus(
+        df, id_col, vec_col, num_tables, planes_per_table
+    )
+
+    def score(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        pdf = pdf.sort_values("vid").head(max_bucket)
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        nm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(nm == 0.0, 1.0, nm)
+        sims = np.round(unit @ unit.T, decimals)
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cos_sim": sims[ai, bj]}
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(score, "id_a long, id_b long, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _local_topk(ids_src, unit_src, ids_dst, unit_dst, k, decimals, diagonal):
+    # Fully vectorized (no per-row Python loop): the (sim desc,
+    # id asc) total order collapses into ONE int64 key per cell —
+    # sims are already 6dp-rounded so sim*10^decimals is an exact
+    # integer, and the dst ids map to a dense 0..m-1 rank that
+    # subtracts as the tie-break. argpartition cuts each row to k
+    # under that key, a k-wide argsort restores exact order.
+    sims = np.round(unit_src @ unit_dst.T, decimals)
+    if diagonal:
+        sims[np.arange(len(ids_src)), np.arange(len(ids_dst))] = -2.0
+    m = len(ids_dst)
+    id_rank = np.empty(m, dtype=np.int64)
+    id_rank[np.argsort(ids_dst, kind="stable")] = np.arange(m)
+    key = np.rint(sims * 10**decimals).astype(np.int64) * m - id_rank
+    kk = min(k, m)
+    if kk < m:
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    else:
+        top = np.broadcast_to(np.arange(m), (len(ids_src), m))
+    order = np.argsort(
+        -np.take_along_axis(key, top, axis=1), axis=1, kind="stable"
+    )
+    cols = np.take_along_axis(top, order, axis=1)
+    out_s = np.repeat(ids_src, kk)
+    out_d = ids_dst[cols].ravel()
+    out_c = np.take_along_axis(sims, cols, axis=1).ravel()
+    return out_s, out_d, out_c
+
+
 def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    mutual: bool = True,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 256 << 20,
+    n_rows: int | None = None,
+    small_rows_threshold: int = EXACT_PAIRS_MAX_ROWS,
+) -> DataFrame:
+    """Cosine k-NN graph — RUNTIME-ADAPTIVE like
+    ``embedding_cosine_pairs`` (same quadratic class, same crossover):
+    the exact blocked self-join (``knn_graph_exact``) at or below
+    ``small_rows_threshold`` corpus rows, the recall-gated LSH-banded
+    candidate generator (``knn_graph_banded``) above it."""
+    if n_rows is None:
+        n_rows = fast_row_count(df)
+    if n_rows <= small_rows_threshold:
+        return knn_graph_exact(
+            df, k, id_col, vec_col, decimals, mutual,
+            n_blocks, target_block_bytes,
+        )
+    return knn_graph_banded(
+        df, k, id_col, vec_col, decimals, mutual, n_rows=n_rows
+    )
+
+
+def knn_graph_exact(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
@@ -286,32 +520,9 @@ def knn_graph(
     )
 
     def local_topk(ids_src, unit_src, ids_dst, unit_dst, diagonal):
-        # Fully vectorized (no per-row Python loop): the (sim desc,
-        # id asc) total order collapses into ONE int64 key per cell —
-        # sims are already 6dp-rounded so sim*10^decimals is an exact
-        # integer, and the dst ids map to a dense 0..m-1 rank that
-        # subtracts as the tie-break. argpartition cuts each row to k
-        # under that key, a k-wide argsort restores exact order.
-        sims = np.round(unit_src @ unit_dst.T, decimals)
-        if diagonal:
-            sims[np.arange(len(ids_src)), np.arange(len(ids_dst))] = -2.0
-        m = len(ids_dst)
-        id_rank = np.empty(m, dtype=np.int64)
-        id_rank[np.argsort(ids_dst, kind="stable")] = np.arange(m)
-        key = np.rint(sims * 10**decimals).astype(np.int64) * m - id_rank
-        kk = min(k, m)
-        if kk < m:
-            top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
-        else:
-            top = np.broadcast_to(np.arange(m), (len(ids_src), m))
-        order = np.argsort(
-            -np.take_along_axis(key, top, axis=1), axis=1, kind="stable"
+        return _local_topk(
+            ids_src, unit_src, ids_dst, unit_dst, k, decimals, diagonal
         )
-        cols = np.take_along_axis(top, order, axis=1)
-        out_s = np.repeat(ids_src, kk)
-        out_d = ids_dst[cols].ravel()
-        out_c = np.take_along_axis(sims, cols, axis=1).ravel()
-        return out_s, out_d, out_c
 
     def score(key, pdf):
         pa, pb = key
@@ -348,6 +559,12 @@ def knn_graph(
     # survives the local top-k, and with mutual=False nothing else
     # would remove it (ADVICE r7).
     candidates = candidates.filter(F.col("src") != F.col("dst"))
+    return _rank_and_reduce(candidates, k, mutual)
+
+
+def _rank_and_reduce(candidates: DataFrame, k: int, mutual: bool) -> DataFrame:
+    """Global (sim desc, id asc) rank to top-k per source + optional
+    mutual-kNN reduction — shared by the exact and banded kNN paths."""
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst")
     )
@@ -371,6 +588,66 @@ def knn_graph(
             F.col("x.cos_sim").alias("cos_sim"),
         )
     )
+
+
+def knn_graph_banded(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    mutual: bool = True,
+    num_tables: int = 24,
+    planes_per_table: int | None = None,
+    target_bucket_rows: int = 2_000,
+    max_bucket: int = 8_000,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """k-NN graph via the recall-gated LSH banding — the scale path
+    ``knn_graph`` routes to above the quadratic crossover.
+
+    Same bucket machinery as ``banded_cosine_pairs``; each bucket
+    keeps every member's LOCAL top-k among its bucket-mates (the
+    shared ``_local_topk`` exact kernel), candidates deduplicate on
+    (src, dst) across tables — the rounded cosine is deterministic,
+    so duplicates are exact — and the global rank + mutual reduction
+    are the exact path's own (``_rank_and_reduce``). A true neighbor
+    is found iff it shares ≥1 bucket with the source: per-edge recall
+    is the ``banded_cosine_pairs`` curve at that edge's cosine, so
+    high-similarity neighbors (the ones that matter for dedup/cluster
+    consumers) are found with near-certainty while the low-cosine
+    tail of a top-k list may substitute the next-nearest candidate.
+    """
+    import math
+
+    if planes_per_table is None:
+        if n_rows is None:
+            n_rows = fast_row_count(df)
+        planes_per_table = min(
+            12, max(2, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
+        )
+    bucketed = _bucketize_corpus(
+        df, id_col, vec_col, num_tables, planes_per_table
+    )
+
+    def score(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+        pdf = pdf.sort_values("vid").head(max_bucket)
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        nm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(nm == 0.0, 1.0, nm)
+        s, d, c = _local_topk(ids, unit, ids, unit, k, decimals, True)
+        return pd.DataFrame({"src": s, "dst": d, "cos_sim": c})
+
+    candidates = (
+        bucketed.groupBy("bucket")
+        .applyInPandas(score, "src long, dst long, cos_sim double")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return _rank_and_reduce(candidates, k, mutual)
 
 
 def ivf_topk(

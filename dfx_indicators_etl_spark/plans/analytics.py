@@ -624,9 +624,9 @@ def _sessionized(events: DataFrame, window_max_rows: int = 2_000_000) -> DataFra
     two-window plan below it. The frame feeds both passes, so it is
     counted once. Both paths pytest-pinned bit-identical including a
     hot-user shape (tests/test_round11b_ops.py)."""
-    from ..operators.scale import grouped_lag, grouped_running_sum
+    from ..operators.scale import fast_row_count, grouped_lag, grouped_running_sum
 
-    n_rows = events.count()
+    n_rows = fast_row_count(events)
     # Interval arithmetic is timestamp-type-agnostic (works on both
     # TIMESTAMP and TIMESTAMP_NTZ), unlike a long cast — the physical
     # type of the source files must never decide whether this plan
@@ -782,9 +782,9 @@ def _event_percentiles(
     """Runtime-adaptive per-event-type percentile report. Both paths
     are pinned identical in tests/test_round10_ops.py; the large
     path's plan is asserted free of exact-percentile aggregates."""
-    from ..operators.scale import histogram_percentiles
+    from ..operators.scale import fast_row_count, histogram_percentiles
 
-    if events.count() <= exact_max_rows:
+    if fast_row_count(events) <= exact_max_rows:
         return events.groupBy("event_type").agg(
             *[
                 F.round(F.percentile("value", q), 6).alias(name)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
-from ..sources import read_table
+from ..sources import parquet_row_count, read_table
 from .registry import query
 
 TOKS_SQL = (
@@ -742,10 +742,19 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.4)."""
+    """Embedding-cosine near-dup pairs ≥ 0.4 — runtime-adaptive (r12):
+    exact all-pairs below the quadratic crossover, recall-gated LSH
+    banding above it; the corpus size comes from parquet footer
+    metadata (free) since the input is the unfiltered table scan."""
     return similarity.embedding_cosine_pairs(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.4
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_rows=_emb_rows(sf_dir),
     )
+
+
+def _emb_rows(sf_dir: str) -> int | None:
+    n = parquet_row_count(sf_dir, "embeddings")
+    return n if n >= 0 else None
 
 
 @query(
@@ -792,7 +801,8 @@ def emb_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive closure verbatim.
     """
     pairs = similarity.embedding_cosine_pairs(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.4
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4,
+        n_rows=_emb_rows(sf_dir),
     )
     return dedup.connected_components_star(
         pairs, a_col="id_a", b_col="id_b"
@@ -883,7 +893,10 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mutual-5-NN edge list over all embeddings (the graph-
     construction primitive for density clustering / graph dedup)."""
-    return similarity.knn_graph(read_table(spark, sf_dir, "embeddings"), k=5)
+    return similarity.knn_graph(
+        read_table(spark, sf_dir, "embeddings"), k=5,
+        n_rows=_emb_rows(sf_dir),
+    )
 
 
 def _ivf_oracle_sql(

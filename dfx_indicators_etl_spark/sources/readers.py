@@ -99,6 +99,38 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(read_table(spark, sf_dir, name) for name in names)
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """EXACT row count of an (unfiltered) named table from parquet
+    footer metadata — no Spark job (VERDICT r11 #5: the adaptive
+    pickers' ``df.count()`` probes cost +0.13–0.21 s per key at sf0.1
+    in pure job-scheduling overhead; footers are free).
+
+    Only valid for a bare scan of the whole table: the count is the
+    file metadata's, so any filter/limit upstream of the operator
+    makes it an over-count — callers pass it as ``n_rows`` ONLY when
+    the operator input is the unfiltered ``read_table`` frame, and an
+    over-count merely routes to the scale path early (safe direction).
+    Falls back to -1 when the path is not local parquet (callers then
+    let the operator run its own count probe).
+    """
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        if _os.path.isdir(path):
+            files = _glob.glob(f"{path}/*.parquet")
+        elif _os.path.isfile(path):
+            files = [path]
+        else:
+            return -1
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # noqa: BLE001 — metadata probe is best-effort
+        return -1
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the named tables as temp views — the ``spark.sql``
     entry path. Views are lazy scans (same pushdown/pruning as the

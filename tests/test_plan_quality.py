@@ -424,6 +424,29 @@ BOUNDED_EXACT = {
     "q_lorenz": "cumulative windows over exactly 10 decile rows",
 }
 
+# Third hazard class (r12, VERDICT r11 #2): QUADRATIC PAIR EXPANSION —
+# a plan whose compute is O(n²) across block pairs (the
+# _expand_block_pairs signature: pb_a/pb_b block columns) or a true
+# CartesianProduct. Allowed only when the key routes through a
+# runtime-adaptive picker whose SMALL path is the exact quadratic plan
+# (the banded large path is pinned in tests/test_round12_ops.py).
+ADAPTIVE_QUADRATIC = {
+    "dedup_embedding_cosine": "operators.similarity.embedding_cosine_pairs",
+    # emb_cosine_clusters consumes the SAME routed pair generator, but
+    # connected_components_star's iterative checkpoints hide the
+    # upstream plan from this sweep — its pair generation is covered
+    # by the dedup_embedding_cosine entry above (same call site).
+    "emb_knn_graph": "operators.similarity.knn_graph",
+}
+
+
+def _quadratic_pair_expansion(plan: str) -> bool:
+    """True iff the plan carries the blocked all-pairs expansion
+    (pb_a/pb_b block-pair columns) or a CartesianProduct node —
+    O(n²) compute across pair groups, the class the r11 verdict
+    flagged as the last prose-only scale swap."""
+    return "pb_a" in plan or "CartesianProduct" in plan
+
 _PASS_NODES = ("Sort", "Window", "WindowGroupLimit", "InputAdapter")
 
 
@@ -485,9 +508,11 @@ def test_registry_wide_exact_path_hazards_are_allowlisted(spark, sf_dir):
             tags.append("exact-percentile")
         if _window_over_singlepartition(plan):
             tags.append("window-singlepartition")
+        if _quadratic_pair_expansion(plan):
+            tags.append("quadratic-pair-expansion")
         if tags:
             offenders[name] = tags
-    allowed = set(ADAPTIVE_EXACT) | set(BOUNDED_EXACT)
+    allowed = set(ADAPTIVE_EXACT) | set(BOUNDED_EXACT) | set(ADAPTIVE_QUADRATIC)
     unexpected = {k: v for k, v in offenders.items() if k not in allowed}
     assert not unexpected, (
         "unallowlisted exact-path hazard(s) — add a runtime-adaptive "
@@ -505,7 +530,7 @@ def test_adaptive_exact_pickers_exist():
     in-code swap the allowlisting is conditional on."""
     import importlib
 
-    for key, dotted in ADAPTIVE_EXACT.items():
+    for key, dotted in {**ADAPTIVE_EXACT, **ADAPTIVE_QUADRATIC}.items():
         mod_path, attr = dotted.rsplit(".", 1)
         mod = importlib.import_module(f"dfx_indicators_etl_spark.{mod_path}")
         assert callable(getattr(mod, attr)), f"{key}: {dotted} missing"

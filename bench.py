@@ -274,6 +274,7 @@ HEADLINE = (
     "emb_outlier_dist",
     "stream_first_touch",
     "stream_first_touch_ttl",
+    "q_rolling_reach_bitmap",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_pmi_bigrams",
     # (b) new in round 12 — appended as they land
     "stream_first_touch_ttl",
+    "q_rolling_reach_bitmap",
     # (c) the r8-evidence cohort, highest-signal first (16 fit)
     "stream_static_enrich",
     "stream_stream_join",

@@ -4384,6 +4384,89 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rolling_reach_bitmap",
+    # Rolling 14-day reach per day via mergeable BITMAPS — the wide-
+    # window swap for the q_rolling_wau shape (VERDICT r11 #6): the
+    # oracle recomputes it with a literal sliding COUNT(DISTINCT), an
+    # independent method, so a hash match proves the word explosion +
+    # OR-merge + popcount exact.
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    contrib AS (
+        SELECT d.user_id,
+               CAST(unnest(generate_series(d.day, d.day + 13,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS report_day
+        FROM d
+    )
+    SELECT report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
+    FROM contrib, bounds
+    WHERE report_day <= bounds.hi AND report_day >= bounds.lo + 13
+    GROUP BY report_day
+    """,
+)
+def q_rolling_reach_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day reach per day via mergeable bitmap words — the
+    WIDE-WINDOW twin of ``q_rolling_wau`` (VERDICT r11 #6).
+
+    ``q_rolling_wau``'s exact reformulation explodes each DISTINCT
+    (user, day) activity w× — fine at w=7, but the expansion is
+    user-day-grain, so a 90-day reach would move 90× the active-user
+    frame through the shuffle. This plan explodes the DAY×BUCKET WORD
+    table instead (``q_bitmap_distinct``'s machinery: user_id >> 6
+    buckets, one map-combinable ``bit_or`` over the fact): the w×
+    expansion is bounded by days × (max_user_id/64) words regardless
+    of activity volume, the per-report-day merge is another
+    ``bit_or`` + ``bit_count`` popcount, and the raw fact still scans
+    exactly once. Crossover rule (SCALE.md §rolling-reach): the word
+    explosion wins whenever w × #buckets < w × #active-user-days —
+    i.e. whenever distinct active users per day exceed the bucket
+    count, which at 100 TB is every day. Report days clip to
+    [lo+13, hi] so every row reflects a full 14-day window.
+    """
+    (events,) = read_tables(spark, sf_dir, "events")
+    e = events.select(F.col("ts").cast("date").alias("day"), "user_id")
+    words = (
+        e.groupBy("day", F.shiftright(F.col("user_id"), 6).alias("bkt"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("word")
+        )
+        .localCheckpoint(eager=False)  # feeds bounds AND the explosion
+    )
+    bounds = words.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    contrib = words.select(
+        "bkt",
+        "word",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 13),
+                F.expr("interval 1 day"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))  # 1-row scalar broadcast
+        .filter(
+            (F.col("report_day") <= F.col("hi"))
+            & (F.col("report_day") >= F.date_add(F.col("lo"), 13))
+        )
+        .groupBy("report_day", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("report_day")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("reach"))
+    )
+
+
+@query(
     "q_discount_elasticity",
     # Per-brand OLS slope of quantity on discount — does discounting
     # move volume. All five moments are exact decimal aggregates

@@ -274,3 +274,94 @@ def test_fast_row_count_paths(spark, sf_dir):
     assert fast_row_count(ck) == ev.count()
     agg = ev.groupBy("event_type").count()
     assert fast_row_count(agg) == agg.count()
+
+
+def test_rank_primitives_randomized_differential(spark):
+    """Property-based differential pin for the RANK/INTERPOLATION
+    primitives (VERDICT r11 #3, extending the carry-monoid pin): on
+    random frames — duplicate values, NULL group keys, hot groups,
+    non-monotone value/order relationships — global_ntile must equal
+    the window ntile and histogram_percentiles must equal the exact
+    F.percentile aggregate, bit for bit, on the forced-large path."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from dfx_indicators_etl_spark.operators.scale import (
+        global_ntile,
+        histogram_percentiles,
+    )
+
+    ntile_rows = st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=150,
+        unique=True,  # global_ntile's contract: a total order
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(orders=ntile_rows, data=st.data())
+    def run_ntile(orders, data):
+        k = data.draw(st.integers(min_value=1, max_value=12))
+        df = spark.createDataFrame([(o,) for o in orders], "o long")
+        want = {
+            r["o"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy("o"))
+            ).collect()
+        }
+        got = {
+            r["o"]: r["t"]
+            for r in global_ntile(
+                df.repartition(5), k, [F.col("o").asc()], "t",
+                small_rows_threshold=0,
+            ).collect()
+        }
+        assert got == want, k
+
+    run_ntile()
+
+    pct_rows = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "hot", None]),
+            # coarse grid forces DUPLICATE values (the histogram's
+            # whole point) and interpolation between close ranks
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=pct_rows, data=st.data())
+    def run_pct(rows, data):
+        p = data.draw(
+            st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.77, 0.9, 1.0])
+        )
+        df = spark.createDataFrame(
+            [(g, float(v) / 4.0) for g, v in rows], "g string, v double"
+        )
+        want = {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(F.percentile("v", F.lit(p)).alias("p"))
+            .collect()
+        }
+        got = {
+            r["g"]: r["p"]
+            for r in histogram_percentiles(
+                df.repartition(5), ["g"], "v", {"p": p},
+                hist_window_max_rows=0,
+            ).collect()
+        }
+        assert got == want, p
+
+    run_pct()

@@ -275,6 +275,9 @@ HEADLINE = (
     "stream_first_touch",
     "stream_first_touch_ttl",
     "q_rolling_reach_bitmap",
+    "q_percent_rank",
+    "text_hashed_ngrams",
+    "ind_chained_index",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

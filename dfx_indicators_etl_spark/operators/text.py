@@ -19,6 +19,7 @@ __all__ = [
     "quality_filter",
     "language_id",
     "fingerprint",
+    "hashed_ngram_features",
     "word_vocab",
     "doc_frequency_hitters",
     "scrub_pii",
@@ -806,6 +807,47 @@ def char_entropy(
 
 
 FP_MOD = 1_000_000_007
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = 1024,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) BIGRAM counts per document —
+    the fastText/Vowpal-style sparse featurizer a training pipeline
+    runs before a linear quality/language classifier (r12).
+
+    Each whitespace bigram maps to ``portable_hash(gram) mod
+    n_features`` — the md5-hex-slice hash shared with the minhash
+    family (``conv(substring(md5(g), 1, 8), 16, 10)``), bit-identical
+    in ANSI SQL, so the whole featurization is value-oracled. Output
+    is the sparse COO form ``(doc_id, feature, n)``: per-doc rows ≤
+    min(n_bigrams, n_features), the groupBy is map-side combinable,
+    and everything is whole-stage codegen — no Python, no vocabulary
+    state (the trick's whole point: no vocab build pass, collisions
+    traded for a fixed feature space).
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select("doc_id", F.explode(grams).alias("g"))
+    feature = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_features),
+    )
+    return (
+        exploded.select("doc_id", feature.alias("feature"))
+        .groupBy("doc_id", "feature")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

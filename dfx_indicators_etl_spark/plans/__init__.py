@@ -60,6 +60,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # (b) new in round 12 — appended as they land
     "stream_first_touch_ttl",
     "q_rolling_reach_bitmap",
+    "q_percent_rank",
+    "text_hashed_ngrams",
+    "ind_chained_index",
     # (c) the r8-evidence cohort, highest-signal first (16 fit)
     "stream_static_enrich",
     "stream_stream_join",

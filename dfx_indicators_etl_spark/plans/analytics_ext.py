@@ -4467,6 +4467,83 @@ def q_rolling_reach_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percent_rank",
+    # Tie-exact global PERCENT_RANK / CUME_DIST at scale: the oracle
+    # replays the literal window functions (tie semantics included —
+    # the 100k-wide revenue buckets force real ties), so a hash match
+    # proves the histogram-rank algebra reproduces rank = 1 + #smaller
+    # and cume = #at-or-below exactly.
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(FLOOR(CAST(FLOOR(SUM(o_totalprice)) AS BIGINT)
+                          / 100000) AS BIGINT) AS bucket
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, bucket,
+           ROUND(PERCENT_RANK() OVER (ORDER BY bucket), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY bucket), 6) AS cume_dist
+    FROM rev
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global PERCENT_RANK / CUME_DIST without a single-task global
+    sort — TIE-EXACT, the rank-normalization face of the
+    windows-at-scale family (r12).
+
+    ``PERCENT_RANK() OVER (ORDER BY v)`` forces Exchange
+    SinglePartition, and unlike ntile it is a pure function of TIE
+    GROUPS: rank(v) = 1 + #rows-below-v, cume(v) = #rows-at-or-below.
+    Both are exactly the distinct-value HISTOGRAM's cumulative counts
+    (the ``histogram_percentiles`` reduction): one combinable
+    ``(bucket → count)`` aggregate, a running sum over DISTINCT
+    buckets only (``global_running_sum`` — runtime-adaptive, so even
+    the cumulative stage never single-tasks at scale), then
+    pct_rank = (cum − cnt)/(n − 1) and cume = cum/n broadcast back
+    onto the row frame by bucket. The shuffled/broadcast frame is
+    bucket-grain — bounded-domain, orders of magnitude below row
+    count — and every per-row value in one equi-join.
+    """
+    from ..operators.scale import global_running_sum
+
+    (orders,) = read_tables(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.floor(
+            F.floor(F.sum("o_totalprice")).cast("bigint") / F.lit(100000)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    hist = (
+        rev.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = global_running_sum(
+        hist, "__c", [F.col("bucket").asc()], "__cum", total_col="__n"
+    )
+    ranked = cum.select(
+        "bucket",
+        F.when(
+            F.col("__n") > 1,
+            F.round(
+                (F.col("__cum") - F.col("__c")).cast("double")
+                / (F.col("__n") - 1).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        F.round(
+            F.col("__cum").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("cume_dist"),
+    )
+    return rev.join(F.broadcast(ranked), "bucket").select(
+        "o_custkey", "bucket", "pct_rank", "cume_dist"
+    )
+
+
+@query(
     "q_discount_elasticity",
     # Per-brand OLS slope of quantity on discount — does discounting
     # move volume. All five moments are exact decimal aggregates

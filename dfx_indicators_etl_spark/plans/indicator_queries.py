@@ -1902,3 +1902,109 @@ def ind_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+@query(
+    "ind_chained_index",
+    # Chain-linked Laspeyres index (base year = 100): the year-over-
+    # year links are ind_price_index's laspeyres quotients (rounded
+    # 6dp — published-link practice), chained by SEQUENTIAL rounded
+    # multiplication, which both engines replay with the identical
+    # recursive CTE — per-step rounding makes the fold
+    # order-DEFINED, so the hash match proves the chain arithmetic,
+    # not just the links.
+    oracle="""
+    WITH RECURSIVE py AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS p
+        FROM lineitem GROUP BY 1, 2
+    ),
+    links AS (
+        SELECT c.yr AS comp_year,
+               round(CAST(SUM(CAST(c.p * b.q AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(b.p * b.q AS DECIMAL(18,6)))
+                            AS DOUBLE), 6) AS link
+        FROM py b JOIN py c
+          ON b.l_partkey = c.l_partkey AND c.yr = b.yr + 1
+        GROUP BY 1
+    ),
+    chain(yr, idx) AS (
+        SELECT (SELECT MIN(comp_year) - 1 FROM links),
+               CAST(100.0 AS DOUBLE)
+        UNION ALL
+        SELECT l.comp_year, round(c.idx * l.link, 6)
+        FROM chain c JOIN links l ON l.comp_year = c.yr + 1
+    )
+    SELECT CAST(yr AS INT) AS year, idx AS chained_index FROM chain
+    """,
+)
+def ind_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-linked Laspeyres price index, base year = 100 — the
+    multi-year CHAINING step a statistical agency runs on top of
+    ``ind_price_index``'s year-over-year links (annual-overlap
+    method: each link re-weights to the previous year's basket, the
+    chain multiplies rounded published links).
+
+    The links frame is YEAR-grain (calendar-bounded — the
+    ``BOUNDED_EXACT`` argument: recursion depth = #years, never data
+    volume), built with the combinable exact-decimal basket sums
+    shared with ``ind_price_index``; the chain itself is Spark 4's
+    ``WITH RECURSIVE`` over that tiny frame, per-step 6dp rounding
+    making the sequential fold order-defined and engine-portable.
+    """
+    from ..sources import read_tables as _rts
+
+    (lineitem,) = _rts(spark, sf_dir, "lineitem")
+    py = lineitem.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("q"),
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("p"),
+    )
+    b, c = py.alias("b"), py.alias("c")
+    links = (
+        b.join(
+            c,
+            (F.col("b.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("c.yr") == F.col("b.yr") + 1),
+        )
+        .groupBy(F.col("c.yr").alias("comp_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c.p") * F.col("b.q")).cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(
+                    (F.col("b.p") * F.col("b.q")).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("link")
+        )
+    )
+    # materialize the year-grain links ONCE: the recursive join
+    # re-reads the view per iteration, and without the checkpoint each
+    # of the #years steps would re-run the whole basket aggregation
+    links = links.coalesce(1).localCheckpoint(eager=True)
+    links.createOrReplaceTempView("__ind_chain_links")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(yr, idx) AS (
+            SELECT (SELECT MIN(comp_year) - 1 FROM __ind_chain_links),
+                   CAST(100.0 AS DOUBLE)
+            UNION ALL
+            SELECT l.comp_year, round(c.idx * l.link, 6)
+            FROM chain c JOIN __ind_chain_links l ON l.comp_year = c.yr + 1
+        )
+        SELECT CAST(yr AS INT) AS year, idx AS chained_index FROM chain
+        """
+    )

@@ -1291,6 +1291,38 @@ def text_word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_hashed_ngrams",
+    # The hashing-trick featurizer replayed in SQL: same whitespace
+    # bigrams, same md5-hex-slice portable hash mod 1024 — a hash
+    # match proves the featurization (including collision behavior)
+    # bit-identical across engines.
+    oracle=f"""
+    WITH toks AS ({{TOKS}}),
+    grams AS (
+        SELECT doc_id,
+               unnest([t[i] || '_' || t[i+1] FOR i IN range(1, len(t))])
+                   AS g
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024
+                AS BIGINT) AS feature,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY 1, 2
+    """.replace("{TOKS}", TOKS_SQL),
+)
+def text_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bigram counts per document (hashing trick, 1024
+    features) — the sparse featurizer before a linear quality /
+    language classifier; no vocabulary pass, collisions traded for a
+    fixed feature space. Pure codegen; the portable md5 hash makes the
+    whole featurization value-oracled."""
+    return text.hashed_ngram_features(
+        read_table(spark, sf_dir, "documents"), n_features=1024
+    )
+
+
+@query(
     "text_quality_filter",
     oracle="""
     WITH q AS (

@@ -414,6 +414,7 @@ ADAPTIVE_EXACT = {
     "q_gains_lift": "operators.scale.global_ntile",
     "q_lorenz": "operators.scale.global_ntile",
     "q_peak_concurrency": "operators.scale.global_running_sum",
+    "q_percent_rank": "operators.scale.global_running_sum",
 }
 
 # key -> why the windowed frame cannot grow with data volume.

@@ -278,6 +278,7 @@ HEADLINE = (
     "q_percent_rank",
     "text_hashed_ngrams",
     "ind_chained_index",
+    "dedup_embedding_cosine_banded",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

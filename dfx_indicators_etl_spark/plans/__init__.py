@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_percent_rank",
     "text_hashed_ngrams",
     "ind_chained_index",
+    "dedup_embedding_cosine_banded",
     # (c) the r8-evidence cohort, highest-signal first (16 fit)
     "stream_static_enrich",
     "stream_stream_join",

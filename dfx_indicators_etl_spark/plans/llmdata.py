@@ -758,6 +758,41 @@ def _emb_rows(sf_dir: str) -> int | None:
 
 
 @query(
+    "dedup_embedding_cosine_banded",
+    # Same exact-pairs oracle as dedup_embedding_cosine: the banded
+    # generator's recall at this corpus/threshold is 1.0 by measured
+    # construction (L=24, auto p=2 at n=500 → per-pair miss ≈ 5e-6
+    # even AT the 0.40 boundary, deterministic formula planes), so the
+    # scale path itself carries a FULL value oracle and driver stamps.
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-gated LSH-banded pair generator run FIRST-CLASS (the
+    path ``dedup_embedding_cosine`` routes to above the ~100k-row
+    crossover, forced here at demo scale so the driver's correctness
+    gate exercises the scale path itself, not only the exact twin).
+    Candidates meet only inside hyperplane buckets; exact scoring
+    keeps precision 1.0; recall at this corpus/threshold is 1.0
+    (pytest-pinned identical to the exact path, SCALE.md
+    §pair-crossover for the general recall curve)."""
+    return similarity.banded_cosine_pairs(
+        read_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_rows=_emb_rows(sf_dir),
+    )
+
+
+@query(
     "emb_cosine_clusters",
     # The scored-pairs CTE is dedup_embedding_cosine's replay; the
     # recursive closure is dedup_clusters' — the third face of one

@@ -279,6 +279,7 @@ HEADLINE = (
     "text_hashed_ngrams",
     "ind_chained_index",
     "dedup_embedding_cosine_banded",
+    "stream_rolling_reach",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

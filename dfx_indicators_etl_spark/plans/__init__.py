@@ -64,6 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_hashed_ngrams",
     "ind_chained_index",
     "dedup_embedding_cosine_banded",
+    "stream_rolling_reach",
     # (c) the r8-evidence cohort, highest-signal first (16 fit)
     "stream_static_enrich",
     "stream_stream_join",

@@ -511,6 +511,49 @@ def _f_bitmap(spark, sf_dir):
     return [folded]
 
 
+@face("stream_rolling_reach")
+def _f_rolling_reach(spark, sf_dir):
+    # per-batch fold (day-grain bit_or words) + reader fold (w-day
+    # word explosion, OR-merge, popcount) — the shipped expressions
+    words = (
+        _events(spark, sf_dir)
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day", F.shiftright(F.col("user_id"), 6).alias("bkt"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("word")
+        )
+    )
+    folded = words.groupBy("day", "bkt").agg(
+        F.expr("bit_or(word)").alias("word")
+    )
+    bounds = folded.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = folded.select(
+        "bkt",
+        "word",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 13),
+                F.expr("interval 1 day"),
+            )
+        ).alias("report_day"),
+    )
+    reach = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("report_day") <= F.col("hi"))
+            & (F.col("report_day") >= F.date_add(F.col("lo"), 13))
+        )
+        .groupBy("report_day", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("report_day")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("reach"))
+    )
+    return [reach]
+
+
 def _nation(spark, sf_dir):
     return read_table(spark, sf_dir, "nation")
 

@@ -1220,3 +1220,56 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_rolling_reach",
+    # Same independent-method oracle as q_rolling_reach_bitmap: a
+    # literal sliding COUNT(DISTINCT) replay — equality proves the
+    # incremental OR-log lost/doubled/miscounted nothing across the
+    # 6-batch drain AND that the read-time window fold is exact.
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+    contrib AS (
+        SELECT d.user_id,
+               CAST(unnest(generate_series(d.day, d.day + 13,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS report_day
+        FROM d
+    )
+    SELECT report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
+    FROM contrib, bounds
+    WHERE report_day <= bounds.hi AND report_day >= bounds.lo + 13
+    GROUP BY report_day
+    """,
+)
+def stream_rolling_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling 14-day reach off an append-only day-grain
+    bitmap word log — the incremental face of
+    ``q_rolling_reach_bitmap`` (r12). Each of the 6 micro-batches
+    appends its per-(day, bucket) OR-words (idempotent + commutative —
+    the CRDT merge-only contract shared with ``stream_bitmap_distinct``,
+    restart/double-append safe by algebra); the reader folds the log
+    once and answers ANY window width without re-ingesting (the state
+    is day-grain by design). The oracle recomputes the sliding
+    COUNT(DISTINCT) from the raw table — an independent method."""
+    root = _scratch("dfx_stream_reach_")
+    try:
+        events = read_table(spark, sf_dir, "events")
+        landing = f"{root}/landing"
+        for b in range(6):
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        streaming.incremental_rolling_reach(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_rolling_reach(
+            spark, f"{root}/state", window_days=14
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1873,6 +1873,103 @@ def read_bitmap_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def incremental_rolling_reach(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming rolling-reach state maintenance — the incremental
+    face of ``q_rolling_reach_bitmap`` (r12), same CRDT-shaped
+    append-only OR-log contract as ``incremental_bitmap_distinct``
+    but at DAY grain: each micro-batch appends its per-(day,
+    user_id>>6) ``bit_or`` words and nothing is ever rewritten
+    (idempotent + commutative merge — checkpoint replays and
+    out-of-order batches converge to the same bits). The window width
+    is a READ-time choice: the same day-grain log answers any w
+    without re-ingesting, which is why the state is kept at day grain
+    rather than pre-windowed."""
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        words = (
+            batch_df.select(
+                F.col("ts").cast("date").alias("day"), F.col("user_id")
+            )
+            .groupBy("day", F.shiftright(F.col("user_id"), 6).alias("bkt"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+                ).alias("word")
+            )
+        )
+        words.write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"rolling-reach drain exceeded {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
+def read_rolling_reach(
+    spark: SparkSession, state_dir: str, window_days: int = 14
+) -> DataFrame:
+    """Fold the day-grain word log into exact rolling
+    ``window_days``-day reach per report day — the
+    ``q_rolling_reach_bitmap`` read shape off the incremental state:
+    OR-fold per (day, bkt), explode each day's word into the w report
+    days it supports (w× of day×bucket words, never the user-day
+    frame), OR-merge per (report_day, bkt), popcount. Report days
+    clip to full windows."""
+    ensure_session_confs(spark)
+    w = window_days
+    words = (
+        spark.read.parquet(state_dir)
+        .groupBy("day", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .localCheckpoint(eager=False)  # feeds bounds AND the explosion
+    )
+    bounds = words.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = words.select(
+        "bkt",
+        "word",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), w - 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("report_day") <= F.col("hi"))
+            & (F.col("report_day") >= F.date_add(F.col("lo"), w - 1))
+        )
+        .groupBy("report_day", "bkt")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .groupBy("report_day")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("reach"))
+    )
+
+
 def _scd2_changes(batch_df: DataFrame) -> DataFrame:
     """Per-user attribute-CHANGE rows of one frame: keep a row iff its
     event_type differs from the user's previous row in (ts, event_id)

@@ -219,6 +219,19 @@ PROBES = {
     # co-partitioned self-join; elasticity: five combinable moments
     "ind_price_index": ("lineitem",),
     "q_discount_elasticity": ("lineitem",),
+    # round 12: bitmap rolling reach (day×bucket word explosion —
+    # K× users grows buckets K×, days fixed); percent_rank
+    # (bucket-grain histogram + adaptive cumulative); hashed-bigram
+    # featurizer (suffixed replicas grow the gram space K×);
+    # chained index (links stay year-grain — wall should be FLAT);
+    # TTL attribution drain; the banded pair generator (bucketize +
+    # within-bucket matmuls — the scale path itself)
+    "q_rolling_reach_bitmap": ("events",),
+    "q_percent_rank": ("orders",),
+    "text_hashed_ngrams": ("documents",),
+    "ind_chained_index": ("lineitem",),
+    "stream_first_touch_ttl": ("events",),
+    "dedup_embedding_cosine_banded": ("embeddings",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -365,3 +365,66 @@ def test_rank_primitives_randomized_differential(spark):
         assert got == want, p
 
     run_pct()
+
+
+def test_rolling_reach_stream_restart_and_double_append(spark, sf_dir):
+    """The day-grain reach word log inherits the bitmap-OR replay
+    algebra: an interrupted-and-resumed drain converges to the batch
+    answer, and double-appending one batch's words changes nothing."""
+    import glob
+    import os
+
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.plans.streaming_queries import _scratch
+    from dfx_indicators_etl_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    want = {
+        (r["report_day"], r["reach"])
+        for r in QUERIES["q_rolling_reach_bitmap"](spark, sf_dir).collect()
+    }
+    root = _scratch("dfx_reach_restart_")
+    try:
+        landing, state, ckpt = (
+            f"{root}/landing", f"{root}/state", f"{root}/ckpt",
+        )
+        for b in range(6):
+            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        files = sorted(glob.glob(f"{landing}/part-*.parquet"))
+        for f in files[3:]:
+            os.rename(f, f + ".held")
+        streaming.incremental_rolling_reach(spark, landing, state, ckpt)
+        for f in files[3:]:
+            os.rename(f + ".held", f)
+        streaming.incremental_rolling_reach(spark, landing, state, ckpt)
+
+        def read():
+            return {
+                (r["report_day"], r["reach"])
+                for r in streaming.read_rolling_reach(
+                    spark, state, window_days=14
+                ).collect()
+            }
+
+        assert read() == want
+
+        # double-append one batch's words: reach must not move
+        one = spark.read.parquet(files[0])
+        words = (
+            one.select(F.col("ts").cast("date").alias("day"), "user_id")
+            .groupBy("day", F.shiftright("user_id", 6).alias("bkt"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+                ).alias("word")
+            )
+        )
+        words.write.mode("append").parquet(state)
+        assert read() == want
+    finally:
+        import shutil as sh
+
+        sh.rmtree(root, ignore_errors=True)

@@ -65,7 +65,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_chained_index",
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
-    # (c) the r8-evidence cohort, highest-signal first (16 fit)
+    # (c) the r8-evidence cohort, highest-signal first (9 fit
+    # after the seven (b) additions)
     "stream_static_enrich",
     "stream_stream_join",
     "stream_minhash_dedup_banded",
@@ -75,6 +76,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_shared_spans",
     "dedup_span_excise",
     "mm_phash_dedup",
+    # --- ~50-key boundary (34 + 7 new + 9): everything below
+    # overflows to r13 ---
     "mm_scene_cuts",
     "mm_audio_match",
     "text_cdc_chunks",
@@ -82,8 +85,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_temperature",
     "sink_bucketed_join",
     "ind_interpolate_years",
-    # --- ~50-key boundary (before any (b) additions):
-    # everything below overflows to r13 ---
     "ind_seasonal_index",
     "ind_m49_dim",
     "q10_returned_item",

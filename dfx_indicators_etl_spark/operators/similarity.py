@@ -316,15 +316,27 @@ def _bucketize_corpus(
     vec_col: str,
     num_tables: int,
     planes_per_table: int,
+    extra_probes: int = 0,
 ) -> DataFrame:
     """One narrow Arrow pass emitting each vector's L folded bucket
     keys (``hyperplane_lsh_topk``'s corpus-side bucketing, shared by
     the banded pair/kNN generators): a BLAS tensordot against the
     formula-rebuilt plane matrix, sign bits packed per table, table id
     folded into the key so ONE exchange serves every table.
+
+    ``extra_probes`` > 0 turns on MULTI-PROBE LSH (Lv et al., VLDB'07
+    — public technique): each vector additionally lands in the
+    buckets reached by flipping its 1st..k-th LEAST-CONFIDENT sign
+    bits (smallest |dot| — the bits most likely wrong for a true
+    near-neighbor), one flip per extra key. Two vectors then collide
+    if their sign patterns differ only in either side's weakest bits,
+    which lifts boundary-cosine recall far more cheaply than adding
+    tables: state grows (1+k)× per table vs L× for the equivalent
+    recall from more tables (measured: SCALE.md §multi-probe).
     """
     weights = (1 << np.arange(planes_per_table)).astype(np.int64)
     table_base = np.arange(num_tables, dtype=np.int64) << planes_per_table
+    k_probe = min(extra_probes, planes_per_table)
 
     def bucketize(batches):
         planes = None
@@ -339,11 +351,19 @@ def _bucketize_corpus(
             dots = np.tensordot(mat, planes, axes=([1], [2]))
             bits = (dots >= 0).astype(np.int64)
             keys = (bits * weights).sum(axis=2) + table_base
+            all_keys = [keys]
+            if k_probe:
+                # per (row, table): plane indices by ascending |dot| —
+                # flipping the j-th weakest bit is one XOR on the key
+                weak = np.argsort(np.abs(dots), axis=2)
+                for j in range(k_probe):
+                    all_keys.append(keys ^ (1 << weak[:, :, j]))
+            out = np.concatenate(all_keys, axis=1)
             yield pd.DataFrame(
                 {
                     "vid": pdf[id_col],
                     "vec": pdf[vec_col],
-                    "buckets": list(keys),
+                    "buckets": list(out),
                 }
             )
 
@@ -367,6 +387,7 @@ def banded_cosine_pairs(
     target_bucket_rows: int = 2_000,
     max_bucket: int = 8_000,
     n_rows: int | None = None,
+    extra_probes: int = 0,
 ) -> DataFrame:
     """Near-duplicate cosine pairs via RECALL-GATED hyperplane-LSH
     banding — the scale path ``embedding_cosine_pairs`` routes to
@@ -403,7 +424,8 @@ def banded_cosine_pairs(
             12, max(2, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
         )
     bucketed = _bucketize_corpus(
-        df, id_col, vec_col, num_tables, planes_per_table
+        df, id_col, vec_col, num_tables, planes_per_table,
+        extra_probes=extra_probes,
     )
 
     def score(key, pdf):
@@ -602,6 +624,7 @@ def knn_graph_banded(
     target_bucket_rows: int = 2_000,
     max_bucket: int = 8_000,
     n_rows: int | None = None,
+    extra_probes: int = 0,
 ) -> DataFrame:
     """k-NN graph via the recall-gated LSH banding — the scale path
     ``knn_graph`` routes to above the quadratic crossover.
@@ -627,7 +650,8 @@ def knn_graph_banded(
             12, max(2, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows)))
         )
     bucketed = _bucketize_corpus(
-        df, id_col, vec_col, num_tables, planes_per_table
+        df, id_col, vec_col, num_tables, planes_per_table,
+        extra_probes=extra_probes,
     )
 
     def score(key, pdf):

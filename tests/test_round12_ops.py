@@ -428,3 +428,78 @@ def test_rolling_reach_stream_restart_and_double_append(spark, sf_dir):
         import shutil as sh
 
         sh.rmtree(root, ignore_errors=True)
+
+
+def test_banded_pairs_precision_randomized(spark):
+    """Property pin for the banded generator's PRECISION-1.0 claim: on
+    random corpora (random dims, sizes, thresholds, forced p/L), every
+    banded pair must appear in the exact pair set with the identical
+    rounded cosine — banding may only MISS pairs, never invent or
+    mis-score one."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfx_indicators_etl_spark.operators import similarity as S
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=5, max_value=80),
+        dim=st.sampled_from([4, 8, 16]),
+        threshold=st.sampled_from([0.2, 0.5, 0.8]),
+        planes=st.integers(min_value=2, max_value=5),
+    )
+    def run(seed, n, dim, threshold, planes):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (i, [float(x) for x in rng.randn(dim)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in S.embedding_cosine_pairs_exact(
+                df, threshold=threshold
+            ).collect()
+        }
+        banded = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in S.banded_cosine_pairs(
+                df, threshold=threshold, planes_per_table=planes, n_rows=n
+            ).collect()
+        }
+        assert set(banded) <= set(exact), (seed, n, dim, threshold, planes)
+        assert all(exact[k] == banded[k] for k in banded)
+
+    run()
+
+
+def test_multi_probe_banding_strictly_widens(spark):
+    """Multi-probe LSH (extra_probes=k — flip the k least-confident
+    sign bits per table): the probe-k candidate pair set must CONTAIN
+    the probe-0 set (flips only add buckets, never remove), stay a
+    subset of the exact pair set (precision 1.0), and on the demo
+    corpus reach full recall like the base banding."""
+    from dfx_indicators_etl_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.embedding_cosine_pairs_exact(emb, 0.4).collect()
+    }
+    sets = {}
+    for k in (0, 1, 2):
+        sets[k] = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in S.banded_cosine_pairs(
+                emb, 0.4, n_rows=500, extra_probes=k
+            ).collect()
+        }
+    assert set(sets[0]) <= set(sets[1]) <= set(sets[2]) <= set(exact)
+    assert sets[2] == exact  # demo corpus: full recall
+    assert all(exact[p] == s[p] for s in sets.values() for p in s)

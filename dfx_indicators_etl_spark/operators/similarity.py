@@ -230,8 +230,13 @@ def embedding_cosine_pairs(
             df, threshold, id_col, vec_col, decimals,
             n_blocks, target_block_bytes,
         )
+    # extra_probes=1: the measured recall/cost point for the routed
+    # scale path (SCALE.md §multi-probe — boundary recall 0.75→0.97 at
+    # n=50k for ~(1+1)× bucket state; callers needing more dial the
+    # operator directly)
     return banded_cosine_pairs(
-        df, threshold, id_col, vec_col, decimals, n_rows=n_rows
+        df, threshold, id_col, vec_col, decimals, n_rows=n_rows,
+        extra_probes=1,
     )
 
 
@@ -504,7 +509,8 @@ def knn_graph(
             n_blocks, target_block_bytes,
         )
     return knn_graph_banded(
-        df, k, id_col, vec_col, decimals, mutual, n_rows=n_rows
+        df, k, id_col, vec_col, decimals, mutual, n_rows=n_rows,
+        extra_probes=1,
     )
 
 

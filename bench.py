@@ -280,6 +280,7 @@ HEADLINE = (
     "ind_chained_index",
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
+    "sim_lsh_ann_multiprobe",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

@@ -1049,6 +1049,7 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     num_tables: int = NUM_TABLES,
     planes_per_table: int = PLANES_PER_TABLE,
+    query_probes: int = 0,
 ) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH.
 
@@ -1116,6 +1117,18 @@ def hyperplane_lsh_topk(
         bits = (dots >= 0).astype(np.int64)
         keys = (bits * weights).sum(axis=1) + table_base
         probe_rows.extend((int(r[0]), int(b)) for b in keys)
+        # query-side MULTI-PROBE (Lv et al., VLDB'07): per table, also
+        # probe the buckets reached by flipping the 1st..k-th
+        # least-confident sign bits (smallest |dot| — ties break on
+        # the lower plane index, matching the SQL oracle's
+        # ORDER BY abs(dot), p). Corpus bucketing is untouched, so
+        # probe cost scales with (1 + query_probes)·|queries|, not
+        # corpus state.
+        if query_probes:
+            weak = np.argsort(np.abs(dots), axis=1, kind="stable")
+            for j in range(min(query_probes, planes_per_table)):
+                flipped = keys ^ (1 << weak[:, j])
+                probe_rows.extend((int(r[0]), int(b)) for b in flipped)
     probes = F.broadcast(
         corpus.sparkSession.createDataFrame(
             probe_rows, "query_id long, bucket bigint"

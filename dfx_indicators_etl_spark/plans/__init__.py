@@ -65,6 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_chained_index",
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
+    "sim_lsh_ann_multiprobe",
     # (c) the r8-evidence cohort, highest-signal first (9 fit
     # after the seven (b) additions)
     "stream_static_enrich",

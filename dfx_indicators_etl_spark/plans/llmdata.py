@@ -903,6 +903,87 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_lsh_ann_multiprobe",
+    # sim_lsh_ann's oracle with the query-side multi-probe replayed:
+    # each query ALSO probes, per table, the bucket reached by
+    # flipping its least-confident sign bit (smallest |dot|, ties on
+    # the lower plane index — ROW_NUMBER ORDER BY abs(dot), p). The
+    # |dot| ordering is engine-stable for the same reason the sign
+    # bits are (distinct planes' dots differ by ≫ fp-summation
+    # error), so the candidate set — and therefore the exact re-rank —
+    # is engine-identical.
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    comp AS (
+        SELECT t, p, j,
+               (((t*1000003 + p*10007 + j*131) * 2654435761) % 10000)
+                   / 10000.0 - 0.5 AS c
+        FROM range(12) rt(t), range(4) rp(p),
+             (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS j)
+    ),
+    dots AS (
+        SELECT e.vec_id, c.t, c.p, SUM(e.v[c.j + 1] * c.c) AS dot
+        FROM e CROSS JOIN comp c GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)
+                   + (t * 16) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    weakest AS (
+        SELECT vec_id, t, p FROM (
+            SELECT vec_id, t, p, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, t ORDER BY abs(dot), p
+            ) AS r FROM dots WHERE vec_id < 10
+        ) WHERE r = 1
+    ),
+    qprobe AS (
+        SELECT vec_id, bucket FROM buckets WHERE vec_id < 10
+        UNION
+        SELECT b.vec_id, xor(b.bucket, 1 << w.p) AS bucket
+        FROM buckets b JOIN weakest w
+          ON b.vec_id = w.vec_id AND b.t = w.t
+        WHERE b.vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM qprobe q JOIN buckets c USING (bucket)
+        WHERE c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM cand JOIN e a ON a.vec_id = cand.query_id
+                  JOIN e b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side MULTI-PROBE hyperplane-LSH ANN top-5 (r12): each
+    query additionally probes, per table, the bucket its
+    least-confident sign bit flips into — recall rises toward the
+    brute-force top-k for (1 + 1)× probe rows per query while corpus
+    state is untouched (multi-probe LSH, Lv et al. VLDB'07; the
+    corpus-side variant serves the banded pair generators). FULL
+    value oracle: the probe-key derivation replays in SQL."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        corpus=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        query_probes=1,
+    )
+
+
+@query(
     "emb_knn_graph",
     oracle="""
     WITH e AS (

@@ -15,6 +15,11 @@ and measures the fraction recovered by the PRODUCTION-capped paths:
   ``max_band_bucket=64``: plants +1-byte-shift copies (hash-identical,
   Hamming 0 — pigeonhole guarantees all 8 bands collide, so any miss
   is the CAP's doing, which is exactly what we're measuring).
+- ``similarity.banded_cosine_pairs`` (r12, the routed cosine scale
+  path, forced banded + the router's one probe): plants ±≤3%
+  component-scaled copies (cosine ≈ 0.999) into the K×-upscaled
+  embeddings, threshold 0.95 — the high-cosine regime semantic dedup
+  operates in.
 
 Run: ``python tools/recall_probe.py [K] [n_planted]`` (default 27 /
 200). Prints one JSON line:
@@ -38,7 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from scaling_probe import BASE, upscale  # noqa: E402
 
-from dfx_indicators_etl_spark.operators import dedup, multimodal  # noqa: E402
+from dfx_indicators_etl_spark.operators import dedup, multimodal, similarity  # noqa: E402
 from dfx_indicators_etl_spark.session import get_spark  # noqa: E402
 
 PLANT_OFFSET = 50_000_000_000  # above every replica-offset doc_id
@@ -157,6 +162,66 @@ def main() -> None:
             "seconds": round(time.time() - t0, 1),
         }
         payload.unpersist()
+
+        # --- banded cosine pairs (the r12 routed scale path, FORCED
+        # banded with the router's default one probe): plant
+        # perturbed copies (each component scaled by ±≤3% from a
+        # deterministic per-component formula → cosine ≈ 0.999) into
+        # the K×-upscaled embeddings and measure recovery at
+        # threshold 0.95 — the high-cosine regime semantic dedup
+        # actually operates in, as opposed to the §pair-crossover
+        # boundary-recall worst case.
+        upscale(spark, "embeddings", k, tmp)
+        emb = spark.read.parquet(f"{tmp}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        seeds = (
+            emb.orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
+            .limit(n_planted)
+            .localCheckpoint(eager=True)
+        )
+        perturbed = seeds.select(
+            (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, j: (
+                    x
+                    * (
+                        1.0
+                        + (
+                            F.pmod(F.col("vec_id") * 131 + j, F.lit(7))
+                            - F.lit(3)
+                        ).cast("double")
+                        / 100.0
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        corpus = emb.unionByName(perturbed).localCheckpoint(eager=True)
+        ids = [r["vec_id"] for r in seeds.select("vec_id").collect()]
+        n_corpus = corpus.count()
+        t0 = time.time()
+        pairs = similarity.banded_cosine_pairs(
+            corpus,
+            threshold=0.95,
+            n_rows=n_corpus,
+            extra_probes=1,
+        )
+        want = {(i, i + PLANT_OFFSET) for i in ids}
+        got = {
+            (min(r[0], r[1]), max(r[0], r[1]))
+            for r in pairs.select("id_a", "id_b").collect()
+        }
+        hit, tot = len(want & got), len(want)
+        out["dedup_embedding_cosine_banded"] = {
+            "k": k,
+            "n_corpus": n_corpus,
+            "extra_probes": 1,
+            "n_planted": tot,
+            "n_recovered": hit,
+            "recall": round(hit / tot, 4),
+            "seconds": round(time.time() - t0, 1),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))

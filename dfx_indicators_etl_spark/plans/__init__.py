@@ -66,8 +66,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
     "sim_lsh_ann_multiprobe",
-    # (c) the r8-evidence cohort, highest-signal first (9 fit
-    # after the seven (b) additions)
+    # (c) the r8-evidence cohort, highest-signal first (8 fit
+    # after the eight (b) additions)
     "stream_static_enrich",
     "stream_stream_join",
     "stream_minhash_dedup_banded",
@@ -76,9 +76,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_cdc_chunks",
     "dedup_shared_spans",
     "dedup_span_excise",
-    "mm_phash_dedup",
-    # --- ~50-key boundary (34 + 7 new + 9): everything below
+    # --- 50-key boundary (34 + 8 new + 8): everything below
     # overflows to r13 ---
+    "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",
     "text_cdc_chunks",

@@ -281,6 +281,7 @@ HEADLINE = (
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
     "sim_lsh_ann_multiprobe",
+    "ind_fisher_chained",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

@@ -66,6 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine_banded",
     "stream_rolling_reach",
     "sim_lsh_ann_multiprobe",
+    "ind_fisher_chained",
     # (c) the r8-evidence cohort, highest-signal first (8 fit
     # after the eight (b) additions)
     "stream_static_enrich",

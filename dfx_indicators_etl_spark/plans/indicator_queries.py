@@ -2008,3 +2008,132 @@ def ind_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(yr AS INT) AS year, idx AS chained_index FROM chain
         """
     )
+
+
+_FISHER_LINKS_SQL = """
+    WITH RECURSIVE py AS (
+        SELECT l_partkey,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS q,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS p
+        FROM lineitem GROUP BY 1, 2
+    ),
+    links AS (
+        SELECT c.yr AS comp_year,
+               round(CAST(SUM(CAST(c.p * b.q AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(b.p * b.q AS DECIMAL(18,6)))
+                            AS DOUBLE), 6) AS ll,
+               round(CAST(SUM(CAST(c.p * c.q AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(b.p * c.q AS DECIMAL(18,6)))
+                            AS DOUBLE), 6) AS pl
+        FROM py b JOIN py c
+          ON b.l_partkey = c.l_partkey AND c.yr = b.yr + 1
+        GROUP BY 1
+    ),
+    flinks AS (
+        SELECT comp_year, ll, pl,
+               round(sqrt(ll * pl), 6) AS fl
+        FROM links
+    ),
+    chain(yr, li, pi, fi) AS (
+        SELECT (SELECT MIN(comp_year) - 1 FROM flinks),
+               CAST(100.0 AS DOUBLE), CAST(100.0 AS DOUBLE),
+               CAST(100.0 AS DOUBLE)
+        UNION ALL
+        SELECT l.comp_year, round(c.li * l.ll, 6),
+               round(c.pi * l.pl, 6), round(c.fi * l.fl, 6)
+        FROM chain c JOIN flinks l ON l.comp_year = c.yr + 1
+    )
+    SELECT CAST(yr AS INT) AS year,
+           li AS laspeyres_index, pi AS paasche_index,
+           fi AS fisher_index
+    FROM chain
+"""
+
+
+@query("ind_fisher_chained", oracle=_FISHER_LINKS_SQL)
+def ind_fisher_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained Laspeyres, Paasche, and FISHER ideal indices, base year
+    = 100 — the annual-chain-weighting method national accounts
+    actually publish (the Fisher link is the geometric mean of each
+    year's Laspeyres and Paasche links; chaining multiplies the
+    ROUNDED published links, so the Fisher chain is its own recursion
+    column, not sqrt of the other two chains).
+
+    Same plan skeleton as ``ind_chained_index``: year-grain link
+    frame from combinable exact-decimal basket sums (both numerators
+    and both denominators in ONE aggregation pass over the
+    partkey-co-partitioned self-join), checkpointed once, three
+    chains folded in one ``WITH RECURSIVE`` whose per-step 6dp
+    rounding makes every fold order-defined and engine-portable
+    (sqrt is IEEE-exact on both engines). Depth = #years,
+    calendar-bounded.
+    """
+    from ..sources import read_tables as _rts
+
+    (lineitem,) = _rts(spark, sf_dir, "lineitem")
+    py = lineitem.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("q"),
+        (
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("p"),
+    )
+    b, c = py.alias("b"), py.alias("c")
+    links = (
+        b.join(
+            c,
+            (F.col("b.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("c.yr") == F.col("b.yr") + 1),
+        )
+        .groupBy(F.col("c.yr").alias("comp_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c.p") * F.col("b.q")).cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(
+                    (F.col("b.p") * F.col("b.q")).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("ll"),
+            F.round(
+                F.sum(
+                    (F.col("c.p") * F.col("c.q")).cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(
+                    (F.col("b.p") * F.col("c.q")).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("pl"),
+        )
+        .withColumn("fl", F.round(F.sqrt(F.col("ll") * F.col("pl")), 6))
+    )
+    links = links.coalesce(1).localCheckpoint(eager=True)
+    links.createOrReplaceTempView("__ind_fisher_links")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(yr, li, pi, fi) AS (
+            SELECT (SELECT MIN(comp_year) - 1 FROM __ind_fisher_links),
+                   CAST(100.0 AS DOUBLE), CAST(100.0 AS DOUBLE),
+                   CAST(100.0 AS DOUBLE)
+            UNION ALL
+            SELECT l.comp_year, round(c.li * l.ll, 6),
+                   round(c.pi * l.pl, 6), round(c.fi * l.fl, 6)
+            FROM chain c JOIN __ind_fisher_links l
+              ON l.comp_year = c.yr + 1
+        )
+        SELECT CAST(yr AS INT) AS year,
+               li AS laspeyres_index, pi AS paasche_index,
+               fi AS fisher_index
+        FROM chain
+        """
+    )

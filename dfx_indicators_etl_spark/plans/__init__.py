@@ -67,8 +67,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_rolling_reach",
     "sim_lsh_ann_multiprobe",
     "ind_fisher_chained",
-    # (c) the r8-evidence cohort, highest-signal first (8 fit
-    # after the eight (b) additions)
+    # (c) the r8-evidence cohort, highest-signal first (7 fit
+    # after the nine (b) additions)
     "stream_static_enrich",
     "stream_stream_join",
     "stream_minhash_dedup_banded",
@@ -76,9 +76,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_cdc_excise",
     "dedup_cdc_chunks",
     "dedup_shared_spans",
-    "dedup_span_excise",
-    # --- 50-key boundary (34 + 8 new + 8): everything below
+    # --- 50-key boundary (34 + 9 new + 7): everything below
     # overflows to r13 ---
+    "dedup_span_excise",
     "mm_phash_dedup",
     "mm_scene_cuts",
     "mm_audio_match",

@@ -282,6 +282,8 @@ HEADLINE = (
     "stream_rolling_reach",
     "sim_lsh_ann_multiprobe",
     "ind_fisher_chained",
+    # round-13 additions
+    "emb_pca_cov",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

@@ -359,8 +359,12 @@ def _bucketize_corpus(
             all_keys = [keys]
             if k_probe:
                 # per (row, table): plane indices by ascending |dot| —
-                # flipping the j-th weakest bit is one XOR on the key
-                weak = np.argsort(np.abs(dots), axis=2)
+                # flipping the j-th weakest bit is one XOR on the key.
+                # Stable so ties break on the lower plane index, same
+                # as the query-side derivation the SQL oracle replays
+                # (ORDER BY abs(dot), p) — bucket assignment must not
+                # depend on numpy's introsort.
+                weak = np.argsort(np.abs(dots), axis=2, kind="stable")
                 for j in range(k_probe):
                     all_keys.append(keys ^ (1 << weak[:, :, j]))
             out = np.concatenate(all_keys, axis=1)
@@ -1803,6 +1807,75 @@ def pca_partials_df(df: DataFrame, vec_col: str) -> DataFrame:
         .mapInPandas(partials, "idx long, val double")
         .groupBy("idx")
         .agg(F.sum("val").alias("val"))
+    )
+
+
+def pca_cov_partials_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT fixed-point covariance partials — the value-oracleable
+    face of the PCA first pass (VERDICT r12 #4: emb_pca was the only
+    non-approximate rows-only key; the gap was float64 partial sums,
+    whose addition order is engine/partitioning-dependent).
+
+    Each embedding coordinate quantizes to ``floor(x·scale)`` int64
+    (floor, not round: half-even vs half-away rounding differs across
+    engines; the float64 product ``x·scale`` is IEEE-identical
+    everywhere, so its floor is too). Integer sums are exact and
+    associative — partition order CANNOT matter — so DuckDB replaying
+    ``SUM(v[i]·v[j])`` row-by-row matches Spark's per-partition Arrow
+    partials bit-for-bit. Overflow headroom: |x| < 1 ⇒ |q| < 1e6 ⇒
+    each product < 1e12; int64 holds >9e18, safe past 1e6 rows per
+    dimension pair (and the probe scale here is ≤5e3).
+
+    Output is the long-form upper triangle: ``(-1, -1, n)`` count,
+    ``(i, -1, Σqᵢ)`` sums, ``(i, j≥i, Σqᵢqⱼ)`` second moments —
+    d²/2 + 3d/2 + 1 rows total, combined IN THE PLAN by a map-side-
+    combinable groupBy, independent of input partitioning (same
+    bounded-partials shape as ``pca_partials_df``).
+    """
+
+    def partials(batches):
+        n = 0
+        s = None
+        o = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.floor(
+                np.array(list(pdf[vec_col]), dtype=np.float64) * scale
+            ).astype(np.int64)
+            if s is None:
+                d = mat.shape[1]
+                s = np.zeros(d, dtype=np.int64)
+                o = np.zeros((d, d), dtype=np.int64)
+            n += len(mat)
+            s += mat.sum(axis=0)
+            o += mat.T @ mat
+        if n:
+            d = len(s)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        ([-1], np.arange(d, dtype=np.int64), iu)
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        ([-1], np.full(d, -1, dtype=np.int64), ju)
+                    ).astype("int32"),
+                    "s": np.concatenate(([n], s, o[iu, ju])).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(partials, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
     )
 
 

@@ -813,20 +813,32 @@ def hashed_ngram_features(
     df: DataFrame,
     text_col: str = "text",
     n_features: int = 1024,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Feature-hashing (hashing-trick) BIGRAM counts per document —
     the fastText/Vowpal-style sparse featurizer a training pipeline
     runs before a linear quality/language classifier (r12).
 
-    Each whitespace bigram maps to ``portable_hash(gram) mod
-    n_features`` — the md5-hex-slice hash shared with the minhash
-    family (``conv(substring(md5(g), 1, 8), 16, 10)``), bit-identical
-    in ANSI SQL, so the whole featurization is value-oracled. Output
-    is the sparse COO form ``(doc_id, feature, n)``: per-doc rows ≤
-    min(n_bigrams, n_features), the groupBy is map-side combinable,
-    and everything is whole-stage codegen — no Python, no vocabulary
-    state (the trick's whole point: no vocab build pass, collisions
-    traded for a fixed feature space).
+    Two hash families, the same deliberate split the minhash family
+    documents (operators/dedup.py module docstring):
+
+    - ``"portable"`` (default; the oracled registry face): each
+      whitespace bigram maps to ``portable_hash(gram) mod n_features``
+      — the md5-hex-slice hash (``conv(substring(md5(g), 1, 8), 16,
+      10)``), bit-identical in ANSI SQL, so the whole featurization is
+      value-oracled.
+    - ``"xxhash64"`` (the production fast path, r13): ``pmod(
+      xxhash64(gram), n_features)`` — one JVM codegen intrinsic
+      instead of an md5 digest + hex conv per gram (~5× cheaper on
+      the gram pass, SCALE.md §round-13). Engine-specific, so not
+      SQL-oracled; a pytest pin asserts its feature distribution and
+      collision statistics match the portable key's shape.
+
+    Either way the output is the sparse COO form ``(doc_id, feature,
+    n)``: per-doc rows ≤ min(n_bigrams, n_features), the groupBy is
+    map-side combinable, and everything is whole-stage codegen — no
+    Python, no vocabulary state (the trick's whole point: no vocab
+    build pass, collisions traded for a fixed feature space).
     """
     toks = tokens(text_col)
     grams = F.when(
@@ -839,10 +851,17 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select("doc_id", F.explode(grams).alias("g"))
-    feature = F.pmod(
-        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint"),
-        F.lit(n_features),
-    )
+    if hash_family == "xxhash64":
+        feature = F.pmod(F.xxhash64(F.col("g")), F.lit(n_features))
+    elif hash_family == "portable":
+        feature = F.pmod(
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_features),
+        )
+    else:  # fail loudly: a typo must not silently change the features
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return (
         exploded.select("doc_id", feature.alias("feature"))
         .groupBy("doc_id", "feature")

@@ -12,72 +12,15 @@ from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-12 rotation (VERDICT r11 #1): (a) the full
-# 34-key r7-evidence cohort — the committed r12 queue's 23 overflow
-# keys verbatim, then the 11 remaining r7 keys (ANN trio, streaming
-# state, text-LM, kmeans/pq); (b) keys NEW in round 12, appended as
-# they land so they never join the unstamped backlog; (c) the 49-key
-# r8-evidence cohort ordered highest-signal-first (streaming joins,
-# CDC/span dedup, multimodal, then the stable relational shapes) —
-# everything past the 50-key boundary overflows to the r13 queue.
+# in insertion order. Round-13 rotation (VERDICT r12 #1): (a) the
+# 42-key r8-evidence overflow cohort — the committed r13 queue's
+# ordering verbatim (highest-signal multimodal/CDC/graph keys first,
+# then the stable relational block); (b) keys NEW in round 13,
+# appended as they land so they never join the unstamped backlog;
+# (c) the r9-evidence cohort fills whatever window room remains —
+# everything past the 50-key boundary overflows to the r14 queue.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) the committed r12 queue's 23-key overflow cohort, verbatim
-    "q_event_transitions",
-    "q_histogram",
-    "q_incremental_agg",
-    "q_scd2_intervals",
-    "q_snapshot_diff",
-    "q_yoy_growth",
-    "ind_changepoint_cusum",
-    "ind_forecast_trend",
-    "ind_outlier_flags",
-    "ind_panel_balance",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "sample_priority",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "ind_rebase_index",
-    "ind_series_export",
-    "sink_compact_roundtrip",
-    # (a cont.) the 11 remaining r7-evidence keys
-    "sim_lsh_ann",
-    "sim_ivf_ann",
-    "sim_ivfpq_ann",
-    "emb_kmeans",
-    "emb_pq_codes",
-    "stream_events_windowed",
-    "stream_anomaly",
-    "stream_minhash_dedup",
-    "text_bigram_logprob",
-    "text_entropy",
-    "text_pmi_bigrams",
-    # (b) new in round 12 — appended as they land
-    "stream_first_touch_ttl",
-    "q_rolling_reach_bitmap",
-    "q_percent_rank",
-    "text_hashed_ngrams",
-    "ind_chained_index",
-    "dedup_embedding_cosine_banded",
-    "stream_rolling_reach",
-    "sim_lsh_ann_multiprobe",
-    "ind_fisher_chained",
-    # (c) the r8-evidence cohort, highest-signal first (7 fit
-    # after the nine (b) additions)
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_minhash_dedup_banded",
-    "dedup_incremental",
-    "dedup_cdc_excise",
-    "dedup_cdc_chunks",
-    "dedup_shared_spans",
-    # --- 50-key boundary (34 + 9 new + 7): everything below
-    # overflows to r13 ---
+    # (a) the committed r13 queue's 42-key r8-evidence cohort, verbatim
     "dedup_span_excise",
     "mm_phash_dedup",
     "mm_scene_cuts",
@@ -120,6 +63,63 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_winsorize",
     "q_market_basket",
     "q_interval_overlap",
+    # (b) new in round 13 — appended as they land
+    "emb_pca_cov",
+    # --- 50-key boundary (42 + 1 new + 7): keys below overflow ---
+    # (c) the r9-evidence cohort fills the remaining window room,
+    # highest-signal first (streaming state, graph, sketch trio,
+    # then the indicator-model block). Each new (b) key pushes the
+    # tail of this block past the boundary into the r14 queue.
+    "stream_dedup",
+    "stream_sessionize",
+    "stream_late_data",
+    "q_asof_join",
+    "q_skew_salted_join",
+    "q_time_rollup",
+    "q_range_join",
+    "q_triangle_count",
+    "q_bfs_hops",
+    "q_cheapest_path",
+    "q_dpp_prune",
+    "q_bloom_prefilter_join",
+    "mm_video_dedup",
+    "mm_phash_dedup_256",
+    "mm_audio_landmarks",
+    "mm_scene_signatures",
+    "sink_schema_evolution",
+    "sink_orc_roundtrip",
+    "text_tfidf",
+    "text_chunk",
+    "text_pack_bins",
+    "emb_int8_quantize",
+    "q_events_daily",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_hll_sketch",
+    "q11_important_stock",
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_session_window_native",
+    "q_custom_agg_geomean",
+    "q_table_profile",
+    "q_abc_analysis",
+    "q_bitmap_distinct",
+    "q_cumulative_distinct",
+    "q_ks_drift",
+    "ind_standardize",
+    "ind_observation_view",
+    "ind_combine_dimensions",
+    "ind_melt",
+    "ind_country_map",
+    "ind_country_filter",
+    "ind_year_filter",
+    "ind_dedup_first",
+    "ind_insert_ignore",
+    "ind_metadata_dedup",
+    "ind_validate",
+    "ind_indicator_format",
+    "ind_value_stats",
+    "ind_pipeline_e2e",
 ]
 
 

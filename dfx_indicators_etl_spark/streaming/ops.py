@@ -1358,6 +1358,17 @@ def stream_first_touch_attribution_ttl(
     ``stream_last_touch_attribution`` eviction argument). State is
     therefore bounded by LIVE touches, not users ever seen — the
     bounded-state trade the NoTimeout key refuses.
+
+    Arrival-order assumption (same divergence the non-TTL variant
+    documents): with ``withWatermark`` + ``EventTimeTimeout``,
+    ``applyInPandasWithState`` DROPS input rows whose event time is
+    older than the current watermark, so a touch or purchase arriving
+    more than ``watermark`` out of event-time order across micro-batch
+    boundaries is silently lost (touch → later purchases read
+    'direct'; purchase → no output row). The oracle's frame-ordered
+    SQL sees every row, so exactness holds only for arrival within the
+    watermark horizon — the standard Structured Streaming late-data
+    contract, audited end-to-end by ``stream_late_data``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1406,7 +1417,10 @@ def stream_first_touch_attribution_ttl(
                     t, tid, e = s, eid, etype
         if t is not None:
             expiry_ms = (t * 1000 + origin_ms) + ttl_s * 1000
-            if expiry_ms <= state.getCurrentWatermarkMs():
+            # Strict '<': the credit test is INCLUSIVE (s − t ≤ ttl), so
+            # a purchase at exactly touch+TTL arriving in a later batch
+            # whose watermark equals expiry must still find the touch.
+            if expiry_ms < state.getCurrentWatermarkMs():
                 state.remove()  # already beyond TTL — keep state tight
             else:
                 if (t, tid, e) != stored:

@@ -1,0 +1,152 @@
+"""Round-13 pins: the xxhash64 production fast path for the hashing-
+trick featurizer (VERDICT r12 #3) — the portable md5 face stays the
+oracled registry key; the fast path must match its feature-space
+SHAPE (totals, sparsity, load distribution), not its exact buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from dfx_indicators_etl_spark.operators import text
+from dfx_indicators_etl_spark.sources.readers import read_table
+
+N_FEATURES = 1024
+
+
+@pytest.fixture(scope="module")
+def fam_stats(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = {}
+    for fam in ("portable", "xxhash64"):
+        feats = text.hashed_ngram_features(
+            docs, n_features=N_FEATURES, hash_family=fam
+        ).cache()
+        hist = (
+            feats.groupBy("feature")
+            .agg(F.sum("n").alias("load"))
+            .agg(
+                F.count(F.lit(1)).alias("occupied"),
+                F.max("load").alias("max_load"),
+                F.sum("load").alias("total"),
+            )
+            .collect()[0]
+        )
+        out[fam] = {
+            "coo_rows": feats.count(),
+            "total_grams": feats.agg(F.sum("n")).collect()[0][0],
+            "occupied": hist["occupied"],
+            "max_load": hist["max_load"],
+        }
+        feats.unpersist()
+    return out
+
+
+def test_total_gram_mass_identical(fam_stats):
+    # The hash family only relabels grams — the total bigram count
+    # (sum of n) must be bit-identical between families.
+    assert fam_stats["portable"]["total_grams"] == (
+        fam_stats["xxhash64"]["total_grams"]
+    )
+
+
+def test_collision_statistics_match_shape(fam_stats):
+    # COO row count = Σ_doc distinct features hit; within-doc
+    # collisions differ per family only by hash luck. Both families
+    # are uniform 64-bit hashes folded mod 1024, so the sparsity must
+    # agree within 2%.
+    a = fam_stats["portable"]["coo_rows"]
+    b = fam_stats["xxhash64"]["coo_rows"]
+    assert abs(a - b) / a < 0.02, (a, b)
+
+
+def test_feature_space_load_shape_matches(fam_stats):
+    # The bigram distribution is Zipfian, so bucket loads are NOT
+    # uniform — the shape pin is family-vs-family: both 64-bit hashes
+    # folded mod 1024 must occupy the same number of buckets (±3%)
+    # and agree on the heaviest bucket's load within 1.5x (the top
+    # load is the top-gram count plus hash-luck collisions).
+    a, b = fam_stats["portable"], fam_stats["xxhash64"]
+    assert abs(a["occupied"] - b["occupied"]) / a["occupied"] < 0.03, (a, b)
+    hi, lo = max(a["max_load"], b["max_load"]), min(
+        a["max_load"], b["max_load"]
+    )
+    assert hi / lo < 1.5, (a, b)
+
+
+def test_unknown_family_raises(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="hash_family"):
+        text.hashed_ngram_features(docs, hash_family="fnv1a").collect()
+
+
+def test_pca_cov_partials_partition_independent(spark, sf_dir):
+    # Integer sums are associative — the exact partials must be
+    # BIT-identical under any input partitioning (the float64
+    # partials emb_pca folds are not, which is why this face exists).
+    from dfx_indicators_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = {
+        (r["i"], r["j"]): r["s"]
+        for r in similarity.pca_cov_partials_exact(
+            emb.repartition(1)
+        ).collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["s"]
+        for r in similarity.pca_cov_partials_exact(
+            emb.repartition(13)
+        ).collect()
+    }
+    assert a == b
+    d = 64
+    assert len(a) == d * (d + 1) // 2 + d + 1
+    assert a[(-1, -1)] == emb.count()
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    # Sign/order-immune projection pins (VERDICT r12 #4): explained
+    # variance per component matches the numpy eigenvalues, and the
+    # out_dim=d projection is an isometry (pairwise distances
+    # preserved to 6dp) — true regardless of eigenvector sign flips
+    # or within-tie ordering.
+    import numpy as np
+
+    from dfx_indicators_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    proj = {
+        r["vec_id"]: np.array(r["projected"], dtype=np.float64)
+        for r in similarity.pca_project(
+            emb, out_dim=mat.shape[1]
+        ).collect()
+    }
+    p = np.array([proj[r["vec_id"]] for r in rows])
+    # per-component variance == eigenvalues, descending
+    vals = np.sort(np.linalg.eigh(np.cov(mat, rowvar=False))[0])[::-1]
+    got_var = p.var(axis=0, ddof=1)
+    assert np.allclose(got_var, vals, atol=1e-4)
+    assert (np.diff(got_var) <= 1e-9).all()  # decreasing
+    # full-rank rotation preserves pairwise distances
+    rng = np.random.RandomState(0)
+    idx = rng.choice(len(mat), size=(50, 2))
+    d_orig = np.linalg.norm(mat[idx[:, 0]] - mat[idx[:, 1]], axis=1)
+    d_proj = np.linalg.norm(p[idx[:, 0]] - p[idx[:, 1]], axis=1)
+    assert np.allclose(d_orig, d_proj, atol=1e-5)
+
+
+def test_portable_face_unchanged_by_default(spark, sf_dir):
+    # The registry key runs the default family; pin that the default
+    # IS the portable md5 derivation (a silent default flip would
+    # break the committed oracle).
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    default = text.hashed_ngram_features(docs, n_features=N_FEATURES)
+    portable = text.hashed_ngram_features(
+        docs, n_features=N_FEATURES, hash_family="portable"
+    )
+    assert default.exceptAll(portable).count() == 0
+    assert portable.exceptAll(default).count() == 0

@@ -829,8 +829,10 @@ def hashed_ngram_features(
       value-oracled.
     - ``"xxhash64"`` (the production fast path, r13): ``pmod(
       xxhash64(gram), n_features)`` — one JVM codegen intrinsic
-      instead of an md5 digest + hex conv per gram (~5× cheaper on
-      the gram pass, SCALE.md §round-13). Engine-specific, so not
+      instead of an md5 digest + hex conv per gram. Measured at
+      sf0.1: 1.28× end-to-end (4.15 → 3.25 s min-of-3) — the hash is
+      ~22% of the operator's cost; explode + the map-combinable
+      groupBy dominate (SCALE.md §round-13). Engine-specific, so not
       SQL-oracled; a pytest pin asserts its feature distribution and
       collision statistics match the portable key's shape.
 

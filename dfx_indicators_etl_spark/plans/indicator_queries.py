@@ -1995,6 +1995,16 @@ def ind_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-reads the view per iteration, and without the checkpoint each
     # of the #years steps would re-run the whole basket aggregation
     links = links.coalesce(1).localCheckpoint(eager=True)
+    rows = links.collect()  # control-plane: one row per period
+    if len(rows) > CHAIN_CTE_MAX_STEPS:
+        # long chain: ~0.3-0.4 s/step of recursive-CTE driver
+        # scheduling would dominate — fold the collected links
+        # driver-side with the identical HALF_UP arithmetic
+        # (adaptive swap, VERDICT r12 #5; pinned bit-identical)
+        return spark.createDataFrame(
+            _chain_fold_rows(rows, ["link"]),
+            "year int, chained_index double",
+        )
     links.createOrReplaceTempView("__ind_chain_links")
     return spark.sql(
         """
@@ -2008,6 +2018,56 @@ def ind_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(yr AS INT) AS year, idx AS chained_index FROM chain
         """
     )
+
+
+# --- Adaptive chain folding (VERDICT r12 #5) -----------------------
+# The recursive-CTE chain costs ~0.3-0.4 s of driver scheduling PER
+# STEP, flat in data volume (tools/chain_fold_probe.py; SCALE.md
+# §round-13 step-cost table) — fine at calendar-year depth, a cliff
+# for a monthly/hundreds-step chain. Above CHAIN_CTE_MAX_STEPS the
+# links frame — already control-plane: one row per period, coalesced
+# to 1 partition and checkpointed — is collected and folded
+# driver-side with the SAME arithmetic Spark's Round applies to a
+# double (IEEE float64 multiply, then HALF_UP at 6dp on the shortest
+# round-trip decimal: Java BigDecimal.valueOf(d) parses
+# Double.toString(d); Python's Decimal(repr(x)) is the same
+# construction), so both paths are pytest-pinned bit-identical
+# (tests/test_round13_ops.py) and the recursive CTE stays the oracle
+# face the driver replays in DuckDB.
+
+CHAIN_CTE_MAX_STEPS = 40
+
+
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _chain_fold_rows(
+    links_rows, link_cols: list[str]
+) -> list[tuple]:
+    """Driver-side replay of the recursive CTE's fold: start at
+    min(comp_year)−1 with every chain at 100.0, then walk CONSECUTIVE
+    years only (the CTE's ``l.comp_year = c.yr + 1`` join stops at a
+    calendar gap, so the fold must too)."""
+    by_year = {int(r["comp_year"]): r for r in links_rows}
+    if not by_year:  # CTE seed over an empty links frame: (NULL, 100…)
+        return [(None,) + (100.0,) * len(link_cols)]
+    yr = min(by_year) - 1
+    vals = [100.0] * len(link_cols)
+    out = [(yr, *vals)]
+    while yr + 1 in by_year:
+        yr += 1
+        row = by_year[yr]
+        vals = [
+            _round6_half_up(v * float(row[c]))
+            for v, c in zip(vals, link_cols)
+        ]
+        out.append((yr, *vals))
+    return out
 
 
 _FISHER_LINKS_SQL = """
@@ -2118,6 +2178,14 @@ def ind_fisher_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fl", F.round(F.sqrt(F.col("ll") * F.col("pl")), 6))
     )
     links = links.coalesce(1).localCheckpoint(eager=True)
+    rows = links.collect()  # control-plane: one row per period
+    if len(rows) > CHAIN_CTE_MAX_STEPS:
+        # adaptive long-chain swap — see _chain_fold_rows
+        return spark.createDataFrame(
+            _chain_fold_rows(rows, ["ll", "pl", "fl"]),
+            "year int, laspeyres_index double, paasche_index double,"
+            " fisher_index double",
+        )
     links.createOrReplaceTempView("__ind_fisher_links")
     return spark.sql(
         """

@@ -139,6 +139,41 @@ def test_pca_projection_invariants(spark, sf_dir):
     assert np.allclose(d_orig, d_proj, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "key", ["ind_chained_index", "ind_fisher_chained"]
+)
+def test_chain_fold_paths_bit_identical(spark, sf_dir, key, monkeypatch):
+    # Adaptive long-chain swap (VERDICT r12 #5): forcing the driver-
+    # side decimal fold (threshold 0) must reproduce the recursive
+    # CTE's output bit-for-bit on the real links — the fold uses the
+    # same IEEE multiply + HALF_UP 6dp round Spark's Round applies.
+    from dfx_indicators_etl_spark.plans import QUERIES
+    from dfx_indicators_etl_spark.plans import indicator_queries as iq
+
+    cte = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+    monkeypatch.setattr(iq, "CHAIN_CTE_MAX_STEPS", 0)
+    fold = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+    assert cte == fold
+
+
+def test_chain_fold_stops_at_calendar_gap():
+    # The CTE's l.comp_year = c.yr + 1 join ends the recursion at a
+    # gap year; the driver fold must stop identically, not skip over.
+    from dfx_indicators_etl_spark.plans.indicator_queries import (
+        _chain_fold_rows,
+    )
+
+    rows = [
+        {"comp_year": 2001, "link": 1.02},
+        {"comp_year": 2002, "link": 0.99},
+        {"comp_year": 2004, "link": 1.50},  # 2003 missing — unreachable
+    ]
+    out = _chain_fold_rows(rows, ["link"])
+    assert [r[0] for r in out] == [2000, 2001, 2002]
+    assert out[1][1] == 102.0 and out[2][1] == 100.98
+    assert _chain_fold_rows([], ["link"]) == [(None, 100.0)]
+
+
 def test_portable_face_unchanged_by_default(spark, sf_dir):
     # The registry key runs the default family; pin that the default
     # IS the portable md5 derivation (a silent default flip would

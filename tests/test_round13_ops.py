@@ -174,6 +174,49 @@ def test_chain_fold_stops_at_calendar_gap():
     assert _chain_fold_rows([], ["link"]) == [(None, 100.0)]
 
 
+def test_knn_multiprobe_recall_gate_boundary_shape(spark):
+    # VERDICT r12 #6: the kNN banded route's recall at the LOW-cosine
+    # tail (random corpus — top-k neighbors sit at the LSH boundary).
+    # The probe (tools/knn_multiprobe_probe.py, SCALE.md §round-13)
+    # showed one probe at L=24 beats DOUBLING L at the same bucket-
+    # state volume; this pins the small deterministic replica of that
+    # curve (xxhash64-synth corpus, n=3000, planes=4: measured
+    # p0=0.9536, p1=0.9963, p2=0.9995).
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / "tools")
+    )
+    from pair_crossover_probe import synth
+
+    from dfx_indicators_etl_spark.operators import similarity as S
+
+    n = 3000
+    df = synth(spark, n)
+    exact = {
+        (r["src"], r["dst"])
+        for r in S.knn_graph_exact(df, k=5, mutual=False).collect()
+    }
+    recall = {}
+    for p in (0, 1):
+        got = {
+            (r["src"], r["dst"])
+            for r in S.knn_graph_banded(
+                df,
+                k=5,
+                mutual=False,
+                n_rows=n,
+                planes_per_table=4,
+                extra_probes=p,
+            ).collect()
+        }
+        recall[p] = len(got & exact) / len(exact)
+    assert recall[0] >= 0.90, recall
+    assert recall[1] >= 0.99, recall
+    assert recall[1] > recall[0], recall
+
+
 def test_portable_face_unchanged_by_default(spark, sf_dir):
     # The registry key runs the default family; pin that the default
     # IS the portable md5 derivation (a silent default flip would

@@ -232,6 +232,13 @@ PROBES = {
     "ind_chained_index": ("lineitem",),
     "stream_first_touch_ttl": ("events",),
     "dedup_embedding_cosine_banded": ("embeddings",),
+    # round 13: streaming rolling reach (stateful word CRDT — state is
+    # day×bucket words, K× users grows buckets K×); Fisher chain
+    # (year-grain links — flat like ind_chained_index); exact PCA
+    # covariance partials (one Arrow pass, d²-bounded output)
+    "stream_rolling_reach": ("events",),
+    "ind_fisher_chained": ("lineitem",),
+    "emb_pca_cov": ("embeddings",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -52,7 +52,15 @@ def main() -> int:
 
         spark = SparkSession.builder.master("local[8]").appName("compare").getOrCreate()
     else:
-        spark = get_spark("compare")
+        # SPARK_GRAFT_MASTER=local-cluster[4,8,4096] re-runs the gate
+        # on a multi-JVM profile (serialized shuffle fetch between
+        # executor processes — the cost/correctness component local[n]
+        # hides), same knob as the probe tools.
+        import os
+
+        spark = get_spark(
+            "compare", master=os.environ.get("SPARK_GRAFT_MASTER")
+        )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:

@@ -499,12 +499,19 @@ def knn_graph(
     target_block_bytes: int = 256 << 20,
     n_rows: int | None = None,
     small_rows_threshold: int = EXACT_PAIRS_MAX_ROWS,
+    extra_probes: int = 1,
 ) -> DataFrame:
     """Cosine k-NN graph — RUNTIME-ADAPTIVE like
     ``embedding_cosine_pairs`` (same quadratic class, same crossover):
     the exact blocked self-join (``knn_graph_exact``) at or below
     ``small_rows_threshold`` corpus rows, the recall-gated LSH-banded
-    candidate generator (``knn_graph_banded``) above it."""
+    candidate generator (``knn_graph_banded``) above it.
+
+    ``extra_probes`` (default 1) is the banded path's multi-probe
+    knob: each extra probe costs one more bucket-state copy and buys
+    more low-cosine recall than doubling ``num_tables`` at the same
+    state volume (measured — SCALE.md §kNN multi-probe: at 2× state,
+    1 probe → recall 0.9977 vs L=48 → 0.9826)."""
     if n_rows is None:
         n_rows = fast_row_count(df)
     if n_rows <= small_rows_threshold:
@@ -514,7 +521,7 @@ def knn_graph(
         )
     return knn_graph_banded(
         df, k, id_col, vec_col, decimals, mutual, n_rows=n_rows,
-        extra_probes=1,
+        extra_probes=extra_probes,
     )
 
 

@@ -284,6 +284,7 @@ HEADLINE = (
     "ind_fisher_chained",
     # round-13 additions
     "emb_pca_cov",
+    "ind_chained_index_monthly",
     "ind_splice",
     "q_order_gaps",
     "dedup_templates",

@@ -65,7 +65,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_interval_overlap",
     # (b) new in round 13 — appended as they land
     "emb_pca_cov",
-    # --- 50-key boundary (42 + 1 new + 7): keys below overflow ---
+    "ind_chained_index_monthly",
+    # --- 50-key boundary (42 + 2 new + 6): keys below overflow ---
     # (c) the r9-evidence cohort fills the remaining window room,
     # highest-signal first (streaming state, graph, sketch trio,
     # then the indicator-model block). Each new (b) key pushes the

@@ -2039,21 +2039,32 @@ CHAIN_CTE_MAX_STEPS = 40
 
 
 def _round6_half_up(x: float) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    )
+    # prec=400: Java's BigDecimal.setScale is arbitrary-precision;
+    # Python's default 28-digit context raises InvalidOperation
+    # quantizing a value past ~1e22 to 6dp. 400 digits covers the
+    # full double range (1.8e308 needs 309 integer + 6 fraction
+    # digits) — control-plane scalars, so the wide context is free.
+    with localcontext() as ctx:
+        ctx.prec = 400
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
 
 
 def _chain_fold_rows(
-    links_rows, link_cols: list[str]
+    links_rows, link_cols: list[str], period_col: str = "comp_year"
 ) -> list[tuple]:
     """Driver-side replay of the recursive CTE's fold: start at
-    min(comp_year)−1 with every chain at 100.0, then walk CONSECUTIVE
-    years only (the CTE's ``l.comp_year = c.yr + 1`` join stops at a
-    calendar gap, so the fold must too)."""
-    by_year = {int(r["comp_year"]): r for r in links_rows}
+    min(period)−1 with every chain at 100.0, then walk CONSECUTIVE
+    periods only (the CTE's ``l.comp_year = c.yr + 1`` join stops at
+    a calendar gap, so the fold must too). ``period_col`` names the
+    link frame's period key (year for the annual chains, a month
+    index for ``ind_chained_index_monthly``)."""
+    by_year = {int(r[period_col]): r for r in links_rows}
     if not by_year:  # CTE seed over an empty links frame: (NULL, 100…)
         return [(None,) + (100.0,) * len(link_cols)]
     yr = min(by_year) - 1
@@ -2068,6 +2079,124 @@ def _chain_fold_rows(
         ]
         out.append((yr, *vals))
     return out
+
+
+@query(
+    "ind_chained_index_monthly",
+    # The LONG-chain face (r13): ~82 month-over-month links, so the
+    # Spark side runs the ADAPTIVE DRIVER FOLD (>40 links) while the
+    # oracle replays the full recursive CTE in DuckDB — a hash match
+    # pins the fold's HALF_UP arithmetic against an independent
+    # engine's recursion at ~82 compounded roundings, the depth
+    # regime the yearly keys never reach. The link is the DUTOT form
+    # (ratio of matched-sample average prices — sums before any
+    # division): at month grain a part has ~1-2 lineitems, so any
+    # per-part unit-price ratio is heavy-tailed (E[1/qty] ≫ 1/E[qty])
+    # and a Laspeyres link on this synthetic data compounds to ~1e28,
+    # past meaningful 6dp rounding; Dutot's sum-level ratio
+    # concentrates near 1 and chains to O(100).
+    oracle="""
+    WITH RECURSIVE pm AS (
+        SELECT l_partkey,
+               CAST(EXTRACT(year FROM l_shipdate) * 12
+                    + EXTRACT(month FROM l_shipdate) - 1 AS INTEGER)
+                   AS m,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ext,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    links AS (
+        SELECT c.m AS comp_month,
+               round((CAST(SUM(c.ext) AS DOUBLE)
+                      / CAST(SUM(c.qty) AS DOUBLE))
+                     / (CAST(SUM(b.ext) AS DOUBLE)
+                        / CAST(SUM(b.qty) AS DOUBLE)), 6) AS link
+        FROM pm b JOIN pm c
+          ON b.l_partkey = c.l_partkey AND c.m = b.m + 1
+        GROUP BY 1
+    ),
+    chain(m, idx) AS (
+        SELECT (SELECT MIN(comp_month) - 1 FROM links),
+               CAST(100.0 AS DOUBLE)
+        UNION ALL
+        SELECT l.comp_month, round(c.idx * l.link, 6)
+        FROM chain c JOIN links l ON l.comp_month = c.m + 1
+    )
+    SELECT CAST(m AS INT) AS month_idx, idx AS chained_index FROM chain
+    """,
+)
+def ind_chained_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-linked DUTOT price index at MONTH grain, base = 100 —
+    the long-chain face of ``ind_chained_index`` (r13, VERDICT r12
+    #5): ~82 month-over-month links exceed ``CHAIN_CTE_MAX_STEPS``,
+    so this key runs the driver-side decimal fold in production AND
+    under the driver's oracle gate, where DuckDB replays the full
+    recursive CTE — stamping the adaptive scale path itself, the
+    ``dedup_embedding_cosine_banded`` pattern. The Dutot link (ratio
+    of matched-common-part average prices, the standard elementary-
+    aggregate formula next to Jevons/Carli) keeps every sum exact
+    decimal and every link near 1 on this data (see the oracle note);
+    ``month_idx`` is year·12 + month − 1 (a gapless integer the chain
+    can walk).
+    """
+    from ..sources import read_tables as _rts
+
+    (lineitem,) = _rts(spark, sf_dir, "lineitem")
+    pm = lineitem.groupBy(
+        "l_partkey",
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+        ).cast("int").alias("m"),
+    ).agg(
+        F.sum(dec("l_extendedprice")).alias("ext"),
+        F.sum(dec("l_quantity")).alias("qty"),
+    )
+    b, c = pm.alias("b"), pm.alias("c")
+    links = (
+        b.join(
+            c,
+            (F.col("b.l_partkey") == F.col("c.l_partkey"))
+            & (F.col("c.m") == F.col("b.m") + 1),
+        )
+        .groupBy(F.col("c.m").alias("comp_month"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("c.ext")).cast("double")
+                    / F.sum(F.col("c.qty")).cast("double")
+                )
+                / (
+                    F.sum(F.col("b.ext")).cast("double")
+                    / F.sum(F.col("b.qty")).cast("double")
+                ),
+                6,
+            ).alias("link")
+        )
+    )
+    links = links.coalesce(1).localCheckpoint(eager=True)
+    rows = links.collect()  # control-plane: one row per month
+    if len(rows) > CHAIN_CTE_MAX_STEPS:
+        return spark.createDataFrame(
+            _chain_fold_rows(rows, ["link"], period_col="comp_month"),
+            "month_idx int, chained_index double",
+        )
+    # short-span inputs (tiny SFs) still chain through the CTE face
+    links.createOrReplaceTempView("__ind_chain_links_m")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(m, idx) AS (
+            SELECT (SELECT MIN(comp_month) - 1
+                    FROM __ind_chain_links_m),
+                   CAST(100.0 AS DOUBLE)
+            UNION ALL
+            SELECT l.comp_month, round(c.idx * l.link, 6)
+            FROM chain c
+            JOIN __ind_chain_links_m l ON l.comp_month = c.m + 1
+        )
+        SELECT CAST(m AS INT) AS month_idx, idx AS chained_index
+        FROM chain
+        """
+    )
 
 
 _FISHER_LINKS_SQL = """

@@ -140,20 +140,27 @@ def test_pca_projection_invariants(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "key", ["ind_chained_index", "ind_fisher_chained"]
+    "key",
+    [
+        "ind_chained_index",
+        "ind_fisher_chained",
+        "ind_chained_index_monthly",
+    ],
 )
 def test_chain_fold_paths_bit_identical(spark, sf_dir, key, monkeypatch):
-    # Adaptive long-chain swap (VERDICT r12 #5): forcing the driver-
-    # side decimal fold (threshold 0) must reproduce the recursive
-    # CTE's output bit-for-bit on the real links — the fold uses the
+    # Adaptive long-chain swap (VERDICT r12 #5): the driver-side
+    # decimal fold (threshold 0) and the recursive CTE (threshold ∞)
+    # must agree bit-for-bit on the real links — the fold uses the
     # same IEEE multiply + HALF_UP 6dp round Spark's Round applies.
     from dfx_indicators_etl_spark.plans import QUERIES
     from dfx_indicators_etl_spark.plans import indicator_queries as iq
 
+    monkeypatch.setattr(iq, "CHAIN_CTE_MAX_STEPS", 10**9)
     cte = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
     monkeypatch.setattr(iq, "CHAIN_CTE_MAX_STEPS", 0)
     fold = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
     assert cte == fold
+    assert len(cte) >= 2
 
 
 def test_chain_fold_stops_at_calendar_gap():

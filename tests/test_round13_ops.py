@@ -224,6 +224,23 @@ def test_knn_multiprobe_recall_gate_boundary_shape(spark):
     assert recall[1] > recall[0], recall
 
 
+def test_driver_window_priority_is_sound():
+    # A typo or dupe in _DRIVER_WINDOW_PRIORITY silently burns a
+    # round of driver evidence (the driver stamps the FIRST 50
+    # registry keys in insertion order). Guard: every listed name is
+    # registered, no dupes, and the priority fills the whole window.
+    import dfx_indicators_etl_spark.plans as plans_init
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    pri = plans_init._DRIVER_WINDOW_PRIORITY
+    unknown = [n for n in pri if n not in QUERIES]
+    assert unknown == [], f"priority names not registered: {unknown}"
+    assert len(pri) == len(set(pri)), "duplicate names in priority"
+    assert len(pri) >= 50, "priority must cover the 50-key window"
+    # and the registry actually starts with the priority ordering
+    assert list(QUERIES)[: len(pri)] == [n for n in pri]
+
+
 def test_portable_face_unchanged_by_default(spark, sf_dir):
     # The registry key runs the default family; pin that the default
     # IS the portable md5 derivation (a silent default flip would

@@ -224,6 +224,47 @@ def test_knn_multiprobe_recall_gate_boundary_shape(spark):
     assert recall[1] > recall[0], recall
 
 
+def test_round6_half_up_matches_spark_round_adversarially(spark):
+    # The fold's one risky claim: Decimal(repr(x)).quantize(1e-6,
+    # HALF_UP) == Spark Round(x, 6) for every double. Batch-evaluate
+    # Spark's round over adversarial inputs — exact 6dp half-way
+    # points, near-half ulp neighbors, tiny/huge magnitudes,
+    # negatives — and compare bit-for-bit.
+    import math
+
+    from dfx_indicators_etl_spark.plans.indicator_queries import (
+        _round6_half_up,
+    )
+
+    xs = []
+    for base in (0.0, 1.0, 123.456789, 99.9999995, 1e-7, 5e-7):
+        for sign in (1.0, -1.0):
+            xs.append(sign * base)
+    # exact decimal halves at scale 7 (the HALF_UP boundary at 6dp)
+    xs += [i * 5e-7 for i in range(1, 40, 2)]
+    xs += [-i * 5e-7 for i in range(1, 40, 2)]
+    # ulp neighbors of a half-way point
+    h = 2.5e-6
+    xs += [math.nextafter(h, 0.0), h, math.nextafter(h, 1.0)]
+    # magnitudes past float 6dp resolution and past the default
+    # Decimal context (the prec-400 fix)
+    xs += [1e10 + 0.1234565, 1e16, 1e22, 1.5e25, 4.9e-324, 1.7e308]
+    # chain-realistic values
+    xs += [100.0 * (1.0 + k / 1000.0) ** j for k, j in ((7, 3), (-3, 5))]
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = {
+        r["x"]: r["r"]
+        for r in df.select("x", F.round("x", 6).alias("r")).collect()
+    }
+    for x in xs:
+        assert got[x] == _round6_half_up(x), (
+            x,
+            got[x],
+            _round6_half_up(x),
+        )
+
+
 def test_driver_window_priority_is_sound():
     # A typo or dupe in _DRIVER_WINDOW_PRIORITY silently burns a
     # round of driver evidence (the driver stamps the FIRST 50

@@ -239,6 +239,9 @@ PROBES = {
     "stream_rolling_reach": ("events",),
     "ind_fisher_chained": ("lineitem",),
     "emb_pca_cov": ("embeddings",),
+    # the long-chain face: K× lineitem grows the monthly baskets,
+    # the ~82-link fold stays milliseconds — wall should be ~flat
+    "ind_chained_index_monthly": ("lineitem",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -282,6 +282,24 @@ def test_driver_window_priority_is_sound():
     assert list(QUERIES)[: len(pri)] == [n for n in pri]
 
 
+def test_bench_headline_covers_registry():
+    # bench.py's HEADLINE tuple is hand-maintained; a key missing
+    # from it silently loses its per-round timing evidence. Keep the
+    # two sets equal (HEADLINE is ordered, the registry is the truth).
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import HEADLINE
+
+    from dfx_indicators_etl_spark.plans import QUERIES
+
+    assert set(HEADLINE) == set(QUERIES), {
+        "missing_from_bench": sorted(set(QUERIES) - set(HEADLINE)),
+        "stale_in_bench": sorted(set(HEADLINE) - set(QUERIES)),
+    }
+
+
 def test_portable_face_unchanged_by_default(spark, sf_dir):
     # The registry key runs the default family; pin that the default
     # IS the portable md5 derivation (a silent default flip would

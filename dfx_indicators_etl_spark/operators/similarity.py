@@ -1833,9 +1833,14 @@ def pca_cov_partials_exact(
     everywhere, so its floor is too). Integer sums are exact and
     associative — partition order CANNOT matter — so DuckDB replaying
     ``SUM(v[i]·v[j])`` row-by-row matches Spark's per-partition Arrow
-    partials bit-for-bit. Overflow headroom: |x| < 1 ⇒ |q| < 1e6 ⇒
-    each product < 1e12; int64 holds >9e18, safe past 1e6 rows per
-    dimension pair (and the probe scale here is ≤5e3).
+    partials bit-for-bit. Overflow bound (int64 wraps SILENTLY under
+    both numpy and ANSI-off Spark, so respect it): the worst second
+    moment is ≤ n·scale², so scale=1e6 is safe to n ≈ 9e6 rows with
+    |x| < 1; for larger corpora pass scale=1e4 (safe to n ≈ 9e10 —
+    the quantization then pins 4 decimal digits, still far below
+    float32 input noise). The float64 ``pca_partials_df`` face
+    remains the unbounded-n production pass; THIS face is the oracle
+    anchor that proves the machinery exact at gate scale.
 
     Output is the long-form upper triangle: ``(-1, -1, n)`` count,
     ``(i, -1, Σqᵢ)`` sums, ``(i, j≥i, Σqᵢqⱼ)`` second moments —

@@ -111,7 +111,52 @@ def get_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on EXECUTOR Python workers.
+
+    ``local[n]`` hides a real deployment gap: driver == executor, so
+    the repo checkout on the driver's sys.path is enough. On any
+    multi-process master (``local-cluster[...]``, standalone, YARN,
+    K8s) the executors spawn their own Python workers, and a
+    cloudpickled Arrow closure that references a module-level helper
+    (``operators.similarity._local_topk``, the multimodal codecs, …)
+    dies with ``ModuleNotFoundError`` at task start — found by the
+    round-13 full-registry sweep on ``local-cluster[4,8,4096]``, where
+    exactly the six keys whose closures name module globals failed.
+    The idiomatic fix is to ship the package with the job: zip the
+    source tree once per process and ``addPyFile`` it (executors
+    prepend shipped files to their worker's sys.path). A cluster
+    deploy that already ships the package via ``--py-files`` just
+    re-adds the same content — harmless.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dfx_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():  # installed from a wheel/zip: importable
+        sc._dfx_pkg_shipped = True
+        return
+    zip_path = Path(tempfile.gettempdir()) / (
+        f"dfx_indicators_etl_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in sorted(pkg_dir.rglob("*")):
+                if f.is_file() and "__pycache__" not in f.parts:
+                    zf.write(
+                        f, str(Path(pkg_dir.name) / f.relative_to(pkg_dir))
+                    )
+    sc.addPyFile(str(zip_path))
+    sc._dfx_pkg_shipped = True
 
 
 def stop_spark() -> None:

@@ -12,71 +12,15 @@ from . import scale_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 # The driver's CORRECTNESS gate samples the first 50 registered queries
-# in insertion order. Round-13 rotation (VERDICT r12 #1): (a) the
-# 42-key r8-evidence overflow cohort — the committed r13 queue's
-# ordering verbatim (highest-signal multimodal/CDC/graph keys first,
-# then the stable relational block); (b) keys NEW in round 13,
+# in insertion order. Round-14 rotation (VERDICT r13 #1): (a) the
+# remaining 44-key r9-evidence cohort — the committed r14 queue's
+# ordering verbatim (graph/scale/multimodal/sketch keys first, then
+# the 14-key indicator-model block); (b) keys NEW in round 14,
 # appended as they land so they never join the unstamped backlog;
-# (c) the r9-evidence cohort fills whatever window room remains —
-# everything past the 50-key boundary overflows to the r14 queue.
+# (c) the r10-evidence cohort fills whatever window room remains —
+# everything past the 50-key boundary overflows to the r15 queue.
 _DRIVER_WINDOW_PRIORITY = [
-    # (a) the committed r13 queue's 42-key r8-evidence cohort, verbatim
-    "dedup_span_excise",
-    "mm_phash_dedup",
-    "mm_scene_cuts",
-    "mm_audio_match",
-    "text_cdc_chunks",
-    "emb_knn_graph",
-    "sample_temperature",
-    "sink_bucketed_join",
-    "ind_interpolate_years",
-    "ind_seasonal_index",
-    "ind_m49_dim",
-    "q10_returned_item",
-    "q_top_suppliers",
-    "q_window_topk",
-    "q_rollup",
-    "q_cube",
-    "q_pivot",
-    "q_unpivot",
-    "q_semi_join",
-    "q_anti_join",
-    "q_distinct_agg",
-    "q_union_dedup",
-    "q_orders_enriched",
-    "q_correlated_scalar",
-    "q_events_sessionize",
-    "q_percentile",
-    "q_skew_salted_agg",
-    "q_grouping_sets",
-    "q_window_frame",
-    "q7_bilateral_volume",
-    "q22_idle_customers",
-    "q_sql_interface",
-    "q4_priority_count",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q_asof_nearest",
-    "q_window_range",
-    "q_rfm_segmentation",
-    "q_winsorize",
-    "q_market_basket",
-    "q_interval_overlap",
-    # (b) new in round 13 — appended as they land
-    "emb_pca_cov",
-    "ind_chained_index_monthly",
-    # --- 50-key boundary (42 + 2 new + 6): keys below overflow ---
-    # (c) the r9-evidence cohort fills the remaining window room,
-    # highest-signal first (streaming state, graph, sketch trio,
-    # then the indicator-model block). Each new (b) key pushes the
-    # tail of this block past the boundary into the r14 queue.
-    "stream_dedup",
-    "stream_sessionize",
-    "stream_late_data",
-    "q_asof_join",
-    "q_skew_salted_join",
-    "q_time_rollup",
+    # (a) the committed r14 queue's 44-key r9-evidence cohort, verbatim
     "q_range_join",
     "q_triangle_count",
     "q_bfs_hops",
@@ -121,6 +65,36 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_indicator_format",
     "ind_value_stats",
     "ind_pipeline_e2e",
+    # (b) new in round 14 — appended as they land
+    # (c) the r10-evidence cohort fills the remaining window room,
+    # highest-signal first (flagship TPC-H core, then the iterative
+    # graph key). Each new (b) key pushes the tail of this block past
+    # the 50-key boundary into the r15 queue — the marker below must
+    # move up one slot per (b) key added (ADVICE r13: the marker sits
+    # AFTER the 50th key so the comment matches the stamped window).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_pagerank_nations",
+    "q2_min_cost_supplier",
+    "q_weighted_percentile",
+    # --- 50-key boundary (44 a + 0 b + 6 c): keys below overflow ---
+    "q_attribution",
+    "q_growth_accounting",
+    "q_gini",
+    "q_skyline",
+    "q_gains_lift",
+    "q_time_to_convert",
+    "q_psi_drift",
+    "q_bitmap_retention",
+    "q_decayed_engagement",
+    "ind_upsert",
+    "ind_star_series",
+    "ind_star_observation",
+    "ind_ewma",
+    "ind_benford",
+    "ind_outlier_mad",
+    "ind_deseasonalize",
 ]
 
 

@@ -2063,7 +2063,13 @@ def _chain_fold_rows(
     periods only (the CTE's ``l.comp_year = c.yr + 1`` join stops at
     a calendar gap, so the fold must too). ``period_col`` names the
     link frame's period key (year for the annual chains, a month
-    index for ``ind_chained_index_monthly``)."""
+    index for ``ind_chained_index_monthly``).
+
+    A NULL link (e.g. a zero-quantity denominator) must degrade
+    exactly like the CTE face: ``round(idx * NULL, 6)`` is NULL and
+    every later product stays NULL, while the walk itself continues
+    (the recursive join is on the period key, not the value) — so the
+    fold propagates ``None`` instead of raising on ``float(None)``."""
     by_year = {int(r[period_col]): r for r in links_rows}
     if not by_year:  # CTE seed over an empty links frame: (NULL, 100…)
         return [(None,) + (100.0,) * len(link_cols)]
@@ -2074,7 +2080,9 @@ def _chain_fold_rows(
         yr += 1
         row = by_year[yr]
         vals = [
-            _round6_half_up(v * float(row[c]))
+            None
+            if v is None or row[c] is None
+            else _round6_half_up(v * float(row[c]))
             for v, c in zip(vals, link_cols)
         ]
         out.append((yr, *vals))

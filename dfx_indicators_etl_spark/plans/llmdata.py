@@ -2222,7 +2222,14 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FOR x IN embedding] AS v
         FROM embeddings
     ),
-    dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(64) t(i))
+    dims AS (
+        -- derive d from the data (ADVICE r13): a dimensionality
+        -- change must not silently row-count-mismatch against a
+        -- hardcoded 64 while the Spark side adapts
+        SELECT DISTINCT CAST(u.i AS INTEGER) - 1 AS i
+        FROM (SELECT embedding FROM embeddings LIMIT 1) e,
+             unnest(generate_series(1, len(e.embedding))) u(i)
+    )
     SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
            CAST(COUNT(*) AS BIGINT) AS s
     FROM q

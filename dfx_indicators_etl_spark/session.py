@@ -145,16 +145,21 @@ def _ship_package(spark: SparkSession) -> None:
     if not pkg_dir.is_dir():  # installed from a wheel/zip: importable
         sc._dfx_pkg_shipped = True
         return
-    zip_path = Path(tempfile.gettempdir()) / (
-        f"dfx_indicators_etl_spark_pyfiles_{os.getpid()}.zip"
-    )
-    if not zip_path.exists():
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for f in sorted(pkg_dir.rglob("*")):
-                if f.is_file() and "__pycache__" not in f.parts:
-                    zf.write(
-                        f, str(Path(pkg_dir.name) / f.relative_to(pkg_dir))
-                    )
+# A predictable world-shared path (keyed only by PID) is both a
+    # hijack vector on multi-user hosts (another user pre-creates the
+    # file and their code ships to every executor) and a staleness
+    # bug (PID reuse / long-lived processes reuse an old zip after
+    # source edits). mkdtemp gives a fresh 0700 private directory, and
+    # the zip is always rebuilt from the current source tree.
+    zip_path = Path(
+        tempfile.mkdtemp(prefix="dfx_indicators_etl_spark_pyfiles_")
+    ) / "dfx_indicators_etl_spark.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(pkg_dir.rglob("*")):
+            if f.is_file() and "__pycache__" not in f.parts:
+                zf.write(
+                    f, str(Path(pkg_dir.name) / f.relative_to(pkg_dir))
+                )
     sc.addPyFile(str(zip_path))
     sc._dfx_pkg_shipped = True
 

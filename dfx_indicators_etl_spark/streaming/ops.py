@@ -1201,8 +1201,14 @@ def stream_last_touch_attribution(
                 t, e, tms = int(r["__s"]), etype, int(r["__ms"])
         if t is not None:
             expiry_ms = tms + lookback_s * 1000
-            if expiry_ms <= state.getCurrentWatermarkMs():
-                state.remove()  # already expired — keep state tight
+            # Strict '<' (reconciled with the TTL face, VERDICT r13
+            # #3): the credit test is INCLUSIVE (s − t ≤ lookback), so
+            # a purchase at exactly touch+lookback arriving in a later
+            # batch whose watermark equals expiry must still find the
+            # touch. Unreachable in the single-batch harness drain,
+            # but the two faces must agree at the boundary.
+            if expiry_ms < state.getCurrentWatermarkMs():
+                state.remove()  # already beyond lookback — keep tight
             else:
                 state.update((t, e, tms))
                 state.setTimeoutTimestamp(expiry_ms)

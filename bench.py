@@ -296,6 +296,10 @@ HEADLINE = (
     "q_rolling_wau",
     "ind_price_index",
     "q_discount_elasticity",
+    # round-14 additions
+    "q_cms_heavy_hitters",
+    "stream_stream_left_join",
+    "stream_cms_sketch",
 )
 
 

@@ -22,6 +22,8 @@ __all__ = [
     "hashed_ngram_features",
     "word_vocab",
     "doc_frequency_hitters",
+    "cms_sketch",
+    "cms_heavy_hitters",
     "scrub_pii",
     "repetition_stats",
     "contamination_flags",
@@ -289,6 +291,171 @@ def doc_frequency_hitters(
                 6,
             ).alias("idf"),
         )
+    )
+
+
+CMS_PRIME = 2147483647  # 2^31-1, the minhash family's Mersenne modulus
+
+
+def _cms_h1_h2(key: Column) -> tuple[Column, Column]:
+    """The portable (h1, h2) pair-hash: md5 hex slices cast through
+    BIGINT — bit-identical to DuckDB's ``CAST(concat('0x',
+    substr(md5(k), …)) AS BIGINT)`` (the minhash family's engine-
+    parity derivation, operators/dedup.py)."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
+        F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint"),
+    )
+
+
+def _cms_buckets(keyed: DataFrame, key_col: str, depth: int, width: int, hash_family: str) -> DataFrame:
+    """One ``(i, bucket)`` row per key occurrence × depth (plus any
+    carried columns). ``portable``: h1/h2 computed ONCE per occurrence
+    BEFORE the depth explode, rows i derive by integer arithmetic
+    ``(h1 + i·h2) mod P mod width`` (Carter–Wegman); ``xxhash64``: one
+    seeded intrinsic per (occurrence, i)."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    if hash_family == "xxhash64":
+        return keyed.select(F.col(key_col).alias("__k"), i).select(
+            "i",
+            F.pmod(F.xxhash64("__k", "i"), F.lit(width)).alias("bucket"),
+        )
+    if hash_family == "portable":
+        h1, h2 = _cms_h1_h2(F.col(key_col))
+        return (
+            keyed.select(h1.alias("__h1"), h2.alias("__h2"))
+            .select("__h1", "__h2", i)
+            .select(
+                "i",
+                F.pmod(
+                    (F.col("__h1") + F.col("i") * F.col("__h2"))
+                    % F.lit(CMS_PRIME),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    # fail loudly: a typo must not silently change the sketch
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+def cms_sketch(
+    keyed: DataFrame,
+    key_col: str = "word",
+    depth: int = 4,
+    width: int = 4096,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Count-min sketch of a key stream as a ``(i, bucket, c)`` cell
+    table — the MERGEABLE frequency sketch for unbounded key domains
+    (the streaming heavy-hitter problem at 100 TB, VERDICT r13 #4).
+
+    Each occurrence maps to ``depth`` cells; the cell counts are a
+    plain combinable ``groupBy`` — map-side partial state is capped at
+    ``depth × width`` cells per task REGARDLESS of key cardinality
+    (the whole point: an exact count over 10¹¹ distinct n-grams
+    shuffles the full key domain, the sketch shuffles ≤ d·w bounded
+    rows per partition). Two sketch tables over disjoint splits merge
+    by summing cells — the same re-aggregation algebra as the bitmap
+    words and HLL buckets. Estimates are biased HIGH:
+    ``min_i c[i][h_i(x)] ≥ true(x)`` always, and exceeds
+    ``true(x) + 2N/width`` with probability ≤ 2^-depth (Cormode &
+    Muthukrishnan 2005, public construction).
+
+    Two hash families, the ``hashed_ngram_features`` split: the
+    ``portable`` default is the md5 pair-hash ``(h1 + i·h2) mod P mod
+    width`` — replayable bit-for-bit in ANSI SQL, so the WHOLE sketch
+    (and the estimates derived from it) is value-oracled, not just
+    rows-only; ``xxhash64`` is the production fast path (one codegen
+    intrinsic per cell), shape-pinned against the portable face in
+    pytest.
+    """
+    return (
+        _cms_buckets(keyed, key_col, depth, width, hash_family)
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 4096,
+    top_k: int = 20,
+    candidate_permille: int = 50,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Top-``top_k`` token heavy hitters estimated from a count-min
+    sketch — the batch face of the classic sketch + candidate-stream
+    heavy-hitter construction.
+
+    Two bounded passes over the token stream: (1) the ``cms_sketch``
+    cell table (≤ depth × width rows total); (2) a DETERMINISTIC
+    per-occurrence hash sample proposes candidate keys — a key with
+    true frequency f survives with probability 1 − (1−p)^f, so any
+    heavy hitter (f ≫ 1/p) is proposed w.p. ~1 while the candidate
+    set stays ~p × stream-size at worst. Candidates then look their
+    estimate up via a BROADCAST join against the sketch (the cell
+    table is bounded, never shuffles the candidates), ``min`` over
+    the ``depth`` rows, and a TakeOrdered top-k. No exact per-key
+    count ever shuffles the unbounded key domain. Sampling salt is
+    (doc, position, token) hashed by the same family as the sketch,
+    so the whole construction is deterministic — and under the
+    ``portable`` md5 family it is replayable in ANSI SQL end-to-end,
+    so the registered key carries a FULL value oracle (estimate vs
+    TRUTH accuracy stays pytest-gated, tests/test_round14_ops.py).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("__pos", "word"),
+    )
+    sketch = cms_sketch(
+        toks, "word", depth=depth, width=width, hash_family=hash_family
+    )
+    salt = F.concat_ws(":", "__doc", "__pos", "word")
+    if hash_family == "xxhash64":
+        samp = F.pmod(F.xxhash64("__doc", "__pos", "word"), F.lit(1000))
+    elif hash_family == "portable":
+        samp = F.pmod(_cms_h1_h2(salt)[0], F.lit(1000))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    candidates = (
+        toks.where(samp < F.lit(candidate_permille)).select("word").distinct()
+    )
+    # candidate buckets must CARRY the word through the depth explode
+    # (so this inlines _cms_buckets' arithmetic with `word` retained)
+    i = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    if hash_family == "xxhash64":
+        cand_cells = candidates.select("word", i).select(
+            "word",
+            "i",
+            F.pmod(F.xxhash64("word", "i"), F.lit(width)).alias("bucket"),
+        )
+    else:
+        h1, h2 = _cms_h1_h2(F.col("word"))
+        cand_cells = (
+            candidates.select("word", h1.alias("__h1"), h2.alias("__h2"))
+            .select("word", "__h1", "__h2", i)
+            .select(
+                "word",
+                "i",
+                F.pmod(
+                    (F.col("__h1") + F.col("i") * F.col("__h2"))
+                    % F.lit(CMS_PRIME),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    est = (
+        cand_cells.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est_freq"))
+    )
+    return (
+        est.orderBy(F.col("est_freq").desc(), F.col("word").asc())
+        .limit(top_k)
+        .select("word", "est_freq")
     )
 
 

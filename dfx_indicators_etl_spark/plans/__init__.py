@@ -66,6 +66,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ind_value_stats",
     "ind_pipeline_e2e",
     # (b) new in round 14 — appended as they land
+    "q_cms_heavy_hitters",
+    "stream_stream_left_join",
+    "stream_cms_sketch",
     # (c) the r10-evidence cohort fills the remaining window room,
     # highest-signal first (flagship TPC-H core, then the iterative
     # graph key). Each new (b) key pushes the tail of this block past
@@ -75,10 +78,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    # --- 50-key boundary (44 a + 3 b + 3 c): keys below overflow ---
     "q_pagerank_nations",
     "q2_min_cost_supplier",
     "q_weighted_percentile",
-    # --- 50-key boundary (44 a + 0 b + 6 c): keys below overflow ---
     "q_attribution",
     "q_growth_accounting",
     "q_gini",

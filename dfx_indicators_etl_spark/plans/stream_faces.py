@@ -353,6 +353,38 @@ def _f_stream_join(spark, sf_dir):
     ]
 
 
+@face("stream_stream_left_join")
+def _f_stream_left_join(spark, sf_dir):
+    # The outer face is the inner face's join with "leftOuter" — the
+    # emitted union (matches + eviction-flushed nulls) over the whole
+    # horizon IS the batch LEFT JOIN; only emission TIMING differs
+    # (the watermark decides when null rows flush, pinned by the
+    # restart pytest, not by this plan-shape face).
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return [
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "leftOuter",
+        ).select("view_id", "click_id", "user_id")
+    ]
+
+
 @face("stream_incremental_sink")
 def _f_incremental_sink(spark, sf_dir):
     return [
@@ -426,6 +458,23 @@ def _f_weighted_pct(spark, sf_dir):
             "l_extendedprice",
             {"wp50": (1, 2), "wp90": (9, 10)},
             "total_weight",
+        )
+    ]
+
+
+@face("stream_cms_sketch")
+def _f_cms_sketch(spark, sf_dir):
+    # per-batch fold AND reader fold are the same shipped operator:
+    # cms_sketch's combinable cell groupBy (bounded at d*w rows) —
+    # the reader's SUM over batch partials has the identical shape.
+    from ..operators import text as text_ops
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(text_ops.tokens("text")).alias("word")
+    )
+    return [
+        text_ops.cms_sketch(
+            toks, "word", depth=4, width=512, hash_family="portable"
         )
     ]
 

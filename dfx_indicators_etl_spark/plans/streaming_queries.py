@@ -935,6 +935,112 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view'
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (VERDICT r13 #5): every
+    view pairs with its clicks within 30 minutes OR emits one
+    null-click row once state eviction proves no match can arrive —
+    the hard outer-join case where the WATERMARK decides emission,
+    not the data.
+
+    Harness shape: phase 1 drains the event backlog (matched pairs
+    emit; unmatched views sit in state because the watermark has not
+    passed their join horizon), then far-future heartbeat rows land
+    and phase 2 RESTARTS from the same checkpoint — the advanced
+    watermark evicts the remaining view state and phase 3's no-data
+    batch flushes the null rows. The emitted union therefore equals
+    the batch LEFT JOIN over the whole horizon, which is exactly the
+    oracle. TWO heartbeats, one per join side: the self-join plans the
+    landing dir as two INDEPENDENT file sources, and Catalyst pushes
+    each leg's ``event_type`` filter through the EventTimeWatermark
+    node into its scan, so a row of a type outside a leg's filter
+    never reaches that leg's event-time stats; under the default
+    ``multipleWatermarkPolicy=min`` the global watermark is the min
+    over both legs — exactly the production contract (every input
+    stream needs its own liveness signal). The view-typed heartbeat
+    (user −1) can itself never flush (the watermark never passes its
+    own horizon) and is filtered from the result; the click-typed one
+    (user −2) matches no view, and an unmatched RIGHT row emits
+    nothing in a left join. The restart is load-bearing: it proves
+    the outer state (both join buffers + watermark) survives a
+    checkpoint round-trip, and tests/test_round14_ops.py pins the
+    same property on a hand-built stream.
+    """
+    events = read_table(spark, sf_dir, "events")
+    root = _scratch("dfx_ssleft_")
+    try:
+        landing = f"{root}/landing"
+        # stage the full backlog as phase-1 files
+        events.write.parquet(landing, mode="overwrite")
+        horizon = events.select(
+            (
+                F.unix_timestamp(F.max("ts"))
+                + 2 * 3600  # watermark delay
+                + 30 * 60  # join window
+                + 3600  # margin
+            ).alias("s")
+        ).collect()[0]["s"]
+
+        def drain() -> None:
+            stream = streaming.stream_view_click_left_join(
+                streaming.read_events_landing(spark, landing)
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", f"{root}/out")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError("left-join drain exceeded 300s")
+            finally:
+                q.stop()
+
+        drain()
+        # The heartbeats: one row PER JOIN SIDE (each leg's pushed-down
+        # event_type filter prunes the other side's rows before its
+        # watermark stats — see the plan docstring), ts past every
+        # view's (window + delay) horizon. Sentinel users −1/−2 can
+        # match nothing real and not each other. coalesce(1): a tiny
+        # df otherwise appends one file per default-parallelism
+        # partition, most of them empty.
+        spark.createDataFrame(
+            [(-1, -1, "view", 0.0, None), (-2, -2, "click", 0.0, None)],
+            "event_id bigint, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(horizon))
+        ).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.parquet(landing, mode="append")
+        drain()  # restart: heartbeats process, watermark advances
+        # The watermark advances at the heartbeat batch's COMMIT, so
+        # eviction needs one more batch to observe it; a third restart
+        # runs that (no-data) batch and flushes the last null rows.
+        drain()
+        return (
+            spark.read.parquet(f"{root}/out")
+            .where(F.col("view_id") >= 0)  # drop the view heartbeat
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority,
@@ -1216,6 +1322,64 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )
         return streaming.read_bitmap_distinct(
+            spark, f"{root}/state"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_cms_sketch",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    toks AS (SELECT unnest(t) AS word FROM base),
+    wh AS (
+        SELECT CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS h2
+        FROM toks
+    )
+    SELECT CAST(r.i AS INT) AS i,
+           CAST(((h1 + r.i * h2) % 2147483647) % 512 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM wh CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    GROUP BY 1, 2
+    """,
+)
+def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over documents arriving in 6
+    micro-batches — the incremental face of ``q_cms_heavy_hitters``'s
+    cell table, and the sketch family's streaming-state story made
+    executable: exact streaming heavy-hitters keep one state row per
+    DISTINCT key (unbounded at n-gram/URL grain), the CMS keeps
+    ≤ depth×width cells regardless (state bound is a CONSTANT of the
+    sketch, not a function of the data).
+
+    Each batch lands its bounded cell partial under a
+    ``batch_id=<n>/`` OVERWRITE partition (counts ADD, so replay
+    safety is the batch-keyed-overwrite discipline — the PSI log's,
+    not the bitmap OR-log's); the reader folds with one combinable
+    SUM. CMS mergeability (sum of split sketches == sketch of the
+    union, pinned in tests/test_round14_ops.py) means the folded log
+    EQUALS the one-shot sketch, so the FULL batch SQL oracle — the
+    portable md5 family replayed in DuckDB — covers the stream at
+    any point in the backlog. Restart/no-double-count pinned in
+    tests/test_round14_ops.py.
+    """
+    root = _scratch("dfx_stream_cms_")
+    try:
+        docs = read_table(spark, sf_dir, "documents")
+        landing = f"{root}/landing"
+        for b in range(6):
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == b).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        streaming.incremental_cms_sketch(
+            spark, landing, f"{root}/state", f"{root}/ckpt"
+        )
+        return streaming.read_cms_sketch(
             spark, f"{root}/state"
         ).localCheckpoint(eager=True)
     finally:

@@ -28,6 +28,7 @@ from ..session import ensure_session_confs
 
 __all__ = [
     "read_events_stream",
+    "read_events_landing",
     "read_documents_stream",
     "run_available_now",
     "windowed_event_counts",
@@ -35,6 +36,9 @@ __all__ = [
     "stream_minhash_dedup_docs",
     "stream_minhash_dedup_banded",
     "stream_sessionize_events",
+    "stream_view_click_left_join",
+    "incremental_cms_sketch",
+    "read_cms_sketch",
     "stream_ewma_anomalies",
     "stream_upsert_aggregate",
     "read_latest_wins",
@@ -109,6 +113,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with event-time ``ts``."""
     ensure_session_confs(spark)
     return _probed_stream(spark, _landing_dir(sf_dir, "events"), "ts")
+
+
+def read_events_landing(spark: SparkSession, landing: str) -> DataFrame:
+    """Events stream over an EXPLICIT landing directory (multi-phase
+    arrival harnesses that stage their own files), with the same
+    footer-probed schema + ``ts`` normalization as
+    ``read_events_stream``."""
+    ensure_session_confs(spark)
+    return _probed_stream(spark, landing, "ts")
 
 
 # Fixed epoch for the synthetic document arrival clock (2020-09-13).
@@ -1458,6 +1471,58 @@ def stream_first_touch_attribution_ttl(
     )
 
 
+def stream_view_click_left_join(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits either
+    its matching clicks (within ``window_minutes``, same user) or —
+    once the watermark proves no match can still arrive — exactly one
+    null-click row. The classic hard case next to the inner join
+    (``stream_stream_join``): state EVICTION decides when unmatched
+    rows emit, so the emitted set is only complete once the global
+    watermark passes ``view_ts + window + delay`` (VERDICT r13 #5).
+
+    The watermark is declared once, upstream of the view/click
+    filters — but that does NOT make one watermark node see both
+    sides: the self-join plans the source twice (one FileStreamSource
+    per leg) and Catalyst pushes each leg's deterministic
+    ``event_type`` predicate through the EventTimeWatermark node into
+    the scan, so each leg's event-time stats observe only its own
+    side's rows and the global watermark is the MIN over the two legs
+    (``spark.sql.streaming.multipleWatermarkPolicy=min``, the
+    default). Operationally that is the honest contract: a quiet
+    click stream holds the global watermark back and unmatched views
+    wait — liveness needs a heartbeat on EACH side (the plan harness
+    sends one view-typed and one click-typed sentinel). State is
+    bounded exactly as in the inner join: each side keeps only the
+    interval-condition window of rows.
+    """
+    wm = events.withWatermark("ts", watermark)
+    views = wm.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = wm.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select("view_id", "click_id", "user_id")
+
+
 def stage_arrival_batches(
     events: DataFrame, landing: str, n_batches: int = 6
 ) -> None:
@@ -1801,6 +1866,81 @@ def read_psi_drift(spark: SparkSession, state_dir: str) -> DataFrame:
         .select("bin", "na", "nb")
     )
     return psi_from_bins(b, 20)
+
+
+def incremental_cms_sketch(
+    spark: SparkSession,
+    landing: str,
+    state_dir: str,
+    ckpt_dir: str,
+    depth: int = 4,
+    width: int = 512,
+    timeout_sec: int = 180,
+) -> None:
+    """Streaming count-min sketch over a documents landing dir — the
+    incremental face of ``q_cms_heavy_hitters``'s cell table, and the
+    reason the sketch exists at all: an EXACT streaming heavy-hitter
+    count keeps one state row per distinct key (unbounded for
+    n-gram/URL-grain domains at 100 TB), while the CMS keeps ≤
+    depth × width cells no matter how many distinct tokens arrive.
+
+    Each micro-batch reduces its token stream to per-(i, bucket) cell
+    partials (``operators.text.cms_sketch``, portable md5 family —
+    replayable in ANSI SQL) and lands them under a ``batch_id=<n>/``
+    partition with OVERWRITE. Cell counts ADD — not an idempotent
+    merge like the bitmap OR-log — so replay safety is the
+    batch-keyed-overwrite discipline (the PSI/weighted-histogram
+    pattern): a checkpoint replay rewrites its own directory instead
+    of double-counting. The log is #batches × ≤ d·w rows, never
+    #tokens; readers fold it with one combinable SUM per cell, and
+    CMS mergeability (sum of split sketches == sketch of the union,
+    pytest-pinned) makes the fold EQUAL the one-shot batch sketch —
+    which is why the batch SQL oracle covers the stream at any point
+    in the backlog.
+    """
+    ensure_session_confs(spark)
+    from ..operators import text as text_ops
+
+    schema = spark.read.parquet(landing).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(text_ops.tokens("text")).alias("word")
+        )
+        cells = text_ops.cms_sketch(
+            toks, "word", depth=depth, width=width, hash_family="portable"
+        )
+        cells.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"cms drain exceeded {timeout_sec}s")
+    finally:
+        q.stop()
+
+
+def read_cms_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the CMS cell-partial log into the merged ``(i, bucket,
+    c)`` sketch — one combinable SUM over #batches × ≤ d·w rows."""
+    ensure_session_confs(spark)
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
 
 
 def incremental_weighted_histogram(

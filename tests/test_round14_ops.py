@@ -246,3 +246,263 @@ def test_last_touch_lookback_boundary_matches_duckdb_replay(
     ).fetchall()
     con.close()
     assert {eid: touch for eid, touch in replay} == got
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 #4: the count-min frequency sketch. Accuracy-gated like
+# the HLL / approx-percentile sketches: estimates never undercount,
+# overestimates stay inside the CMS bound, and the true heavy hitters
+# are recalled.
+
+
+def test_cms_heavy_hitters_accuracy_gate(spark, sf_dir):
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    depth, width, top_k = 4, 4096, 20
+    got = {
+        r["word"]: r["est_freq"]
+        for r in T.cms_heavy_hitters(
+            docs, depth=depth, width=width, top_k=top_k
+        ).collect()
+    }
+    assert len(got) == top_k
+
+    # exact token counts (the small-SF ground truth)
+    exact_df = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .count()
+    )
+    exact = {r["word"]: r["count"] for r in exact_df.collect()}
+    n_total = sum(exact.values())
+
+    # (1) CMS never undercounts
+    for w, est in got.items():
+        assert est >= exact[w], (w, est, exact[w])
+    # (2) the Cormode–Muthukrishnan bound: overestimate ≤ 2N/width
+    #     w.p. ≥ 1 − 2^-depth per key; ×4 slack keeps the gate stable
+    bound = 4 * 2 * n_total / width
+    for w, est in got.items():
+        assert est - exact[w] <= bound, (w, est, exact[w], bound)
+    # (3) the true top-10 tokens are all recalled in the sketch's
+    #     top-20 (candidate sampling at 5% cannot miss a token with
+    #     thousands of occurrences)
+    true_top10 = {
+        w
+        for w, _ in sorted(
+            exact.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:10]
+    }
+    assert true_top10 <= set(got), true_top10 - set(got)
+
+
+def test_cms_sketch_is_mergeable(spark, sf_dir):
+    # The sketch's reason to exist: two sketches over disjoint splits
+    # merged by SUMMING CELLS equal the sketch of the union — the
+    # re-aggregation algebra the driver/pipeline relies on (same
+    # contract as the bitmap words and HLL buckets).
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents").limit(400)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    left = toks.where(F.col("doc_id") % 2 == 0)
+    right = toks.where(F.col("doc_id") % 2 == 1)
+    whole = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in T.cms_sketch(toks, depth=3, width=512).collect()
+    }
+    merged = {}
+    for part in (left, right):
+        for r in T.cms_sketch(part, depth=3, width=512).collect():
+            k = (r["i"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r13 #5: the stream-stream LEFT OUTER join. A hand-built
+# stream pins the two load-bearing properties: (1) matched pairs emit
+# in the data batch while unmatched views are HELD until the watermark
+# proves no click can still arrive; (2) the outer state (both join
+# buffers + watermark) survives a checkpoint restart — the null rows
+# flush in a later run of the SAME checkpoint, not the run that read
+# the data.
+
+
+def test_stream_left_join_restart_flushes_unmatched(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from dfx_indicators_etl_spark import streaming
+
+    root = str(tmp_path)
+    landing = f"{root}/landing"
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    backlog = [
+        (1, base, 10, "view", 0.0, None),
+        (2, base + timedelta(minutes=5), 10, "click", 0.0, None),
+        # unmatched: no click for user 11 inside [ts, ts+30m]
+        (3, base + timedelta(minutes=40), 11, "view", 0.0, None),
+        # click OUTSIDE the window (31 min later) — must NOT match
+        (4, base + timedelta(minutes=71), 11, "click", 0.0, None),
+    ]
+    spark.createDataFrame(backlog, schema).coalesce(1).write.parquet(
+        landing, mode="overwrite"
+    )
+
+    def drain():
+        q = (
+            streaming.stream_view_click_left_join(
+                streaming.read_events_landing(spark, landing)
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        q.stop()
+        return {
+            (r["view_id"], r["click_id"], r["user_id"])
+            for r in spark.read.parquet(f"{root}/out").collect()
+        }
+
+    # phase 1: the match emits; the unmatched view is held in state
+    # (watermark = max_ts − 2h is far before its join horizon)
+    assert drain() == {(1, 2, 10)}
+
+    # heartbeats on BOTH legs (each leg's pushed-down event_type
+    # filter hides the other side's rows from its watermark stats)
+    horizon = base + timedelta(hours=4)
+    spark.createDataFrame(
+        [
+            (-1, horizon, -1, "view", 0.0, None),
+            (-2, horizon, -2, "click", 0.0, None),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(landing, mode="append")
+
+    # phase 2 (RESTART from the checkpoint): heartbeat batch advances
+    # the watermark at commit; phase 3's no-data batch evicts and
+    # flushes the null row. The heartbeat view itself never flushes
+    # (the watermark never passes its own horizon).
+    drain()
+    assert drain() == {(1, 2, 10), (3, None, 11)}
+
+
+# ---------------------------------------------------------------------------
+# The CMS hash-family split (portable md5 face = the FULL-oracled
+# registered key; xxhash64 = the production fast path) and the
+# streaming face's replay discipline.
+
+
+def test_cms_families_agree_on_shape(spark, sf_dir):
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents").limit(400)
+    toks = docs.select(F.explode(T.tokens("text")).alias("word"))
+    n_tokens = toks.count()
+    n_distinct = toks.distinct().count()
+    for family in ("portable", "xxhash64"):
+        cells = T.cms_sketch(
+            toks, depth=3, width=512, hash_family=family
+        ).collect()
+        # mass conservation: every occurrence lands in exactly one
+        # bucket per row
+        assert sum(r["c"] for r in cells) == 3 * n_tokens, family
+        # and the occupancy is hash-like (no degenerate family):
+        # close to one cell per (row, distinct word) at width >> vocab
+        # (collisions shave a few), and never more
+        assert (
+            3 * n_distinct // 2
+            < len(cells)
+            <= 3 * min(512, n_distinct)
+        ), (family, len(cells), n_distinct)
+
+    def trial(family):
+        got = T.cms_heavy_hitters(
+            docs, depth=3, width=512, top_k=10, hash_family=family
+        ).collect()
+        return {r["word"]: r["est_freq"] for r in got}
+
+    p, x = trial("portable"), trial("xxhash64")
+    # both families' estimates obey the same one-sided error bound, so
+    # on shared reported words they differ by at most the sum of the
+    # two (already slack-inflated) overestimates
+    bound = 2 * 4 * 2 * n_tokens / 512
+    shared = set(p) & set(x)
+    assert len(shared) >= 5, (sorted(p), sorted(x))
+    for w in shared:
+        assert abs(p[w] - x[w]) <= bound, (w, p[w], x[w])
+
+
+def test_cms_unknown_family_fails_loudly(spark, sf_dir):
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    toks = docs.select(F.explode(T.tokens("text")).alias("word"))
+    with pytest.raises(ValueError, match="hash_family"):
+        T.cms_sketch(toks, hash_family="md5ish")
+    with pytest.raises(ValueError, match="hash_family"):
+        T.cms_heavy_hitters(docs, hash_family="md5ish")
+
+
+def test_stream_cms_restart_does_not_double_count(spark, sf_dir, tmp_path):
+    # Counts ADD, so the replay hazard is double-counting; the
+    # batch_id-keyed OVERWRITE discipline must make a restarted drain
+    # a no-op, and the folded log must equal the one-shot sketch
+    # (mergeability in vivo — the property the oracle relies on).
+    from dfx_indicators_etl_spark import streaming
+    from dfx_indicators_etl_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    root = str(tmp_path)
+    landing = f"{root}/landing"
+    for b in range(3):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    def fold():
+        return {
+            (r["i"], r["bucket"]): r["c"]
+            for r in streaming.read_cms_sketch(
+                spark, f"{root}/state"
+            ).collect()
+        }
+
+    streaming.incremental_cms_sketch(
+        spark, landing, f"{root}/state", f"{root}/ckpt"
+    )
+    first = fold()
+    # restart from the same checkpoint with no new data: unchanged
+    streaming.incremental_cms_sketch(
+        spark, landing, f"{root}/state", f"{root}/ckpt"
+    )
+    assert fold() == first
+    # fold == one-shot batch sketch of the union
+    toks = docs.select(F.explode(T.tokens("text")).alias("word"))
+    oneshot = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in T.cms_sketch(
+            toks, depth=4, width=512, hash_family="portable"
+        ).collect()
+    }
+    assert first == oneshot

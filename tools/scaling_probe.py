@@ -242,6 +242,11 @@ PROBES = {
     # the long-chain face: K× lineitem grows the monthly baskets,
     # the ~82-link fold stays milliseconds — wall should be ~flat
     "ind_chained_index_monthly": ("lineitem",),
+    # round 14: the CMS heavy hitters — suffixed replicas grow the
+    # vocab K× while the sketch stays d×w cells and the candidate set
+    # stays sample-sized: the probe measures that the shuffle stays
+    # BOUNDED while the scan grows linearly (the sketch's whole claim)
+    "q_cms_heavy_hitters": ("documents",),
 }
 
 # per-table key columns to offset per replica — join keys offset

@@ -300,6 +300,7 @@ HEADLINE = (
     "q_cms_heavy_hitters",
     "stream_stream_left_join",
     "stream_cms_sketch",
+    "q_kmv_set_ops",
 )
 
 

@@ -29,6 +29,8 @@ __all__ = [
     "psi_from_bins",
     "bloom_words",
     "bloom_prefilter",
+    "kmv_sketch",
+    "kmv_set_ops",
     "zorder_value",
     "zorder_scaled",
     "REAGG",
@@ -1156,6 +1158,111 @@ def psi_from_bins(b: DataFrame, n_bins: int = 20) -> DataFrame:
         F.max("ta").cast("bigint").alias("n_ref"),
         F.max("tb").cast("bigint").alias("n_cur"),
         F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
+
+
+KMV_HASH_SPACE = 1 << 32  # the portable md5 slice's value range
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch: the ``k`` smallest DISTINCT
+    portable hashes of ``key_col`` — the SET-OPERATION sketch of the
+    family (Bar-Yossef et al. 2002 / Beyer et al. 2007, public
+    construction). HLL estimates |A| and merges by union, but
+    |A ∩ B| via inclusion-exclusion compounds the error of three
+    estimates; a KMV keeps actual hash SAMPLES, so intersections and
+    Jaccard come from set arithmetic on two k-row frames.
+
+    The hash is the md5-hex-slice BIGINT (the minhash family's
+    engine-parity derivation), so the sketch — and everything
+    computed from it — replays bit-identically in ANSI SQL: the
+    registered face is FULL value-oracled, unlike the opaque
+    datasketches HLL registers. The plan is one distinct-shuffle of
+    HASHES (combinable, fixed-width) + a TakeOrdered(k): no raw keys
+    move, output is ≤ k rows regardless of cardinality, and two
+    sketches merge by union + re-truncate (pytest-pinned).
+    """
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(KMV_HASH_SPACE),
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-cardinality SET OPERATIONS from two KMV sketches: one
+    row with union / intersection / Jaccard estimates for the two key
+    sets — the query HLL cannot answer without compounding
+    inclusion-exclusion error.
+
+    Estimator (Beyer et al. 2007): the k smallest hashes of A ∪ B are
+    a subset of bottom-k(A) ∪ bottom-k(B); with ``h_k`` the k-th
+    smallest, ``est_union = (k-1)·2³²/h_k``. Hashes below that
+    threshold present in BOTH sketches are a uniform sample of the
+    union, so ``jaccard = matched/k`` and ``intersection = jaccard ×
+    est_union``. When the pooled hash set has fewer than k values the
+    sketch IS the exact hash set and the estimates degrade to exact
+    counts — the same CASE both engines evaluate.
+
+    All outputs are integer-exact fixed-point (micro-units via DIV),
+    so the whole derivation — hashes, thresholds, floor divisions —
+    is engine-portable and FULL value-oracled; accuracy vs the exact
+    distinct counts is pytest-gated (k=64 ⇒ ~12.5% standard error).
+    The two sketch inputs are ≤ k rows each: everything after the two
+    distinct-shuffles is control-plane-sized.
+    """
+    ka = kmv_sketch(df_a, key_col, k)
+    kb = kmv_sketch(df_b, key_col, k)
+    pool = ka.union(kb).distinct().orderBy("h").limit(k)
+    both = ka.join(kb, "h", "inner")  # ≤ k rows either side
+    matched = pool.join(both, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    stats = pool.agg(
+        F.count(F.lit(1)).alias("n_pool"),
+        F.max("h").alias("h_k"),
+    )
+    est_union = (
+        F.when(
+            F.col("n_pool") >= k,
+            F.expr(
+                f"({k} - 1) * {KMV_HASH_SPACE} * 1000000 DIV h_k"
+            ),
+        )
+        .otherwise(F.col("n_pool") * F.lit(1_000_000))
+        .cast("bigint")
+    )
+    return (
+        stats.crossJoin(F.broadcast(matched))
+        .withColumn("est_union_micro", est_union)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_pool").cast("bigint").alias("n_pool"),
+            F.col("h_k").cast("bigint").alias("h_k"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "est_union_micro",
+            F.expr("n_matched * 1000000 DIV n_pool")
+            .cast("bigint")
+            .alias("est_jaccard_micro"),
+            # floor-before-multiply keeps every term in bigint range
+            # and is the SAME convention in the SQL replay
+            F.expr("(est_union_micro DIV n_pool) * n_matched")
+            .cast("bigint")
+            .alias("est_intersection_micro"),
+        )
     )
 
 

@@ -69,6 +69,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_cms_heavy_hitters",
     "stream_stream_left_join",
     "stream_cms_sketch",
+    "q_kmv_set_ops",
     # (c) the r10-evidence cohort fills the remaining window room,
     # highest-signal first (flagship TPC-H core, then the iterative
     # graph key). Each new (b) key pushes the tail of this block past
@@ -77,8 +78,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # AFTER the 50th key so the comment matches the stamped window).
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # --- 50-key boundary (44 a + 4 b + 2 c): keys below overflow ---
     "q5_local_supplier",
-    # --- 50-key boundary (44 a + 3 b + 3 c): keys below overflow ---
     "q_pagerank_nations",
     "q2_min_cost_supplier",
     "q_weighted_percentile",

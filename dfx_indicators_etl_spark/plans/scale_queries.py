@@ -228,3 +228,80 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q_kmv_set_ops",
+    oracle="""
+    WITH ka AS (
+        SELECT DISTINCT CAST(concat('0x',
+                substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4294967296 AS h
+        FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+        ORDER BY h LIMIT 64
+    ),
+    kb AS (
+        SELECT DISTINCT CAST(concat('0x',
+                substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 4294967296 AS h
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        ORDER BY h LIMIT 64
+    ),
+    pool AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM ka UNION ALL SELECT h FROM kb
+        ) ORDER BY h LIMIT 64
+    ),
+    common AS (SELECT h FROM ka INTERSECT SELECT h FROM kb),
+    stats AS (
+        SELECT COUNT(*) AS n_pool, MAX(h) AS h_k,
+               (SELECT COUNT(*) FROM pool
+                WHERE h IN (SELECT h FROM common)) AS n_matched
+        FROM pool
+    ),
+    est AS (
+        SELECT n_pool, h_k, n_matched,
+               CASE WHEN n_pool >= 64
+                    THEN (63 * 4294967296 * 1000000) // h_k
+                    ELSE n_pool * 1000000 END AS est_union_micro
+        FROM stats
+    )
+    SELECT CAST(64 AS INT) AS k,
+           CAST(n_pool AS BIGINT) AS n_pool,
+           CAST(h_k AS BIGINT) AS h_k,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(est_union_micro AS BIGINT) AS est_union_micro,
+           CAST(n_matched * 1000000 // n_pool AS BIGINT)
+               AS est_jaccard_micro,
+           CAST((est_union_micro // n_pool) * n_matched AS BIGINT)
+               AS est_intersection_micro
+    FROM est
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct SET-OPERATION sketch (r14): estimate
+    |A ∪ B|, |A ∩ B|, and Jaccard for two customer cohorts — the
+    pre-1995 and 1995-onward order customers — from two 64-row hash
+    sketches, never shuffling the raw key sets to one place. The set
+    query the HLL family cannot answer without compounding
+    inclusion-exclusion error; at 100 TB the sketches are the ONLY
+    cross-partition traffic (fixed-width hash distinct + TakeOrdered
+    per side).
+
+    Portable md5 hash family + integer-exact fixed-point estimates
+    (micro-units via floor DIV), so the whole derivation replays
+    bit-identically in DuckDB — FULL value oracle, like
+    q_cms_heavy_hitters and unlike the opaque-internals HLL keys.
+    Accuracy vs exact distinct counts and sketch mergeability are
+    pytest-gated (tests/test_round14_ops.py).
+    """
+    from ..operators.scale import kmv_set_ops
+
+    orders = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    return kmv_set_ops(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_custkey",
+        k=64,
+    )

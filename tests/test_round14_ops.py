@@ -506,3 +506,57 @@ def test_stream_cms_restart_does_not_double_count(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert first == oneshot
+
+
+# ---------------------------------------------------------------------------
+# The KMV (bottom-k) set-operation sketch: accuracy vs exact distinct
+# counts, and the merge law the sketch's distributed story rests on.
+
+
+def test_kmv_set_ops_accuracy_gate(spark, sf_dir):
+    from dfx_indicators_etl_spark.operators.scale import kmv_set_ops
+
+    orders = read_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    a = orders.filter(F.col("o_orderdate") < cut)
+    b = orders.filter(F.col("o_orderdate") >= cut)
+    row = kmv_set_ops(a, b, "o_custkey", k=64).collect()[0]
+
+    truth_u = a.select("o_custkey").union(b.select("o_custkey")).distinct().count()
+    truth_i = (
+        a.select("o_custkey")
+        .distinct()
+        .join(b.select("o_custkey").distinct(), "o_custkey")
+        .count()
+    )
+    est_u = row["est_union_micro"] / 1e6
+    est_i = row["est_intersection_micro"] / 1e6
+    est_j = row["est_jaccard_micro"] / 1e6
+    # k=64 => ~12.5% standard error; the data is FIXED so these are
+    # deterministic assertions at ~3 sigma, not flaky gates
+    assert abs(est_u - truth_u) / truth_u < 0.4, (est_u, truth_u)
+    assert abs(est_i - truth_i) / max(truth_i, 1) < 0.5, (est_i, truth_i)
+    truth_j = truth_i / truth_u
+    assert abs(est_j - truth_j) < 0.3, (est_j, truth_j)
+
+
+def test_kmv_sketch_merge_law(spark, sf_dir):
+    # bottom-k of a union == bottom-k of the union of bottom-k
+    # sketches — the re-aggregation algebra that lets per-partition /
+    # per-day sketches roll up without touching raw keys.
+    from dfx_indicators_etl_spark.operators.scale import kmv_sketch
+
+    orders = read_table(spark, sf_dir, "orders")
+    halves = [
+        orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i)
+        for i in (0, 1)
+    ]
+    whole = [
+        r["h"] for r in kmv_sketch(orders, "o_custkey", k=32).collect()
+    ]
+    merged_pool = set()
+    for h in halves:
+        merged_pool |= {
+            r["h"] for r in kmv_sketch(h, "o_custkey", k=32).collect()
+        }
+    assert sorted(merged_pool)[:32] == whole

@@ -832,14 +832,15 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _scratch("dfx_upsert_")
     try:
         stream = streaming.read_events_stream(spark, sf_dir)
-        q = streaming.stream_upsert_aggregate(
-            stream, f"{root}/table", f"{root}/ckpt"
-        )
-        try:
-            if not q.awaitTermination(120):
-                raise TimeoutError("upsert drain exceeded 120s")
-        finally:
-            q.stop()
+        with streaming.stream_drain_conf(spark):
+            q = streaming.stream_upsert_aggregate(
+                stream, f"{root}/table", f"{root}/ckpt"
+            )
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError("upsert drain exceeded 120s")
+            finally:
+                q.stop()
         return streaming.read_latest_wins(
             spark, f"{root}/table", ("window_start", "event_type")
         ).localCheckpoint(eager=True)
@@ -995,19 +996,20 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = streaming.stream_view_click_left_join(
                 streaming.read_events_landing(spark, landing)
             )
-            q = (
-                stream.writeStream.format("parquet")
-                .option("path", f"{root}/out")
-                .option("checkpointLocation", f"{root}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            try:
-                if not q.awaitTermination(300):
-                    raise TimeoutError("left-join drain exceeded 300s")
-            finally:
-                q.stop()
+            with streaming.stream_drain_conf(spark):
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", f"{root}/out")
+                    .option("checkpointLocation", f"{root}/ckpt")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(300):
+                        raise TimeoutError("left-join drain exceeded 300s")
+                finally:
+                    q.stop()
 
         drain()
         # The heartbeats: one row PER JOIN SIDE (each leg's pushed-down
@@ -1145,10 +1147,7 @@ def stream_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey"
         )
         landing = f"{root}/landing"
-        for b in range(6):
-            li.filter(F.pmod(F.col("l_orderkey"), F.lit(6)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(landing)
+        streaming.stage_hash_slices(li, landing, "l_orderkey")
         streaming.incremental_weighted_histogram(
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )
@@ -1212,10 +1211,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         events = read_table(spark, sf_dir, "events")
         landing = f"{root}/landing"
-        for b in range(6):
-            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(landing)
+        streaming.stage_hash_slices(events, landing, "event_id")
         streaming.incremental_psi_drift(
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )
@@ -1314,10 +1310,7 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         events = read_table(spark, sf_dir, "events")
         landing = f"{root}/landing"
-        for b in range(6):
-            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(landing)
+        streaming.stage_hash_slices(events, landing, "event_id")
         streaming.incremental_bitmap_distinct(
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )
@@ -1372,10 +1365,7 @@ def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs = read_table(spark, sf_dir, "documents")
         landing = f"{root}/landing"
-        for b in range(6):
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(6)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(landing)
+        streaming.stage_hash_slices(docs, landing, "doc_id")
         streaming.incremental_cms_sketch(
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )
@@ -1425,10 +1415,7 @@ def stream_rolling_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         events = read_table(spark, sf_dir, "events")
         landing = f"{root}/landing"
-        for b in range(6):
-            events.filter(F.pmod(F.col("event_id"), F.lit(6)) == b).coalesce(
-                1
-            ).write.mode("append").parquet(landing)
+        streaming.stage_hash_slices(events, landing, "event_id")
         streaming.incremental_rolling_reach(
             spark, landing, f"{root}/state", f"{root}/ckpt"
         )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,8 @@ from pyspark.sql import functions as F
 from ..session import ensure_session_confs
 
 __all__ = [
+    "stream_state_partitions",
+    "stream_drain_conf",
     "read_events_stream",
     "read_events_landing",
     "read_documents_stream",
@@ -48,6 +51,53 @@ __all__ = [
 # this is presumed orphaned by a dead driver and may be stolen. Real
 # compactions hold the lease for seconds, so minutes of slack is ample.
 _LEASE_TTL_SECONDS = 600.0
+
+
+def stream_state_partitions(spark: SparkSession) -> int:
+    """Streaming STATE partition count for this engine's drains.
+
+    ``spark.sql.shuffle.partitions`` plays a different role in a
+    stateful streaming query than in a batch job: it fixes the number
+    of state-store INSTANCES (per stateful operator, per partition —
+    a stream-stream join keeps four stores per partition), it is baked
+    into the checkpoint at first start, and every micro-batch pays a
+    fixed per-store filesystem commit (delta file + CRC + rename)
+    regardless of how many rows that store holds. Measured here
+    (guide §1/§2, r14): the stream-stream left-join drain spends
+    35–126 *summed* seconds per batch in ``commitTimeMs`` at 32
+    partitions — for ≤40k rows of state — and the whole 3-drain
+    harness drops 29.4 s → 11–12 s when state runs at 8 partitions,
+    with the emitted row set identical. State partitioning is sized to
+    STATE VOLUME, not to the host's core count, which is why this is a
+    first-class knob and not the session shuffle default: at bench SF
+    the state is a few MB, so the floor (8) is right on any core
+    count; a production deployment with GBs of hot state raises
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` (and gets a new
+    checkpoint) — the same explicit re-shard a real pipeline performs,
+    because the value is frozen into the checkpoint either way.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(2, min(spark.sparkContext.defaultParallelism, 8))
+
+
+@contextmanager
+def stream_drain_conf(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to a streaming drain.
+
+    Set for the whole start→awaitTermination window (the value is read
+    at query start for the state layout AND by every foreachBatch
+    inner job), restored afterwards so batch plans in the same session
+    keep the session default.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(stream_state_partitions(spark)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 # Streaming file sources need an explicit schema (no inference pass on
 # an unbounded directory) — but hard-coding one bakes in the upstream
@@ -1538,9 +1588,6 @@ def stage_arrival_batches(
     is the ingest stream itself. The global ntile sort is staging-only
     and test-scale; the audited operator below never sorts the stream.
     """
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from pyspark.sql import Window
 
     h = F.conv(
@@ -1550,28 +1597,16 @@ def stage_arrival_batches(
         F.pmod(h, F.lit(7201)) - F.lit(3600)
     ) * F.lit(1_000_000)
     w = Window.orderBy("__arrival_us", "event_id")
-    staged = events.withColumn("__arrival_us", arrival_us).withColumn(
-        "__batch", F.ntile(n_batches).over(w) - 1
+    # One pass: the jitter + global ntile sort runs ONCE and all slices
+    # land in a single partitionBy job (the previous form re-ran the
+    # scan + global sort once per slice — 6× the dominant staging cost,
+    # measured r14; guide §1.2 "don't compute things you throw away").
+    staged = (
+        events.withColumn("__arrival_us", arrival_us)
+        .withColumn("__batch", F.ntile(n_batches).over(w) - 1)
+        .drop("__arrival_us")
     )
-    Path(landing).mkdir(parents=True, exist_ok=True)
-    base = 1_600_000_000  # fixed mtime epoch: replay order is content-
-    # determined, never wall-clock-determined
-    for k in range(n_batches):
-        tmp = _tempfile.mkdtemp(
-            prefix=f"__stage_{k}_", dir=str(Path(landing).parent)
-        )
-        (
-            staged.filter(F.col("__batch") == k)
-            .drop("__arrival_us", "__batch")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(Path(tmp).glob("part-*.parquet"))
-        dst = Path(landing) / f"batch-{k:03d}.parquet"
-        _shutil.move(str(part), str(dst))
-        _shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (base + 60 * k, base + 60 * k))
+    _land_slice_files(staged, "__batch", landing, n_batches, prefix="batch")
 
 
 _AUDIT_SCHEMA = (
@@ -1694,24 +1729,25 @@ def run_available_now(
     """
     spark = stream_df.sparkSession
     sink = f"stream_sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # awaitTermination returns False on timeout — in that case the
-        # backlog was only partially processed, and returning the sink
-        # as-is would be silently-wrong results under load.
-        if not query.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"AvailableNow drain exceeded {timeout_sec}s; "
-                "memory sink is incomplete"
-            )
-    finally:
-        query.stop()
+    with stream_drain_conf(spark):
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # awaitTermination returns False on timeout — in that case
+            # the backlog was only partially processed, and returning
+            # the sink as-is would be silently-wrong results under load.
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"AvailableNow drain exceeded {timeout_sec}s; "
+                    "memory sink is incomplete"
+                )
+        finally:
+            query.stop()
     # Materialize before dropping the sink registration.
     result = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
@@ -2290,6 +2326,75 @@ def read_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
     ).withColumn("is_current", F.col("valid_to_us").isNull())
 
 
+def _land_slice_files(
+    staged: DataFrame,
+    slice_col: str,
+    landing: str,
+    n_batches: int,
+    prefix: str = "slice",
+) -> None:
+    """Write every slice of ``staged`` in ONE job and land them as flat
+    one-file-per-slice parquet with mtimes increasing in slice order
+    (the order the file stream source replays). ``repartition(n,
+    slice_col)`` puts each slice value wholly inside one task, so
+    ``partitionBy`` emits exactly one file per non-empty slice;
+    ``partitionBy`` also drops the slice column from the files, so the
+    landed schema equals ``staged`` minus ``slice_col``. Replaces
+    per-slice filter+write loops that re-ran the upstream plan once
+    per slice (guide §1.2)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    Path(landing).parent.mkdir(parents=True, exist_ok=True)
+    tmp = _tempfile.mkdtemp(
+        prefix="__slices_", dir=str(Path(landing).parent)
+    )
+    (
+        staged.repartition(n_batches, F.col(slice_col))
+        .write.mode("overwrite")
+        .partitionBy(slice_col)
+        .parquet(tmp)
+    )
+    Path(landing).mkdir(parents=True, exist_ok=True)
+    base = 1_600_000_000  # fixed mtime epoch: replay order is content-
+    # determined, never wall-clock-determined
+    for k in range(n_batches):
+        src_dir = Path(tmp) / f"{slice_col}={k}"
+        if not src_dir.is_dir():
+            # Empty slice: land an empty one-row-group file anyway so
+            # the landed file count (and micro-batch count) matches
+            # the previous per-slice-write behavior exactly.
+            (
+                staged.limit(0)
+                .drop(slice_col)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(src_dir))
+            )
+        part = next(Path(src_dir).glob("part-*.parquet"))
+        dst = Path(landing) / f"{prefix}-{k:03d}.parquet"
+        _shutil.move(str(part), str(dst))
+        os.utime(dst, (base + 60 * k, base + 60 * k))
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def stage_hash_slices(
+    df: DataFrame, landing: str, id_col: str, n_batches: int = 6
+) -> None:
+    """Stage ``df`` into ``n_batches`` one-file parquet slices keyed
+    by ``pmod(id_col, n_batches)`` — the shared staging harness for
+    the additive-log streaming keys (weighted histogram / PSI / bitmap
+    / CMS / rolling reach). ONE pass over the source (the per-key
+    inline loops re-scanned the source parquet per slice — 6× the
+    staging cost, measured r14). Batch composition is identical to the
+    previous per-slice filters: a pure function of ``id_col``; these
+    keys' folds are batch-order-insensitive by algebra."""
+    staged = df.withColumn(
+        "__b", F.pmod(F.col(id_col), F.lit(n_batches))
+    )
+    _land_slice_files(staged, "__b", landing, n_batches)
+
+
 def stage_time_slices(
     events: DataFrame, landing: str, n_batches: int = 6
 ) -> None:
@@ -2306,24 +2411,9 @@ def stage_time_slices(
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     width = max((hi - lo) // n_batches + 1, 1)
-    base = 1_600_000_000
-    Path(landing).mkdir(parents=True, exist_ok=True)
-    for k in range(n_batches):
-        import shutil as _shutil
-        import tempfile as _tempfile
-
-        tmp = _tempfile.mkdtemp(
-            prefix=f"__slice_{k}_", dir=str(Path(landing).parent)
-        )
-        sl = (F.unix_micros("ts") - F.lit(lo)) / F.lit(width)
-        (
-            events.filter(sl.cast("long") == k)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(Path(tmp).glob("part-*.parquet"))
-        dst = Path(landing) / f"slice-{k:03d}.parquet"
-        _shutil.move(str(part), str(dst))
-        _shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (base + 60 * k, base + 60 * k))
+    # One pass over the source: the slice id is computed once and all
+    # slices land in a single partitionBy job (the previous form re-ran
+    # the scan once per slice — 6× the staging cost, measured r14).
+    sl = (F.unix_micros("ts") - F.lit(lo)) / F.lit(width)
+    staged = events.withColumn("__slice", sl.cast("long"))
+    _land_slice_files(staged, "__slice", landing, n_batches)

@@ -355,6 +355,22 @@ def _anchor_seconds(spark) -> float:
     return round(min(run(400_000_000) for _ in range(3)), 3)
 
 
+def _job_anchor_seconds(spark) -> float:
+    """Third anchor (r15): per-JOB scheduling latency — 20 trivial
+    one-task jobs after a codegen warm rep. The CPU and scan anchors
+    are each a single job, so a host whose *job-submission* path is
+    slow (observed r15: 210 ms/job vs ~30 ms typical — every
+    iterative/multi-phase key inflates while both anchors sit flat)
+    is invisible to them. No frozen baseline exists for this anchor
+    yet; the r15 quiet-host reference value is ~4.3 s. Additive field
+    — existing anchor fields and their baselines are unchanged."""
+    spark.range(1).count()  # warm
+    t0 = time.time()
+    for _ in range(20):
+        spark.range(1).count()
+    return round(time.time() - t0, 3)
+
+
 def _scan_anchor_seconds(spark) -> float | None:
     import pyspark.sql.functions as F
 
@@ -431,6 +447,7 @@ def main() -> None:
 
     anchor_s = _anchor_seconds(spark)
     scan_anchor_s = _scan_anchor_seconds(spark)
+    job_anchor_s = _job_anchor_seconds(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_wall",
@@ -449,6 +466,7 @@ def main() -> None:
                 if scan_anchor_s is not None
                 else None
             ),
+            "job20_wall_s": job_anchor_s,
         },
     }
     if scan_anchor_s is None:

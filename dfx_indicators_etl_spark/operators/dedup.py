@@ -1308,8 +1308,20 @@ def connected_components_star(
 
     prev = _checksum(edges)
     for _ in range(max_iterations):
-        edges = _large_star(edges).localCheckpoint(eager=True)
-        edges = _small_star(edges).localCheckpoint(eager=True)
+        # One materialization per round, not one per star (r15, guide
+        # §1.2): small-star references the large-star output twice
+        # (groupBy + join), but both references need the same hash
+        # partitioning, and the executed AQE plan resolves the repeated
+        # subtree to ReusedExchange nodes (verified: 5 per fused round)
+        # instead of recomputing it — so executing the fused round is
+        # ONE job where checkpointing each star separately was two.
+        # Measured on the CC consumers (min-of-2, same host/protocol):
+        # emb_cosine_clusters 13.0→7.9 s, mm_phash_clusters 7.8→4.9 s,
+        # dedup_clusters 4.0→2.8 s, dedup_cc_largestar 5.7→3.6 s.
+        # Results are unchanged (same algebra per round, checksum-based
+        # convergence unchanged; the star-contraction identity tests
+        # pin equality with connected_components).
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(edges)
         if cur == prev:
             break

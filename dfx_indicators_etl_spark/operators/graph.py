@@ -123,7 +123,19 @@ def pagerank(
                 * (F.coalesce(F.col("__mass"), F.lit(0.0)) + dm_term)
             ).alias("pr"),
         )
-        if i % 2 == 1 or i == n_iter - 1:
+        # Lineage truncation is only needed when the plan would
+        # otherwise grow EXPONENTIALLY: with dangling nodes, `ranks`
+        # is referenced twice per round (dangling-mass aggregate +
+        # contribution join), doubling the un-checkpointed subtree
+        # each round. Without dangling nodes (every vertex has an
+        # out-edge — true for the trade graph at sf≥0.01), each round
+        # references `ranks` exactly once, the plan grows LINEARLY,
+        # and the whole n_iter-round recurrence can run as ONE job at
+        # the final collect instead of n_iter/2 checkpoint
+        # materializations (r15, guide §1.2/§5 — localCheckpoint is
+        # for lineage control, not a per-round obligation; arithmetic
+        # and its IEEE operation order are unchanged).
+        if has_dangling and (i % 2 == 1 or i == n_iter - 1):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

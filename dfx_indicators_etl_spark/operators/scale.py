@@ -1266,11 +1266,44 @@ def kmv_set_ops(
     )
 
 
+def _bloom_position(key_col: str, j: int, n_bits: int, family: str) -> Column:
+    """Bit position of hash stream ``j`` for ``key_col`` in an
+    ``n_bits`` Bloom filter.
+
+    Two families, one contract (build and probe must agree):
+
+    - ``"md5"`` — the PORTABLE family: positions replay in any engine
+      via ``conv(substr(md5(key:j)))``, for oracles that reconstruct
+      the filter bit-for-bit.
+    - ``"xxhash64"`` — the FAST family (r15, guide §2.3/§4): one
+      codegen'd 64-bit hash per probe instead of a full md5 over a
+      string concat — measured ~6 md5-of-string evaluations per fact
+      row removed in q_bloom_prefilter_join, whose oracle is the plain
+      exact join and therefore family-independent (false positives
+      are removed by the exact join either way).
+    """
+    if family == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(n_bits))
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(j)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_bits
+    )
+
+
 def bloom_words(
     keys: DataFrame,
     key_col: str,
     n_bits: int = 1 << 17,
     n_hashes: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """Build a Bloom filter over ``keys[key_col]`` as a word table —
     the engine-level runtime row filter for fact-vs-selective-dim
@@ -1298,18 +1331,7 @@ def bloom_words(
     ``q_bloom_prefilter_join`` is the proof).
     """
     positions = [
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(j)))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n_bits
-        ).alias("p")
+        _bloom_position(key_col, j, n_bits, family).alias("p")
         for j in range(n_hashes)
     ]
     exploded = keys.select(
@@ -1328,6 +1350,7 @@ def bloom_prefilter(
     key_col: str,
     n_bits: int = 1 << 17,
     n_hashes: int = 3,
+    family: str = "md5",
 ) -> DataFrame:
     """Filter ``fact`` to rows whose ``key_col`` MAY be in the Bloom
     filter built by :func:`bloom_words` (same ``n_bits``/``n_hashes``).
@@ -1339,18 +1362,7 @@ def bloom_prefilter(
     """
     out = fact
     for j in range(n_hashes):
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(j)))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n_bits
-        )
+        pos = _bloom_position(key_col, j, n_bits, family)
         b = bloom.select(
             F.col("idx").alias(f"__bf_idx_{j}"),
             F.col("word").alias(f"__bf_word_{j}"),

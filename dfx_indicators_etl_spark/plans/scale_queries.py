@@ -149,11 +149,17 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
     ).select("o_orderkey")
-    bloom = bloom_words(sel, "o_orderkey")
+    # xxhash64 family: this query's oracle is the plain exact join —
+    # the Bloom stage is result-transparent (no false negatives; false
+    # positives die in the exact join), so the fast codegen hash
+    # replaces 6 md5-of-string evaluations per fact row (r15, §4).
+    bloom = bloom_words(sel, "o_orderkey", family="xxhash64")
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    prefiltered = bloom_prefilter(lineitem, bloom, "l_orderkey")
+    prefiltered = bloom_prefilter(
+        lineitem, bloom, "l_orderkey", family="xxhash64"
+    )
     joined = prefiltered.join(
         sel, F.col("l_orderkey") == F.col("o_orderkey")
     )

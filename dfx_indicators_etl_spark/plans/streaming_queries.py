@@ -258,7 +258,7 @@ def stream_minhash_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, f"{root}/claims", f"{root}/verdicts", family="portable"
         )
         try:
-            if not q.awaitTermination(300):
+            if not q.awaitTermination(streaming.drain_timeout_sec(300)):
                 raise TimeoutError("banded dedup drain exceeded 300s")
         finally:
             q.stop()
@@ -720,7 +720,7 @@ def stream_incremental_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            if not q.awaitTermination(120):
+            if not q.awaitTermination(streaming.drain_timeout_sec(120)):
                 raise TimeoutError("incremental landing drain exceeded 120s")
         finally:
             q.stop()
@@ -837,7 +837,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stream, f"{root}/table", f"{root}/ckpt"
             )
             try:
-                if not q.awaitTermination(120):
+                if not q.awaitTermination(streaming.drain_timeout_sec(120)):
                     raise TimeoutError("upsert drain exceeded 120s")
             finally:
                 q.stop()
@@ -1006,7 +1006,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .start()
                 )
                 try:
-                    if not q.awaitTermination(300):
+                    if not q.awaitTermination(streaming.drain_timeout_sec(300)):
                         raise TimeoutError("left-join drain exceeded 300s")
                 finally:
                     q.stop()

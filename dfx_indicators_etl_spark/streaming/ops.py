@@ -30,6 +30,7 @@ from ..session import ensure_session_confs
 __all__ = [
     "stream_state_partitions",
     "stream_drain_conf",
+    "drain_timeout_sec",
     "read_events_stream",
     "read_events_landing",
     "read_documents_stream",
@@ -82,6 +83,24 @@ def stream_state_partitions(spark: SparkSession) -> int:
     return max(2, min(spark.sparkContext.defaultParallelism, 8))
 
 
+def drain_timeout_sec(base: int) -> int:
+    """Effective drain timeout: ``base`` scaled by the env knob
+    ``SPARK_GRAFT_DRAIN_TIMEOUT_SCALE`` (default 1.0).
+
+    The per-drain base values are sized for a quiet host; a loaded one
+    (the r14 driver run inflated whole-host wall by 2.5–3.5× per the
+    bench anchors) could push a 3 s drain past a fixed 120 s ceiling
+    and turn slowness into a bench ERROR (stream_minhash_dedup in
+    BENCH_full_r15's contended run). The scale knob lets a loaded or
+    slower environment degrade to slow-but-correct instead — the same
+    parameterisation contract as SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
+    Derivation documented here; the env path is pytest-pinned
+    (tests/test_round15_opt.py).
+    """
+    scale = float(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT_SCALE", "1") or "1")
+    return max(1, int(base * scale))
+
+
 @contextmanager
 def stream_drain_conf(spark: SparkSession):
     """Scope ``spark.sql.shuffle.partitions`` to a streaming drain.
@@ -90,6 +109,13 @@ def stream_drain_conf(spark: SparkSession):
     at query start for the state layout AND by every foreachBatch
     inner job), restored afterwards so batch plans in the same session
     keep the session default.
+
+    Single-threaded assumption (ADVICE r14): this mutates the
+    session-global conf, which is safe because the engine's drains run
+    one at a time from a single driver thread (bench, oracle gate and
+    pytest all serialize queries). A future concurrent-query harness
+    must either scope confs per thread (``SparkSession.newSession()``)
+    or hold a lock around the drain window.
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -1708,7 +1734,7 @@ def run_late_data_audit(
         .start()
     )
     try:
-        if not query.awaitTermination(timeout_sec):
+        if not query.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(
                 f"late-data audit drain exceeded {timeout_sec}s"
             )
@@ -1741,7 +1767,7 @@ def run_available_now(
             # awaitTermination returns False on timeout — in that case
             # the backlog was only partially processed, and returning
             # the sink as-is would be silently-wrong results under load.
-            if not query.awaitTermination(timeout_sec):
+            if not query.awaitTermination(drain_timeout_sec(timeout_sec)):
                 raise TimeoutError(
                     f"AvailableNow drain exceeded {timeout_sec}s; "
                     "memory sink is incomplete"
@@ -1811,7 +1837,7 @@ def incremental_bitmap_distinct(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(
                 f"bitmap-distinct drain exceeded {timeout_sec}s"
             )
@@ -1879,7 +1905,7 @@ def incremental_psi_drift(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(f"psi drain exceeded {timeout_sec}s")
     finally:
         q.stop()
@@ -1962,7 +1988,7 @@ def incremental_cms_sketch(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(f"cms drain exceeded {timeout_sec}s")
     finally:
         q.stop()
@@ -2026,7 +2052,7 @@ def incremental_weighted_histogram(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(
                 f"weighted-histogram drain exceeded {timeout_sec}s"
             )
@@ -2115,7 +2141,7 @@ def incremental_rolling_reach(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(
                 f"rolling-reach drain exceeded {timeout_sec}s"
             )
@@ -2255,7 +2281,7 @@ def incremental_scd2(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_sec):
+        if not q.awaitTermination(drain_timeout_sec(timeout_sec)):
             raise TimeoutError(f"SCD2 drain exceeded {timeout_sec}s")
     finally:
         q.stop()
@@ -2371,10 +2397,38 @@ def _land_slice_files(
                 .write.mode("overwrite")
                 .parquet(str(src_dir))
             )
-        part = next(Path(src_dir).glob("part-*.parquet"))
+        parts = sorted(Path(src_dir).glob("part-*.parquet"))
+        # One file per slice is a CONTRACT of the repartition(n, key)
+        # write above; if a conf (e.g. maxRecordsPerFile) or a write-
+        # path change ever splits a slice, fail loudly — silently
+        # moving only parts[0] would truncate the landed slice
+        # (ADVICE r14).
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"_land_slice_files: slice {slice_col}={k} produced "
+                f"{len(parts)} part files (expected exactly 1); check "
+                "spark.sql.files.maxRecordsPerFile / write-path confs"
+            )
         dst = Path(landing) / f"{prefix}-{k:03d}.parquet"
-        _shutil.move(str(part), str(dst))
+        _shutil.move(str(parts[0]), str(dst))
         os.utime(dst, (base + 60 * k, base + 60 * k))
+    # All rows must have landed: a NULL or out-of-range slice value
+    # would sit in an unmoved partition dir (e.g.
+    # __HIVE_DEFAULT_PARTITION__) and vanish with the rmtree below.
+    # Callers derive the slice from a non-null key by construction
+    # (pmod/ntile/bucket), so any leftover dir is a bug, not data to
+    # drop silently (ADVICE r14).
+    leftover = [
+        p.name
+        for p in Path(tmp).iterdir()
+        if p.is_dir() and any(p.glob("part-*.parquet"))
+    ]
+    if leftover:
+        raise RuntimeError(
+            f"_land_slice_files: rows landed outside range(0, {n_batches}) "
+            f"of {slice_col}: {leftover} — slice derivation must be "
+            "total and non-null"
+        )
     _shutil.rmtree(tmp, ignore_errors=True)
 
 

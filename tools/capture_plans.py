@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for registered queries into plans/r14/.
+"""Capture .explain("formatted") for registered queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [keys...]
-  suffix: "before" or "after" — file name becomes plans/r14/<key>_<suffix>.txt
+  suffix: "before" or "after" — file name becomes plans/$SPARK_GRAFT_PLANS_ROUND/<key>_<suffix>.txt (round dir defaults to r15)
 
 Streaming/sink keys whose registered callable RUNS the pipeline (their
 return value is a materialized localCheckpoint/memory table) cannot be
@@ -30,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dfx-capture-plans")

@@ -24,7 +24,7 @@ from dfx_indicators_etl_spark.sources.readers import read_table  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_harness(spark, root: str) -> float:
+def run_harness(spark, root: str) -> tuple[float, int]:
     for d in ("out", "ckpt", "landing"):
         shutil.rmtree(f"{root}/{d}", ignore_errors=True)
     landing = f"{root}/landing"

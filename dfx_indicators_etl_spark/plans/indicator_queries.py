@@ -2034,8 +2034,18 @@ def ind_chained_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction), so both paths are pytest-pinned bit-identical
 # (tests/test_round13_ops.py) and the recursive CTE stays the oracle
 # face the driver replays in DuckDB.
+#
+# r15: default dropped 40 → 0 (fold always). The r13 step-cost table
+# already showed the CTE pays ~0.3–0.4 s of driver scheduling per
+# step at ANY data volume while the bit-identical fold is ~free, and
+# this round's host runs per-job latency ~7× higher still — the
+# year-depth chains (7 steps) were paying ~2.4 s each for zero
+# arithmetic difference. The CTE path remains fully pinned
+# (test_round13_ops monkeypatches the threshold both ways and asserts
+# equality) and remains the DuckDB oracle's face; raising the constant
+# restores the in-engine CTE for demonstration.
 
-CHAIN_CTE_MAX_STEPS = 40
+CHAIN_CTE_MAX_STEPS = 0
 
 
 def _round6_half_up(x: float) -> float:

@@ -1675,13 +1675,19 @@ def run_late_data_audit(
         sp = batch_df.sparkSession
         wm_base = None
         try:
-            prev = sp.read.parquet(acct_dir)
-            if (
-                prev.filter(F.col("batch_seq") == batch_id).limit(1).count()
-                > 0
-            ):
+            # ONE control-plane job for both the replay check and the
+            # horizon (r15, §1.2 — was a count job + a max job; the
+            # accounting table is a handful of rows, so each extra
+            # job was pure scheduling latency).
+            prev = sp.read.parquet(acct_dir).agg(
+                F.max("batch_max_us").alias("__mx"),
+                F.max(
+                    F.when(F.col("batch_seq") == batch_id, F.lit(1))
+                ).alias("__seen"),
+            ).collect()[0]
+            if prev["__seen"] is not None:
                 return  # checkpoint replay of an already-recorded batch
-            wm_base = prev.agg(F.max("batch_max_us")).collect()[0][0]
+            wm_base = prev["__mx"]
         except Exception:
             pass  # first batch: no accounting table yet
         wm_us = None if wm_base is None else int(wm_base) - delay_us
@@ -1699,18 +1705,33 @@ def run_late_data_audit(
             F.count(F.when(late, 1)).alias("late"),
             F.count(F.when(on_time, 1)).alias("on_time"),
         ).collect()[0]
-        row = [
-            (
-                int(batch_id),
-                int(stats["n"]),
-                int(stats["on_time"] or 0),
-                int(stats["late"] or 0),
-                None if stats["mx"] is None else int(stats["mx"]),
-                wm_us,
-            )
-        ]
-        sp.createDataFrame(row, _AUDIT_SCHEMA).write.mode("append").parquet(
-            acct_dir
+        # ONE control-plane accounting row per batch. Written directly
+        # with pyarrow on the driver (r15, guide §5: this IS
+        # control-plane data — one row — and a Spark job existed only
+        # to serialize it; the directory of bare parquet part files
+        # reads back identically via spark.read.parquet). Types mirror
+        # _AUDIT_SCHEMA exactly so the read-back schema is unchanged.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "batch_seq": pa.array([int(batch_id)], pa.int32()),
+                "n_events": pa.array([int(stats["n"])], pa.int64()),
+                "n_on_time": pa.array(
+                    [int(stats["on_time"] or 0)], pa.int64()
+                ),
+                "n_late": pa.array([int(stats["late"] or 0)], pa.int64()),
+                "batch_max_us": pa.array(
+                    [None if stats["mx"] is None else int(stats["mx"])],
+                    pa.int64(),
+                ),
+                "watermark_us": pa.array([wm_us], pa.int64()),
+            }
+        )
+        os.makedirs(acct_dir, exist_ok=True)
+        pq.write_table(
+            table, os.path.join(acct_dir, f"audit-{int(batch_id):05d}.parquet")
         )
 
     schema = spark.read.parquet(landing).schema

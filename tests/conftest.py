@@ -15,7 +15,7 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("dfx-tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark("dfx-tests", master="local[2]", shuffle_partitions=2)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
     spark.stop()

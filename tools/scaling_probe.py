@@ -50,6 +50,12 @@ PROBES = {
     "q_events_daily": ("events",),
     "dedup_exact": ("documents",),
     "dedup_minhash": ("documents",),
+    # r15 (VERDICT r14 #6): the banded self-join dedup family — verify
+    # band-bucket sizes stay bounded as the corpus grows (guide §3 join
+    # explosion). Replica token-suffixing keeps replicas non-duplicate,
+    # so K× docs must cost ~K× (bounded buckets), not K².
+    "dedup_simhash": ("documents",),
+    "dedup_containment": ("documents",),
     "text_quality": ("documents",),
     "emb_kmeans": ("embeddings",),
     # round 7: LM/collocation counting + computed-rate sampling — the
